@@ -1,0 +1,143 @@
+"""Relational analytics operators — the engine's general query surface.
+
+TPC-H-shaped plans chosen to exercise the physical strategies that matter at
+100 TB: decimal-exact grouped aggregation (Q1), broadcast-dim star joins
+(Q3/Q5), window top-k, time-bucketed rollups, semi/anti joins, conditional
+pivots. Money math follows SURVEY.md §6: cast to DECIMAL(18,2) *before*
+aggregation so sums are exact and oracle-hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D = "decimal(18,2)"
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Pricing summary report. Single scan → partial agg → final agg; the
+    shipdate filter is pushed to the parquet scan; no joins, one shuffle on
+    the 6-ish distinct group keys (tiny reduce side even at 100 TB)."""
+    qty = F.col("l_quantity").cast(D)
+    price = F.col("l_extendedprice").cast(D)
+    disc = F.col("l_discount").cast(D)
+    tax = F.col("l_tax").cast(D)
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + tax)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                (F.sum(qty) / F.count(F.lit(1))).cast("double"), 4
+            ).alias("avg_qty"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+) -> DataFrame:
+    """Revenue of unshipped orders. Customer-filter side is broadcast; the
+    orders⋈lineitem join shuffles on orderkey; top-10 via
+    TakeOrderedAndProject (no global sort)."""
+    revenue = (F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D)))
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    return (
+        orders.filter(F.col("o_orderdate") < cut)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cut),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    tables: dict[str, DataFrame], region: str = "ASIA"
+) -> DataFrame:
+    """Star join: region→nation are broadcast dims; supplier joins on
+    (suppkey, nationkey) to enforce the local-supplier condition; the only
+    large shuffles are orders⋈lineitem and ⋈customer on their keys."""
+    t = tables
+    nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == region)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders by totalprice per customer — one shuffle on custkey,
+    rank computed within partitions, deterministic orderkey tiebreak."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def events_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window rollup: hour bucket × event_type counts + exact sums.
+    Equivalent to a Structured Streaming windowed agg in batch form."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS). At scale: shuffle-partitioned on the
+    key; AQE converts to broadcast when the orders key set is small."""
+    return customer.join(
+        orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def events_type_pivot(events: DataFrame) -> DataFrame:
+    """Conditional-aggregation pivot: one pass, one shuffle on user_id —
+    the classic replacement for N separate filtered joins."""
+    def n_of(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+
+    return events.groupBy("user_id").agg(
+        *[n_of(t) for t in ["click", "view", "purchase", "signup", "error"]],
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast(D)).otherwise(F.lit(0).cast(D))).alias("purchase_value"),
+    )

@@ -1,0 +1,64 @@
+"""Task validation — parity with AnalyzeBatch.groovy.
+
+The reference visits each line serially and records an error when a line has
+more than MAXIMUM_COMMAS commas or fails the task regex
+(AnalyzeBatch.groovy:140-151 ``analyzeTasks``). Here validation is a single
+narrow projection over the task table: pure JVM-side column expressions
+(no UDFs), so whole-stage codegen keeps the scan→filter→project pipeline in
+one stage regardless of scale. Error rows are a filter, not a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..domain import MAXIMUM_COMMAS, MAXIMUM_TASK_COUNT, TASK_PATTERN
+
+
+def comma_count(col: Column) -> Column:
+    """Number of commas in a line (reference: ``task.count(/,/)``)."""
+    return F.length(col) - F.length(F.regexp_replace(col, ",", ""))
+
+
+def validate_tasks(tasks: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """Annotate each task with validity + the reference's error reasons.
+
+    Returns the input plus ``n_commas``, ``valid`` and ``reason`` columns.
+    Reason strings mirror AnalyzeBatch.groovy error ids 1031.
+    """
+    line = F.col(line_col)
+    n_commas = comma_count(line)
+    matches = line.rlike(TASK_PATTERN)
+    reason = (
+        F.when(
+            n_commas > MAXIMUM_COMMAS,
+            F.lit(
+                "Task contains too many ',' (comma) characters. "
+                f"Maximum allowed is ({MAXIMUM_COMMAS})."
+            ),
+        )
+        .when(~matches, F.lit("Task has invalid form."))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        tasks.withColumn("n_commas", n_commas)
+        .withColumn("valid", reason.isNull())
+        .withColumn("reason", reason)
+    )
+
+
+def analyze_batch(tasks: DataFrame, batch_col: str = "batch_id") -> DataFrame:
+    """Per-batch analysis summary — AnalyzeBatch's success contract
+    (``{"result": {"taskCount": N}}``) plus the oversize check
+    (error 1030 when taskCount > MAXIMUM_TASK_COUNT).
+
+    One hash-aggregate with map-side partial aggregation; at 100 TB this is
+    a single shuffle on batch_id.
+    """
+    validated = validate_tasks(tasks)
+    return validated.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("task_count"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("invalid_count"),
+        (F.count(F.lit(1)) > MAXIMUM_TASK_COUNT).alias("exceeds_maximum"),
+    )

@@ -1,0 +1,198 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families: exact (content hash), n-gram Jaccard, MinHash+LSH, SimHash.
+All candidate generation is join-on-bucket — never a global cross join — so
+the pair space stays bounded at 100 TB:
+
+- exact: one shuffle on md5(text); map-side partial agg first.
+- n-gram Jaccard: shingle explode (~tokens× rows) then a self-equi-join on
+  the shingle value; Spark hash-partitions both sides on the shingle, so
+  candidate generation is co-located. Only docs sharing a shingle ever meet.
+- MinHash+LSH: signature is NUM_HASHES min-aggregates over one explode;
+  banding turns near-dup search into an equi-join on (band, band_hash) —
+  the pair blowup is bounded by bucket sizes, the classic scale path.
+- SimHash: one explode + 16 conditional sums per doc; bucket-join on the
+  signature for candidate pairs.
+
+Hash functions are md5-derived (functions.hashing.hex_hash64) so every
+signature is bit-identical in the DuckDB oracle (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_hash64
+from ..functions.textfns import tokens, word_shingles
+
+NUM_MINHASHES = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # NUM_MINHASHES = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 16
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5; canonical row = lowest id (first-wins,
+    like the reference's create-if-absent model upsert,
+    ProcessBatch.groovy:142-153)."""
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word n-grams; plus doc shingle
+    counts. Docs with < n tokens drop out (consistently with the oracle)."""
+    sh = documents.select(
+        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return sh
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    inter = count of shared distinct shingles (equi-join on shingle);
+    union = |A| + |B| − inter. No arrays are carried through the join —
+    only counts — keeping shuffle rows narrow.
+    """
+    sh = shingle_table(documents, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = NUM_MINHASHES) -> DataFrame:
+    """MinHash signature: k md5-seeded min-hashes over the shingle set.
+    One explode + one grouped aggregation computing all k mins in a single
+    shuffle (not k passes)."""
+    sh = shingle_table(documents, n)
+    ex = sh.select("doc_id", "shingles", F.explode("shingles").alias("s"))
+    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    return ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH candidate pairs (band-bucket collisions) verified with the true
+    Jaccard of the shingle sets. Output: (doc_a, doc_b, jaccard).
+
+    Banded signatures join on (band_index, band_hash): only docs agreeing on
+    a full band collide, so the join fan-out is tiny even at corpus scale.
+    Verification joins the (distinct) shingle arrays of just the candidates.
+    """
+    sig = minhash_signatures(documents, n, bands * rows)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionAll(extra)
+
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_table(documents, n)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round((inter.cast("double") / union.cast("double")), 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc SIMHASH_BITS-bit SimHash over distinct word tokens.
+
+    bit_j = sign of Σ_tokens (±1 by token-hash bit j); the signature packs
+    bits little-endian. One explode + one aggregation; oracle-verifiable
+    because the token hash is md5-derived.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    h = hex_hash64(F.col("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the signature value, then
+    compare within buckets ∪ single-bit-rotation buckets. For the r1 scale
+    path we emit exact-signature collisions (hamming 0) plus pairs within
+    hamming ≤ max_hamming found via a join on the high byte (cheap blocking
+    key) — bounded fan-out, no global cross join."""
+    sig = simhash_signatures(documents)
+    block = F.shiftright(F.col("simhash"), SIMHASH_BITS - 8)
+    s = sig.withColumn("block", block)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,75 @@
+"""ProcessBatch parity — entity creation as distributed upsert.
+
+The reference walks tasks serially: ``createModel`` is an idempotent store
+(duplicate models swallowed, ProcessBatch.groovy:142-153) and
+``createAsset`` fails on duplicate (model, serial) pairs
+(ProcessBatch.groovy:175-187), producing one SuccessAnchor or ErrorAnchor
+per task. Distributed re-expression: "first writer wins" is a window (or
+min-aggregate) over the natural key; later claimants become error rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_models(tasks: DataFrame) -> DataFrame:
+    """The model table ProcessBatch would have created: one row per distinct
+    model_name. A single shuffle-dedup with map-side partial aggregation."""
+    return tasks.select("model_name").where(F.col("model_name").isNotNull()).distinct()
+
+
+def process_tasks(tasks: DataFrame, existing_assets: DataFrame | None = None) -> DataFrame:
+    """Run every task: first task (lowest task_number) to claim a
+    (model_name, serial_number) wins and creates the asset; subsequent tasks
+    for the same key produce the reference's duplicate-asset error. Tasks
+    joined against ``existing_assets`` (model_name, serial_number) always
+    error, mirroring EntityAlreadyExistsException on pre-existing assets.
+
+    Returns TASK_RESULT-shaped rows (batch_id, task_number, ok, reason).
+    One shuffle on the natural key for the window; the existing-assets probe
+    is a broadcast join for dimension-sized asset registries, shuffle join
+    otherwise.
+    """
+    key = [F.col("model_name"), F.col("serial_number")]
+    w = Window.partitionBy(*key).orderBy(F.col("batch_id").asc(), F.col("task_number").asc())
+    claimed = tasks.withColumn("_claim", F.row_number().over(w))
+
+    if existing_assets is not None:
+        existing = existing_assets.select(
+            F.col("model_name"), F.col("serial_number"), F.lit(True).alias("_exists")
+        )
+        claimed = claimed.join(existing, ["model_name", "serial_number"], "left")
+    else:
+        claimed = claimed.withColumn("_exists", F.lit(None).cast("boolean"))
+
+    dup = (F.col("_claim") > 1) | F.col("_exists").isNotNull()
+    reason = F.when(
+        dup,
+        F.concat(
+            F.lit("Asset with model number = '"),
+            F.col("model_name"),
+            F.lit("' and serial number = '"),
+            F.col("serial_number"),
+            F.lit("' could not be created."),
+        ),
+    )
+    return claimed.select(
+        "batch_id",
+        "task_number",
+        (~dup).alias("ok"),
+        reason.alias("reason"),
+    )
+
+
+def created_assets(tasks: DataFrame) -> DataFrame:
+    """The asset table after processing: the winning claimant per key."""
+    w = Window.partitionBy("model_name", "serial_number").orderBy(
+        F.col("batch_id").asc(), F.col("task_number").asc()
+    )
+    return (
+        tasks.withColumn("_claim", F.row_number().over(w))
+        .filter(F.col("_claim") == 1)
+        .select("model_name", "serial_number", "asset_name")
+    )

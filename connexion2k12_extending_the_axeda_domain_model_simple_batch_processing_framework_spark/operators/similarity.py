@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: the query set (tiny) is broadcast against the
+  corpus; per-partition local top-k then a k×partitions merge — the exact
+  baseline, embarrassingly parallel at any corpus size.
+- ``lsh_topk``: random-hyperplane signatures bucket the corpus; each query
+  probes only its bucket (plus optional multi-probe neighbors), trading
+  recall for a ~buckets× reduction in scanned vectors — the 100 TB path.
+
+Cosines are computed with sequential-order double accumulation
+(functions.vectors) and rounded to 6 decimals before ranking so the DuckDB
+oracle ranks identically (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_hash64
+from ..functions.vectors import cosine_similarity
+
+EMBEDDING_DIM = 64
+LSH_PLANES = 8
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query over the corpus (self excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def hyperplane_signature(vec_col: F.Column, planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> F.Column:
+    """Deterministic random-hyperplane LSH signature.
+
+    Plane p's component i is ±1 derived from a seeded md5 hash — fully
+    reproducible across runs/engines with no stored plane matrix (the
+    planes are re-derived wherever the expression runs; nothing ships to
+    executors but the expression tree).
+    """
+    bits = []
+    for p in range(planes):
+        terms = None
+        for i in range(dim):
+            sign = F.when(
+                hex_hash64(F.lit(f"plane-{p}-{i}")) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            term = sign * vec_col[i].cast("double")
+            terms = term if terms is None else terms + term
+        bits.append(F.when(terms >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane signature,
+    rank only within the bucket. Recall < 1 by design; the candidate scan
+    per query is corpus/2^planes in expectation."""
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("q_bucket")
+    )
+    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. The r1 form is the exact
+    all-pairs join (fine for dimension-table-sized inputs); the scale path
+    for a 100 TB corpus is lsh_topk-style bucketing first — kept as the
+    documented follow-up, the brute pair join here is the correctness
+    anchor the LSH variant is measured against."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure column expressions over the shared tokenizer (functions.textfns) —
+single scan, no shuffle (per-row derivations), no UDFs; at 100 TB these run
+at parquet-scan speed and pipeline into downstream filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import POLY_MOD, hex_hash64
+from ..functions.textfns import punct_count, token_count_col, tokens
+
+# Stopword profiles for the n-gram/stopword language heuristic. Order fixes
+# argmax tie-breaking (first wins).
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "is", "that", "it", "a"]),
+    ("de", ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"]),
+    ("es", ["el", "la", "los", "que", "y", "una", "por", "como"]),
+    ("fr", ["le", "les", "et", "des", "est", "dans", "pour", "une"]),
+]
+UNDETERMINED = "und"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID. Scores = count of profile words present in
+    the distinct-token set; prediction = argmax with profile-order
+    tie-break, or 'und' when no profile hits."""
+    toks = F.array_distinct(tokens(F.col("text")))
+    scored = documents.select("doc_id", toks.alias("toks"))
+    score_cols = []
+    for lang, words in LANG_PROFILES:
+        hits = None
+        for w in words:
+            h = F.when(F.array_contains(F.col("toks"), w), 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        score_cols.append(hits.alias(f"score_{lang}"))
+    scored = scored.select("doc_id", *score_cols)
+
+    best = F.greatest(*[F.col(f"score_{lang}") for lang, _ in LANG_PROFILES])
+    pred = F.lit(UNDETERMINED)
+    for lang, _ in reversed(LANG_PROFILES):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", *[F.col(f"score_{lang}").cast("long") for lang, _ in LANG_PROFILES], pred.alias("pred_lang")
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    0.4·min(n_tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
+    Ratios in double, rounded to 6 decimals (SURVEY.md §6)."""
+    n_tok = token_count_col(F.col("text"))
+    n_chars = F.length(F.col("text")).cast("long")
+    n_punct = punct_count(F.col("text"))
+    en_words = LANG_PROFILES[0][1]
+    toks = tokens(F.col("text"))
+    stop_hits = None
+    for w in en_words:
+        h = F.size(F.filter(toks, lambda t: t == F.lit(w))).cast("long")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    df = documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    stop_ratio = F.col("n_stopwords") / F.col("n_tokens")
+    min_tok = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    score = 0.4 * min_tok + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "n_punct",
+        "n_stopwords",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_measured"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling fingerprint over the token stream:
+    ``acc = (acc*131 + token_hash % POLY_MOD) % POLY_MOD`` folded left to
+    right (token_hash = md5-derived 60-bit int), plus the md5 content hash.
+    Reordering any two tokens changes the fingerprint — unlike bag-of-words
+    hashes — while the DuckDB oracle can still replay it exactly."""
+    fp = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + hex_hash64(t) % POLY_MOD) % POLY_MOD,
+    )
+    return documents.select(
+        "doc_id",
+        fp.alias("rolling_fp"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )

@@ -1,0 +1,809 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark, sf_dir) → DataFrame
+callable plus a DuckDB oracle SQL twin.
+
+Test-data mapping for the batch-framework parity operators (SURVEY.md §2):
+**orders are batch anchors** (o_orderkey → batch_id, o_orderstatus → state via
+O=NOT_STARTED / P=IN_PROCESS / F=SUCCESS, o_orderdate → inception_time) and
+**lineitem rows are tasks** (l_linenumber → task_number, l_returnflag='R' ⇒
+task error). Documents/embeddings feed the LLM-pipeline operators.
+
+Determinism contract (SURVEY.md §6): money aggregates are computed over
+DECIMAL(18,2) casts (exact) then cast to DOUBLE for output; ratios/cosines
+are double with sequential accumulation order mirrored in the oracle and
+rounded to 6 decimals; every computed column carries the same alias on both
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .domain import STATE_IN_PROCESS, STATE_NOT_STARTED, STATE_SUCCESS
+from .operators import analytics, dedup, lifecycle, process, similarity, text
+from .operators.analyze import validate_tasks
+from .operators.multimodal import decode_stub, with_binary_payload
+from .sources.catalog import load_table
+from .sources.csv_tasks import parse_task_lines
+
+D = "decimal(18,2)"
+
+# ---------------------------------------------------------------------------
+# shared testdata→domain mappings
+# ---------------------------------------------------------------------------
+
+#: o_orderstatus → batch lifecycle state (used consistently in Spark + SQL)
+_STATE_MAP = {"O": STATE_NOT_STARTED, "P": STATE_IN_PROCESS, "F": STATE_SUCCESS}
+_STATE_SQL = (
+    "CASE o_orderstatus WHEN 'O' THEN 'NOT_STARTED' "
+    "WHEN 'P' THEN 'IN_PROCESS' ELSE 'SUCCESS' END"
+)
+
+
+def _state_col() -> F.Column:
+    c = F.when(F.col("o_orderstatus") == "O", F.lit(STATE_NOT_STARTED)).when(
+        F.col("o_orderstatus") == "P", F.lit(STATE_IN_PROCESS)
+    ).otherwise(F.lit(STATE_SUCCESS))
+    return c
+
+
+def _batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("batch_id"),
+        _state_col().alias("state"),
+        F.col("o_orderdate").alias("inception_time"),
+    )
+
+
+def _task_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → TASK_RESULT rows: returnflag 'R' is a task error."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("batch_id"),
+        F.col("l_linenumber").cast("long").alias("task_number"),
+        (F.col("l_returnflag") != "R").alias("ok"),
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.concat(F.lit("Task "), F.col("l_linenumber").cast("string"), F.lit(" returned R")),
+        ).alias("reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 batch-framework parity
+# ---------------------------------------------------------------------------
+
+
+def q_create_batch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CreateBatch CSV ingest: build raw task lines, then parse them through
+    the engine's task-source splitter (sources/csv_tasks.py)."""
+    customer = load_table(spark, sf_dir, "customer")
+    raw = customer.select(
+        F.col("c_custkey").cast("long").alias("task_number"),
+        F.concat(
+            F.lit("Model_"), F.col("c_nationkey").cast("string"), F.lit(","),
+            F.lit("SN-"), F.col("c_custkey").cast("string"), F.lit(","),
+            F.regexp_replace(F.col("c_name"), "#", "-"),
+        ).alias("raw_line"),
+    )
+    return parse_task_lines(raw, batch_id=1).select(
+        "batch_id", "task_number", "model_name", "serial_number", "asset_name"
+    )
+
+
+SQL_CREATE_BATCH_INGEST = """
+SELECT 1::BIGINT AS batch_id,
+       c_custkey::BIGINT AS task_number,
+       'Model_' || c_nationkey::VARCHAR AS model_name,
+       'SN-' || c_custkey::VARCHAR AS serial_number,
+       replace(c_name, '#', '-') AS asset_name
+FROM customer
+"""
+
+
+def q_analyze_batch_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzeBatch task validation over synthesized task lines (part table):
+    even partkeys produce valid lines, odd keep spaces (invalid form),
+    every 7th gets extra commas (comma-limit error)."""
+    part = load_table(spark, sf_dir, "part")
+    base_name = (
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.regexp_replace(F.col("p_name"), " ", "-"), F.lit(",x,y,z")),
+        )
+        .when(F.col("p_partkey") % 2 == 0, F.regexp_replace(F.col("p_name"), " ", "-"))
+        .otherwise(F.col("p_name"))
+    )
+    raw = part.select(
+        F.col("p_partkey").cast("long").alias("task_number"),
+        F.concat(
+            F.regexp_replace(F.col("p_brand"), "#", ""), F.lit(","),
+            F.col("p_partkey").cast("string"), F.lit(","),
+            base_name,
+        ).alias("raw_line"),
+    )
+    return validate_tasks(raw).select(
+        "task_number", F.col("n_commas").cast("long").alias("n_commas"), "valid", "reason"
+    )
+
+
+SQL_ANALYZE_BATCH_VALIDATION = r"""
+WITH lines AS (
+  SELECT p_partkey::BIGINT AS task_number,
+         replace(p_brand, '#', '') || ',' || p_partkey::VARCHAR || ',' ||
+         (CASE WHEN p_partkey % 7 = 0 THEN replace(p_name, ' ', '-') || ',x,y,z'
+               WHEN p_partkey % 2 = 0 THEN replace(p_name, ' ', '-')
+               ELSE p_name END) AS raw_line
+  FROM part
+)
+SELECT task_number,
+       (length(raw_line) - length(replace(raw_line, ',', '')))::BIGINT AS n_commas,
+       (CASE WHEN length(raw_line) - length(replace(raw_line, ',', '')) > 2 THEN FALSE
+             WHEN NOT regexp_matches(raw_line, '^\w{1,100},[\w-]{1,200},[\w-]{1,200}$') THEN FALSE
+             ELSE TRUE END) AS valid,
+       (CASE WHEN length(raw_line) - length(replace(raw_line, ',', '')) > 2
+             THEN 'Task contains too many '',''' || ' (comma) characters. Maximum allowed is (2).'
+             WHEN NOT regexp_matches(raw_line, '^\w{1,100},[\w-]{1,200},[\w-]{1,200}$')
+             THEN 'Task has invalid form.'
+             END) AS reason
+FROM lines
+"""
+
+
+def q_batch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetBatch: per-batch completed/success/error counts."""
+    return lifecycle.batch_status(_batches(spark, sf_dir), _task_results(spark, sf_dir)).select(
+        "batch_id", "state", "completed_count", "success_count", "error_count"
+    )
+
+
+SQL_BATCH_STATUS = f"""
+SELECT o.o_orderkey::BIGINT AS batch_id,
+       {_STATE_SQL} AS state,
+       count(l.l_orderkey)::BIGINT AS completed_count,
+       coalesce(sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END), 0)::BIGINT AS success_count,
+       coalesce(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 0)::BIGINT AS error_count
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_batch_list_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetBatches page 2 (pageSize 10) of NOT_STARTED batches, id-ordered."""
+    return lifecycle.list_batches(
+        _batches(spark, sf_dir), state=STATE_NOT_STARTED, page_number=2, page_size=10
+    )
+
+
+SQL_BATCH_LIST_PAGINATED = f"""
+SELECT o_orderkey::BIGINT AS batch_id, {_STATE_SQL} AS state, o_orderdate AS inception_time
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+LIMIT 10 OFFSET 10
+"""
+
+
+def q_batch_errors_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetBatchErrors rollup: per batch, error count + ordered failing task list."""
+    per_task = lifecycle.batch_errors(_task_results(spark, sf_dir))
+    return per_task.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("error_count"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("task_number")), lambda x: x.cast("string")),
+            ",",
+        ).alias("error_tasks"),
+    )
+
+
+SQL_BATCH_ERRORS_GROUPED = """
+WITH failed AS (
+  SELECT DISTINCT l_orderkey::BIGINT AS batch_id, l_linenumber::BIGINT AS task_number
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT batch_id,
+       count(*)::BIGINT AS error_count,
+       string_agg(task_number::VARCHAR, ',' ORDER BY task_number) AS error_tasks
+FROM failed
+GROUP BY 1
+"""
+
+
+def q_igniter_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchIgniter: 5 oldest NOT_STARTED batches by inception time."""
+    return lifecycle.igniter_pick(_batches(spark, sf_dir), pool_size=5).select(
+        "batch_id", "inception_time"
+    )
+
+
+SQL_IGNITER_PICK = """
+SELECT o_orderkey::BIGINT AS batch_id, o_orderdate AS inception_time
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderdate, o_orderkey
+LIMIT 5
+"""
+
+
+def q_finalizer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchFinalizer: derive final state + completion time per batch."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy(F.col("l_orderkey").alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("error_count"),
+        F.max("l_shipdate").alias("completion_time"),
+    )
+    return agg.select(
+        "batch_id",
+        F.when(F.col("error_count") == 0, F.lit(STATE_SUCCESS))
+        .otherwise(F.lit("COMPLETE_WITH_ERROR"))
+        .alias("final_state"),
+        "completion_time",
+        "error_count",
+    )
+
+
+SQL_FINALIZER_STATE = """
+SELECT l_orderkey::BIGINT AS batch_id,
+       CASE WHEN sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+            THEN 'SUCCESS' ELSE 'COMPLETE_WITH_ERROR' END AS final_state,
+       max(l_shipdate) AS completion_time,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS error_count
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_delete_batch_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteBatch: delete batches (key % 7 == 0) — only NOT_STARTED rows
+    actually go; returns survivors."""
+    batches = _batches(spark, sf_dir)
+    criteria = batches.filter(F.col("batch_id") % 7 == 0).select("batch_id")
+    return lifecycle.delete_batches(batches, criteria).select("batch_id", "state")
+
+
+SQL_DELETE_BATCH_GUARD = f"""
+SELECT o_orderkey::BIGINT AS batch_id, {_STATE_SQL} AS state
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'O')
+"""
+
+
+def q_process_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessBatch: first-wins asset claim; duplicate (model, serial)
+    claimants get the reference's duplicate-asset error."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tasks = lineitem.select(
+        F.col("l_orderkey").alias("batch_id"),
+        F.col("l_linenumber").cast("long").alias("task_number"),
+        F.concat(F.lit("M"), (F.col("l_partkey") % 50).cast("string")).alias("model_name"),
+        (F.col("l_suppkey") % 200).cast("string").alias("serial_number"),
+        F.lit(None).cast("string").alias("asset_name"),
+    )
+    return process.process_tasks(tasks)
+
+
+SQL_PROCESS_BATCH_UPSERT = """
+WITH tasks AS (
+  SELECT l_orderkey::BIGINT AS batch_id,
+         l_linenumber::BIGINT AS task_number,
+         'M' || (l_partkey % 50)::VARCHAR AS model_name,
+         (l_suppkey % 200)::VARCHAR AS serial_number
+  FROM lineitem
+), claimed AS (
+  SELECT *, row_number() OVER (PARTITION BY model_name, serial_number
+                               ORDER BY batch_id, task_number) AS rn
+  FROM tasks
+)
+SELECT batch_id, task_number,
+       (rn = 1) AS ok,
+       CASE WHEN rn > 1
+            THEN 'Asset with model number = ''' || model_name ||
+                 ''' and serial number = ''' || serial_number || ''' could not be created.'
+            END AS reason
+FROM claimed
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 analytics
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = analytics.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    return df.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        "count_order", "avg_qty",
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+       count(*)::BIGINT AS count_order,
+       round((sum(l_quantity::DECIMAL(18,2)) / count(*))::DOUBLE, 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = analytics.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return df.select(
+        "l_orderkey", "o_orderdate", "o_orderpriority",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey::BIGINT AS l_orderkey, o_orderdate, o_orderpriority,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {n: load_table(spark, sf_dir, n) for n in
+              ["region", "nation", "customer", "supplier", "orders", "lineitem"]}
+    df = analytics.q5_local_supplier_volume(tables)
+    return df.select("n_name", F.col("revenue").cast("double").alias("revenue"))
+
+
+SQL_Q5 = """
+SELECT n_name,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rk
+FROM orders
+QUALIFY rk <= 3
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = analytics.events_hourly_rollup(load_table(spark, sf_dir, "events"))
+    return df.select(
+        "hour", "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"), "n_users",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey::BIGINT AS c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = analytics.events_type_pivot(load_table(spark, sf_dir, "events"))
+    return df.select(
+        "user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT user_id::BIGINT AS user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)::DOUBLE AS purchase_value
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 LLM-data-pipeline
+# ---------------------------------------------------------------------------
+
+#: DuckDB fragments shared by the text/dedup oracles (tokenizer contract —
+#: must stay in lockstep with functions/textfns.py).
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [] END)"
+)
+_HEX64 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       min(doc_id)::BIGINT AS canonical_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    k = dedup.NUM_MINHASHES
+    bands, rows = dedup.LSH_BANDS, dedup.LSH_ROWS
+    seeded = [_HEX64.format(expr="s || '#' || '%d'" % i) for i in range(k)]
+    mins = ",\n    ".join(f"min({seeded[i]}) AS h{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '-' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM mh"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN shn sa ON sa.doc_id = c.doc_a
+JOIN shn sb ON sb.doc_id = c.doc_b
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    h = _HEX64.format(expr="t")
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, ({packed}) AS simhash
+FROM bits
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_oracle()
+
+#: sequential-order double cosine, the DuckDB twin of functions/vectors.py
+_COS_SQL = (
+    "round("
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)))"
+    ", 6)"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(corpus, queries, k=5)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL.format(a='qv', b='cv')} AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (rows-only check); recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(corpus, queries, k=5)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang, words in text.LANG_PROFILES:
+        hits = " + ".join(
+            f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)" for w in words
+        )
+        score_exprs.append(f"({hits})::BIGINT AS score_{lang}")
+    scores = ",\n    ".join(score_exprs)
+    langs = [lang for lang, _ in text.LANG_PROFILES]
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    {scores}
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       {pred} AS pred_lang
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_id_oracle()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    en_words = text.LANG_PROFILES[0][1]
+    stop_hits = " + ".join(
+        f"len(list_filter(toks, x -> x = '{w}'))" for w in en_words
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(lower(text), '[a-z0-9 \\n]', '', 'g'))::BIGINT AS n_punct,
+         ({stop_hits})::BIGINT AS n_stopwords
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+       round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+       round(n_stopwords::DOUBLE / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - n_punct::DOUBLE / n_chars)
+             + 0.3 * (n_stopwords::DOUBLE / n_tokens), 6) AS quality
+FROM m
+"""
+
+
+SQL_QUALITY_SCORE = _quality_oracle()
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len({_TOKS})::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_measured
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_HASH_MOD = f"({_HEX64.format(expr='t')}) % 1000000007"
+
+SQL_DOC_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN len(toks) = 0 THEN 0::BIGINT
+             ELSE list_reduce(list_transform(toks, t -> {_TOKEN_HASH_MOD}),
+                              (acc, x) -> (acc * 131 + x) % 1000000007)
+        END) AS rolling_fp,
+       md5(text) AS content_md5
+FROM d
+"""
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_stub(media)
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id::BIGINT AS doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       (octet_length(encode(text)) // 1024 + 1)::BIGINT AS n_frames,
+       'fake/v1' AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # §2.1 batch-framework parity
+    "create_batch_ingest": q_create_batch_ingest,
+    "analyze_batch_validation": q_analyze_batch_validation,
+    "batch_status": q_batch_status,
+    "batch_list_paginated": q_batch_list_paginated,
+    "batch_errors_grouped": q_batch_errors_grouped,
+    "igniter_pick": q_igniter_pick,
+    "finalizer_state": q_finalizer_state,
+    "delete_batch_guard": q_delete_batch_guard,
+    "process_batch_upsert": q_process_batch_upsert,
+    # §2.2 analytics
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "customers_without_orders": q_customers_without_orders,
+    "events_type_pivot": q_events_type_pivot,
+    # §2.3 LLM-data-pipeline
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_bytes": q_multimodal_bytes,
+}
+
+ORACLE: dict[str, str] = {
+    "create_batch_ingest": SQL_CREATE_BATCH_INGEST,
+    "analyze_batch_validation": SQL_ANALYZE_BATCH_VALIDATION,
+    "batch_status": SQL_BATCH_STATUS,
+    "batch_list_paginated": SQL_BATCH_LIST_PAGINATED,
+    "batch_errors_grouped": SQL_BATCH_ERRORS_GROUPED,
+    "igniter_pick": SQL_IGNITER_PICK,
+    "finalizer_state": SQL_FINALIZER_STATE,
+    "delete_batch_guard": SQL_DELETE_BATCH_GUARD,
+    "process_batch_upsert": SQL_PROCESS_BATCH_UPSERT,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_local_supplier_volume": SQL_Q5,
+    "top_orders_per_customer": SQL_TOP_ORDERS,
+    "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "ann_topk": SQL_ANN_TOPK,
+    # ann_lsh_topk: rows-only (approximate by design)
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_bytes": SQL_MULTIMODAL_BYTES,
+}

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same configs are what we'd ship on a
+1000-executor cluster: AQE on (runtime partition coalescing + skew-join
+splitting), modest shuffle partitions for local runs (cluster deployments
+override ``spark.sql.shuffle.partitions`` or rely on AQE's coalescing),
+Arrow enabled for the few Pandas-UDF paths (multimodal codec plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Settings chosen for scale:
+
+    - ``spark.sql.adaptive.enabled`` + skewJoin: runtime re-plan keeps skewed
+      batch keys (one giant batch among millions) from stalling a stage.
+    - ``spark.sql.shuffle.partitions``: sized to the local core count here;
+      at 100 TB you size this to ~2-3x total cores or let AQE coalesce.
+    - ``spark.sql.autoBroadcastJoinThreshold`` stays at default (10 MB) —
+      we additionally place explicit ``broadcast()`` hints on dimension
+      tables so plans stay broadcast even when stats are missing.
+    - Arrow execution for Pandas UDFs (multimodal codec path).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the events table carries TIMESTAMP(NANOS) parquet columns, which
+        # Spark only reads as raw longs; sources/catalog.py converts to
+        # microsecond timestamps (truncating, matching DuckDB/Arrow).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
