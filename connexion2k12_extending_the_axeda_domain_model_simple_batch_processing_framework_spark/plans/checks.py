@@ -1,0 +1,62 @@
+"""Physical-plan assertion helpers.
+
+The 100 TB contract isn't just "right answers" — it's "right plans": filters
+pushed to the parquet scan, dimension joins broadcast, no row-at-a-time
+Python evaluation in hot paths, whole-stage codegen spanning the pipeline.
+These helpers turn those properties into testable assertions
+(tests/test_plans.py) so a refactor that silently de-optimizes a plan fails
+CI the same way a wrong answer would.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as text (what ``df.explain(mode)`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan_string(df)))
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
+    plan = plan_string(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lists on every parquet scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan_string(df))
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return any(fragment in p for p in pushed_filters(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan — the column-pruning evidence."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan_string(df))
+
+
+def uses_python_eval(df: DataFrame) -> bool:
+    """True when the plan contains row-at-a-time Python evaluation
+    (BatchEvalPython) — the slow path our hot-path operators must avoid.
+    ArrowEvalPython / MapInPandas (vectorized) are reported separately."""
+    return "BatchEvalPython" in plan_string(df)
+
+
+def uses_arrow_eval(df: DataFrame) -> bool:
+    plan = plan_string(df)
+    return "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))

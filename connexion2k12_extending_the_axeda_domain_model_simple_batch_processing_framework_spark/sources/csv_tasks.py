@@ -39,7 +39,7 @@ def parse_task_lines(df: DataFrame, batch_id: int = 1, line_col: str = "raw_line
         F.lit(batch_id).cast("long").alias("batch_id"),
         F.col("task_number").cast("long").alias("task_number"),
         F.col(line_col).alias("raw_line"),
-        parts.getItem(0).alias("model_name"),
-        parts.getItem(1).alias("serial_number"),
-        parts.getItem(2).alias("asset_name"),
+        F.get(parts, 0).alias("model_name"),
+        F.get(parts, 1).alias("serial_number"),
+        F.get(parts, 2).alias("asset_name"),
     )

@@ -1,0 +1,86 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    dedup,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE.replace("today", "tonight")  # one token differs
+FAR = "completely unrelated text about spark distributed query engines and planning"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups_and_first_wins(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    rows = dedup.exact_dedup(docs).collect()
+    by_copies = {r.n_copies: r for r in rows}
+    assert len(rows) == 2
+    assert by_copies[2].canonical_id == 1  # lowest id wins
+    assert by_copies[1].canonical_id == 3
+
+
+def test_ngram_jaccard_finds_near_pair_only(spark):
+    docs = _docs(spark, [BASE, NEAR, FAR])
+    rows = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # 12 shingles each, 11 shared (only the final trigram contains the changed
+    # last token) → jaccard = 11 / (12 + 12 - 11)
+    assert r.jaccard == round(11 / 13, 6)
+
+
+def test_minhash_lsh_finds_duplicate_pair(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    rows = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_signature_identical_for_identical_docs(spark):
+    docs = _docs(spark, [BASE, BASE])
+    sig = dedup.minhash_signatures(docs).drop("shingles").collect()
+    a, b = sorted(sig, key=lambda r: r.doc_id)
+    assert [a[f"h{i}"] for i in range(dedup.NUM_MINHASHES)] == [
+        b[f"h{i}"] for i in range(dedup.NUM_MINHASHES)
+    ]
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    rows = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert 0 <= rows[1] < 2**dedup.SIMHASH_BITS
+
+
+def test_simhash_pairs_hamming_zero_for_dups(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    rows = dedup.simhash_pairs(docs).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got.get((1, 2)) == 0
+
+
+def test_near_docs_low_hamming(spark):
+    docs = _docs(spark, [BASE, NEAR])
+    rows = dedup.simhash_signatures(docs).collect()
+    sigs = {r.doc_id: r.simhash for r in rows}
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 4  # near-dup → few bits flip
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "dedup_minhash_lsh"])
+def test_sf_documents_round_trip(spark, sf_dir, name):
+    """The registry entries run end-to-end on real parquet."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark import (
+        queries as q,
+    )
+
+    df = q.QUERIES[name](spark, sf_dir)
+    assert df.count() > 0

@@ -1,0 +1,75 @@
+"""Similarity search: brute-force exact top-k + LSH recall floor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.vectors import (
+    cosine_similarity,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    similarity,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+    load_table,
+)
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_expression(spark):
+    df = _vecs(spark, [[1, 0, 0], [0.5, 0, 0]])
+    a = df.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("a"))
+    b = df.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("b"))
+    r = a.crossJoin(b).select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(r[0].c - 1.0) < 1e-9  # parallel vectors
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    corpus = _vecs(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    queries = corpus.filter(F.col("vec_id") == 1)
+    rows = similarity.brute_force_topk(corpus, queries, k=2).orderBy("rk").collect()
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].rk == 1 and rows[0].cosine > rows[1].cosine
+    # self is excluded
+    assert all(r.neighbor_id != 1 for r in rows)
+
+
+def test_lsh_buckets_are_deterministic(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    sig = similarity.hyperplane_signature(F.col("embedding"))
+    a = emb.select("vec_id", sig.alias("s1")).collect()
+    b = emb.select("vec_id", sig.alias("s2")).collect()
+    assert {r.vec_id: r.s1 for r in a} == {r.vec_id: r.s2 for r in b}
+
+
+def test_lsh_topk_results_subset_of_bucket_with_true_cosines(spark, sf_dir):
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    approx = similarity.lsh_topk(corpus, queries, k=5)
+    exact = similarity.brute_force_topk(corpus, queries, k=5)
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    assert a, "lsh returned nothing"
+    # every approx cosine is the true cosine for that pair
+    full = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(corpus, queries, k=10**6).collect()
+    }
+    for pair, c in a.items():
+        assert full[pair] == c
+    # recall floor vs exact top-5 (8 planes ⇒ modest recall, must be > 0)
+    hits = len(set(a) & set(e))
+    assert hits / len(e) > 0.05
+
+
+def test_embedding_near_dup_pairs_symmetric_free(spark):
+    vecs = _vecs(spark, [[1, 0], [1, 0.001], [0, 1]])
+    rows = similarity.embedding_near_dup_pairs(vecs, threshold=0.9).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in rows}
+    assert pairs == {(1, 2)}  # only the near pair; a<b canonical orientation

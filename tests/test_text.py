@@ -1,0 +1,107 @@
+"""Text-analysis operators: tokenizer contract, lang-id, quality, token
+count, fingerprint determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.hashing import (
+    POLY_MOD,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.textfns import (
+    tokens,
+    word_shingles,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    text,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_tokenizer_contract(spark):
+    rows = _docs(spark, ["Hello, World!  42 foo_bar"]).select(
+        tokens(F.col("text")).alias("t")
+    ).collect()
+    # lowercase, split on non-[a-z0-9] runs, no empties ('_' splits)
+    assert rows[0].t == ["hello", "world", "42", "foo", "bar"]
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, ["a b c d", "a b"])
+    rows = df.select(word_shingles(tokens(F.col("text")), 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == []  # < n tokens → empty
+
+
+def test_lang_id_predictions(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat and the dog of to is that it a",
+            "der Hund und die Katze ist nicht ein zu",
+            "xyzzy qwerty 12345",
+        ],
+    )
+    rows = {r.doc_id: r for r in text.lang_id(docs).collect()}
+    assert rows[1].pred_lang == "en"
+    assert rows[2].pred_lang == "de"
+    assert rows[3].pred_lang == "und"  # no stopword hits anywhere
+    assert rows[1].score_en == 8
+
+
+def test_quality_score_bounds_and_fields(spark):
+    docs = _docs(spark, ["the quick brown fox and the lazy dog. " * 10])
+    r = text.quality_score(docs).collect()[0]
+    assert 0.0 <= r.quality <= 1.0
+    assert r.n_tokens == 80
+    assert r.n_punct == 10  # the 10 periods
+    assert r.n_stopwords == 30  # ('the'×2 + 'and'×1) per repeat × 10
+
+
+def test_quality_stopword_count_exact(spark):
+    # 'the' appears twice, 'and' once → 3 stopword hits
+    docs = _docs(spark, ["the quick brown fox and the lazy dog."])
+    r = text.quality_score(docs).collect()[0]
+    assert r.n_stopwords == 3
+    assert r.stopword_ratio == round(3 / 8, 6)
+
+
+def test_token_count(spark):
+    r = text.token_count(_docs(spark, ["one two three"])).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_chars_measured == len("one two three")
+
+
+def _py_poly_fingerprint(toks: list[str]) -> int:
+    import hashlib
+
+    def tok_hash(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % POLY_MOD
+
+    acc = 0
+    for t in toks:
+        acc = (acc * 131 + tok_hash(t)) % POLY_MOD
+    return acc
+
+
+def test_doc_fingerprint_matches_reference_recurrence(spark):
+    r = text.doc_fingerprint(_docs(spark, ["alpha beta gamma"])).collect()[0]
+    assert r.rolling_fp == _py_poly_fingerprint(["alpha", "beta", "gamma"])
+
+
+def test_doc_fingerprint_is_order_sensitive(spark):
+    rows = {r.doc_id: r for r in text.doc_fingerprint(
+        _docs(spark, ["alpha beta", "beta alpha"])
+    ).collect()}
+    assert rows[1].rolling_fp != rows[2].rolling_fp
+    assert rows[1].content_md5 != rows[2].content_md5
+
+
+def test_empty_doc_fingerprint_zero(spark):
+    r = text.doc_fingerprint(_docs(spark, ["!!!"])).collect()[0]
+    assert r.rolling_fp == 0
