@@ -47,12 +47,25 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word n-grams; plus doc shingle
-    counts. Docs with < n tokens drop out (consistently with the oracle)."""
-    sh = documents.select(
-        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    return sh
+    """(doc_id, shingles) distinct word n-grams; docs with < n tokens drop
+    out (consistently with the oracle).
+
+    Tokenization happens in its OWN projection: ``word_shingles`` references
+    the token array O(n_tokens) times inside a higher-order lambda, and
+    inlining the regex-split there would re-split the text once per element
+    access (O(tokens²) regex evals per row — measured 25s for 5k docs at
+    sf0.1, vs ~1s with the materialized token column). Catalyst keeps the
+    boundary because a non-cheap alias referenced many times is not collapsed.
+
+    The non-empty filter tests ``size(tokens) >= n`` (equivalent: a doc has
+    shingles iff it has ≥ n tokens) BEFORE the shingle projection — filtering
+    on ``size(shingles) > 0`` after would push the whole shingle expression
+    into the filter and re-trigger the quadratic inlining.
+    """
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    return toked.select("doc_id", word_shingles(F.col("__toks"), n).alias("shingles"))
 
 
 def ngram_jaccard_pairs(

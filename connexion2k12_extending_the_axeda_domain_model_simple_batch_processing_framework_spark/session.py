@@ -39,6 +39,17 @@ def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate derives `size(arr) > 0` from every
+        # explode(); predicate pushdown then inlines the full array-building
+        # expression (tokenize + shingle, with per-element re-evaluation of
+        # the regex split inside higher-order lambdas) into a pre-scan
+        # Filter. Measured 10-20x slowdowns on the shingle-explode dedup
+        # path; the inferred filter saves nothing for our generators (inputs
+        # are already size-filtered), so exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # the events table carries TIMESTAMP(NANOS) parquet columns, which
         # Spark only reads as raw longs; sources/catalog.py converts to
         # microsecond timestamps (truncating, matching DuckDB/Arrow).
