@@ -59,4 +59,13 @@ def uses_arrow_eval(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
+    """Distinct whole-stage-codegen spans in the EXECUTED plan.
+
+    Under AQE the pre-execution plan is just ``AdaptiveSparkPlan
+    isFinalPlan=false`` with no codegen annotation, so this runs the query
+    (cheap at test scale) and inspects the final physical plan.
+    """
+    df.collect()  # a write would execute a cloned QueryExecution; collect
+    # materializes AQE's final plan on THIS one.
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)|WholeStageCodegen \((\d+)\)", executed)))

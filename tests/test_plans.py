@@ -1,0 +1,92 @@
+"""Physical-plan contracts (SURVEY §5): right answers AND right plans.
+
+A refactor that silently drops a broadcast hint, breaks filter pushdown, or
+introduces row-at-a-time Python evaluation should fail here the same way a
+wrong answer would — at 100 TB those regressions are outages, not slowdowns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark import (
+    queries as q,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.plans import (
+    checks,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    return {name: fn(spark, SF_DIR) for name, fn in q.QUERIES.items()}
+
+
+def test_q1_filter_pushed_to_scan_and_columns_pruned(dfs):
+    df = dfs["q1_pricing_summary"]
+    assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)
+    # scan must read only the 7 needed columns, not all 16 of lineitem
+    schemas = [s for s in checks.read_schemas(df) if "l_returnflag" in s]
+    assert schemas, checks.read_schemas(df)
+    assert all(len(s.split(",")) <= 7 for s in schemas), schemas
+    assert not checks.uses_python_eval(df)
+    assert checks.codegen_stage_count(df) >= 1
+
+
+def test_q3_broadcasts_customer_side(dfs):
+    df = dfs["q3_shipping_priority"]
+    assert checks.count_broadcast_joins(df) >= 1
+    assert checks.has_pushed_filter(df, "o_orderdate")
+    assert checks.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q5_broadcasts_all_dimension_tables(dfs):
+    df = dfs["q5_local_supplier_volume"]
+    # region→nation, supplier, and the nations subtree are all broadcast;
+    # only orders⋈lineitem⋈customer may shuffle.
+    assert checks.count_broadcast_joins(df) >= 3
+    assert checks.count_shuffle_exchanges(df) <= 4
+
+
+def test_batch_status_stays_jvm_side(dfs):
+    df = dfs["batch_status"]
+    assert not checks.uses_python_eval(df)
+    assert checks.codegen_stage_count(df) >= 1
+
+
+def test_dedup_ngram_no_python_bounded_shuffles(dfs):
+    df = dfs["dedup_ngram_jaccard"]
+    assert not checks.uses_python_eval(df)
+    # explode → self-join → group → two size joins; anything beyond ~7
+    # exchanges means a lost co-partitioning.
+    assert checks.count_shuffle_exchanges(df) <= 7
+
+
+def test_minhash_lsh_no_python_eval(dfs):
+    df = dfs["dedup_minhash_lsh"]
+    assert not checks.uses_python_eval(df)
+
+
+def test_multimodal_uses_arrow_not_row_python(dfs):
+    df = dfs["multimodal_bytes"]
+    assert checks.uses_arrow_eval(df)
+    assert not checks.uses_python_eval(df)
+
+
+def test_no_headline_query_uses_row_python(dfs):
+    offenders = [
+        name
+        for name, df in dfs.items()
+        if checks.uses_python_eval(df)
+    ]
+    assert offenders == []
+
+
+def test_events_rollup_prunes_columns(dfs):
+    df = dfs["events_hourly_rollup"]
+    schemas = [s for s in checks.read_schemas(df) if "event_type" in s]
+    assert schemas
+    # ts, event_type, value, user_id only
+    assert all(len(s.split(",")) <= 4 for s in schemas), schemas
