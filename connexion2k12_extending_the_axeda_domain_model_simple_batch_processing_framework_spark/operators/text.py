@@ -53,20 +53,23 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic document quality in [0,1]:
     0.4·min(n_tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
     Ratios in double, rounded to 6 decimals (SURVEY.md §6)."""
-    n_tok = token_count_col(F.col("text"))
-    n_chars = F.length(F.col("text")).cast("long")
-    n_punct = punct_count(F.col("text"))
     en_words = LANG_PROFILES[0][1]
-    toks = tokens(F.col("text"))
-    stop_hits = None
-    for w in en_words:
-        h = F.size(F.filter(toks, lambda t: t == F.lit(w))).cast("long")
-        stop_hits = h if stop_hits is None else stop_hits + h
-    df = documents.select(
+    # materialize tokens once (own projection) — summing a per-stopword
+    # filter over the inline tokenize expression re-ran the regex split per
+    # stopword; one membership filter over the materialized array is
+    # equivalent (sum of per-word occurrence counts == count of tokens in
+    # the stopword set) and single-pass.
+    toked = documents.select(
+        "doc_id", F.col("text"), tokens(F.col("text")).alias("__toks")
+    )
+    stop_hits = F.size(
+        F.filter(F.col("__toks"), lambda t: t.isin(*en_words))
+    ).cast("long")
+    df = toked.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        n_punct.alias("n_punct"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        punct_count(F.col("text")).alias("n_punct"),
         stop_hits.alias("n_stopwords"),
     )
     punct_ratio = F.col("n_punct") / F.col("n_chars")

@@ -1,0 +1,78 @@
+"""Sinks: anchor-store writes, report exports, finalization notifications.
+
+The reference persists batch state as extended objects on the Axeda platform
+(CreateBatch.groovy createBatchAnchor / ProcessBatch.groovy anchor writes)
+and notifies by email from the Finalizer (BatchFinalizer.groovy sendEmail).
+Here the durable store is partitioned parquet — partitioning the anchor
+table by ``state`` makes every state-filtered read (GetBatches' state
+parameter, the Igniter's NOT_STARTED scan, the Finalizer's IN_PROCESS scan)
+a partition-pruned scan that touches none of the other states' files, which
+is the difference between scanning 4 directories and 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_anchor_store(anchors: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist batch anchors partitioned by lifecycle state.
+
+    Layout: ``{path}/state=NOT_STARTED/...`` etc. Readers filtering on
+    ``state`` (every reference service does) get partition pruning for free.
+    """
+    anchors.write.mode(mode).partitionBy("state").parquet(path)
+
+
+def read_anchor_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_batch_report_csv(report: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export a batch listing/report as headered CSV — the tabular answer
+    shape GetBatches.groovy returns to callers."""
+    report.write.mode(mode).option("header", "true").csv(path)
+
+
+def finalization_notifications(finalized: DataFrame) -> DataFrame:
+    """Notification rows for finalized batches.
+
+    Parity: BatchFinalizer.groovy's email step — subject carries the batch
+    name and terminal state, the body the success/error counts. Transport is
+    a separate concern (``send_email``); producing the notification set is a
+    distributed projection like any other.
+
+    Expects columns: batch_id, name, state, success_count, error_count,
+    notify_email. Batches without a notify_email are dropped (the reference
+    only emails when one was supplied at CreateBatch time).
+    """
+    return finalized.filter(
+        F.col("notify_email").isNotNull() & (F.col("notify_email") != "")
+    ).select(
+        "batch_id",
+        "notify_email",
+        F.concat(
+            F.lit("Batch \""), F.col("name"), F.lit("\" finished: "), F.col("state")
+        ).alias("subject"),
+        F.concat(
+            F.lit("succeeded="),
+            F.col("success_count").cast("string"),
+            F.lit(" failed="),
+            F.col("error_count").cast("string"),
+        ).alias("body"),
+    )
+
+
+def send_email(notifications: DataFrame) -> None:
+    """Email transport stub.
+
+    The container has no SMTP relay; a deployment wires this to
+    ``notifications.foreachPartition`` over an SMTP/SES client. Kept as an
+    explicit stub (not a silent no-op) so callers cannot mistake it for a
+    working transport.
+    """
+    raise NotImplementedError(
+        "email transport is deployment-specific; consume "
+        "finalization_notifications() with foreachPartition + an SMTP client"
+    )

@@ -1,0 +1,104 @@
+"""Sinks (anchor store, reports, notifications) and skew helpers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+    skew,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources import (
+    sinks,
+)
+
+
+def test_anchor_store_partitioned_by_state(spark, tmp_path):
+    anchors = spark.createDataFrame(
+        [
+            (1, "b1", "NOT_STARTED"),
+            (2, "b2", "IN_PROCESS"),
+            (3, "b3", "SUCCESS"),
+            (4, "b4", "SUCCESS"),
+        ],
+        "batch_id long, name string, state string",
+    )
+    path = str(tmp_path / "anchors")
+    sinks.write_anchor_store(anchors, path)
+    # physical layout: one directory per state (partition pruning surface)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("state="))
+    assert dirs == ["state=IN_PROCESS", "state=NOT_STARTED", "state=SUCCESS"]
+    back = sinks.read_anchor_store(spark, path)
+    assert back.count() == 4
+    # a state-filtered read scans only that partition's files
+    only = back.filter(F.col("state") == "SUCCESS")
+    assert only.count() == 2
+    scan = only._sc._jvm.PythonSQLUtils.explainString(only._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in scan
+
+
+def test_batch_report_csv_roundtrip(spark, tmp_path):
+    report = spark.createDataFrame(
+        [(1, "SUCCESS", 10), (2, "IN_PROCESS", 4)],
+        "batch_id long, state string, size long",
+    )
+    path = str(tmp_path / "report")
+    sinks.write_batch_report_csv(report, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 2
+    assert set(back.columns) == {"batch_id", "state", "size"}
+
+
+def test_finalization_notifications_shape_and_filter(spark):
+    finalized = spark.createDataFrame(
+        [
+            (1, "nightly", "SUCCESS", 5, 0, "ops@example.com"),
+            (2, "adhoc", "COMPLETE_WITH_ERROR", 3, 2, None),
+            (3, "bulk", "SUCCESS", 9, 0, ""),
+        ],
+        "batch_id long, name string, state string, success_count long,"
+        " error_count long, notify_email string",
+    )
+    rows = sinks.finalization_notifications(finalized).collect()
+    assert len(rows) == 1  # no-email batches dropped, like the reference
+    r = rows[0]
+    assert r.notify_email == "ops@example.com"
+    assert r.subject == 'Batch "nightly" finished: SUCCESS'
+    assert r.body == "succeeded=5 failed=0"
+
+
+def test_send_email_is_an_explicit_stub(spark):
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError):
+        sinks.send_email(df)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (1) with many rows + normal keys
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "unmatched")], "k long, v string")
+    plain = big.join(small, "k").select("k", "payload", "v")
+    salted = skew.salted_join(big, small, on="k", n_salts=4, salt_source="payload").select(
+        "k", "payload", "v"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.createDataFrame([(1, i) for i in range(100)], "k long, payload long")
+    salted = skew.with_salt(big, 4, "payload")
+    n_buckets = salted.select(skew.SALT).distinct().count()
+    assert n_buckets == 4  # the hot key's rows really do scatter
+
+
+def test_two_phase_count_matches_group_count(spark):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 1), (2, 2), (3, 7)], "k long, payload long"
+    )
+    got = {r.k: r["count"] for r in skew.two_phase_count(df, "k", salt_source="payload").collect()}
+    assert got == {1: 50, 2: 2, 3: 1}
