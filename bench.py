@@ -41,6 +41,10 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "sample_stratified",
+    "pii_redact",
+    "ngram_topk",
+    "dup_clusters",
 ]
 
 

@@ -209,3 +209,64 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    documents: DataFrame, max_iterations: int = 10, **lsh_kwargs
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph: each doc in
+    any candidate pair gets ``cluster_id`` = the smallest doc_id reachable
+    through shared-bucket pairs. The step a production dedup actually needs
+    after pair generation — keep one doc per CLUSTER, not per pair (pairwise
+    drops delete both ends of A-B-C chains or neither).
+
+    Label propagation, Pregel-style: every iteration each node takes the min
+    label among itself and its neighbors. Each step is one distributed
+    join + groupBy on doc_id (no driver-side data); iterations needed =
+    graph diameter, and near-dup clusters are shallow (a handful of hops),
+    so the loop converges in 2-4 rounds. The driver only checks a scalar
+    convergence flag per round.
+    """
+    pairs = minhash_lsh_pairs(documents, **lsh_kwargs).select("doc_a", "doc_b")
+    return connected_components(pairs, max_iterations)
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b):
+    output (doc_id, cluster_id) where cluster_id = min node id reachable."""
+    # undirected edge list, both directions. Materialized once (checkpoint):
+    # every propagation round joins against it, and without the cut each
+    # round would re-run the whole upstream pair-generation pipeline.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # checkpoint FIRST, then run the convergence probe against the
+        # materialized rows: one heavy job per round (plus a cheap local
+        # scan), instead of executing the round's plan twice. The checkpoint
+        # also keeps lineage shallow — each round would otherwise double the
+        # plan depth under the next round's join.
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).limit(1).count()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    return labels

@@ -112,3 +112,48 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         fp.alias("rolling_fp"),
         F.md5(F.col("text")).alias("content_md5"),
     )
+
+
+#: PII patterns kept to syntax with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redact emails and phone-shaped numbers; count what was removed.
+
+    The scrub every training-data pipeline runs before anything else. Pure
+    regexp expressions — single scan, no shuffle; the per-kind counts let a
+    downstream audit aggregate redaction rates by source without re-scanning
+    the raw text.
+    """
+    lowered = F.lower(F.col("text"))
+    n_emails = F.regexp_count(lowered, F.lit(EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count(lowered, F.lit(PHONE_RE)).cast("long")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(lowered, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        "doc_id",
+        cleaned.alias("redacted_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def corpus_ngram_topk(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-k word n-grams by document frequency (distinct docs containing
+    the gram). Shingles are per-doc distinct, so one explode + one count per
+    gram — map-side partial counts make the shuffle carry at most
+    (#distinct grams × partitions) rows regardless of corpus size.
+    Deterministic order: df desc, then gram asc."""
+    from .dedup import shingle_table
+
+    ex = shingle_table(documents, n).select(F.explode("shingles").alias("gram"))
+    return (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(k)
+    )

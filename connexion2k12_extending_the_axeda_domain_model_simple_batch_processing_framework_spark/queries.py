@@ -807,3 +807,108 @@ ORACLE: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
+
+
+# ---------------------------------------------------------------------------
+# §2.3 additions: sampling, PII, corpus stats, dup clustering
+# ---------------------------------------------------------------------------
+
+from .operators import sampling  # noqa: E402
+from .operators.dedup import dup_clusters  # noqa: E402
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{stratum}' THEN {pct}"
+        for stratum, pct in sampling.DEFAULT_LANG_RATES.items()
+    )
+    bucket = _HEX64.format(expr="doc_id::VARCHAR") + " % 100"
+    return f"""
+WITH d AS (
+  SELECT *, (CASE lang {cases} ELSE 0 END)::BIGINT AS sample_rate,
+         ({bucket})::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars::BIGINT AS n_chars,
+       sample_rate, bucket
+FROM d WHERE bucket < sample_rate
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sample_oracle()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+SQL_PII_REDACT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(
+         regexp_replace(lower(text), '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+         '{text.PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
+       len(regexp_extract_all(lower(text), '{text.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(lower(text), '{text.PHONE_RE}'))::BIGINT AS n_phones
+FROM documents
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_ngram_topk(load_table(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_TOPK = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+SELECT gram, count(*)::BIGINT AS df
+FROM ex GROUP BY gram
+ORDER BY df DESC, gram ASC
+LIMIT 20
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH}) mh),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.doc_id = e.b
+)
+SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "sample_stratified": q_sample_stratified,
+        "pii_redact": q_pii_redact,
+        "ngram_topk": q_ngram_topk,
+        "dup_clusters": q_dup_clusters,
+    }
+)
+
+ORACLE.update(
+    {
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "pii_redact": SQL_PII_REDACT,
+        "ngram_topk": SQL_NGRAM_TOPK,
+        "dup_clusters": SQL_DUP_CLUSTERS,
+    }
+)

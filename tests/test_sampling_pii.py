@@ -1,0 +1,96 @@
+"""Stratified sampling, PII redaction, corpus n-gram stats, dup clusters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    dedup,
+    sampling,
+    text,
+)
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    s1 = sampling.stratified_sample(docs, {"en": 40, "zh": 100})
+    s2 = sampling.stratified_sample(docs, {"en": 40, "zh": 100})
+    r1 = sorted(r.doc_id for r in s1.collect())
+    assert r1 == sorted(r.doc_id for r in s2.collect())  # idempotent
+    by_lang = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["zh"] == 200  # 100% stratum keeps everything
+    assert 40 <= by_lang["en"] <= 120  # ~40% of 200 with hash noise
+
+
+def test_stratified_sample_unknown_stratum_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "xx"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    out = sampling.stratified_sample(docs, {"en": 100})
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at Bob.Smith+x@Example.COM or call 555-123-4567 now"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.pii_redact(docs).collect()}
+    assert rows[1].n_emails == 1
+    assert rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].redacted_text
+    assert "<PHONE>" in rows[1].redacted_text
+    assert "example.com" not in rows[1].redacted_text
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+    assert rows[2].redacted_text == "nothing sensitive here"
+
+
+def test_corpus_ngram_topk_orders_by_df(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma other"),
+            (3, "alpha beta gamma"),
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.corpus_ngram_topk(docs, k=3).collect()
+    assert rows[0].gram == "alpha beta gamma"
+    assert rows[0].df == 3
+    # ties broken by gram ascending
+    assert [r.gram for r in rows] == sorted(
+        [r.gram for r in rows], key=lambda g: (-dict((x.gram, x.df) for x in rows)[g], g)
+    )
+
+
+def test_dup_clusters_groups_multi_edge_component(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = base.replace("today", "tonight")
+    c = b.replace("tonight", "yesterday")
+    far = "completely unrelated text about spark distributed query engines and planning"
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (4, far), (5, far)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(docs).collect()}
+    assert rows[1] == rows[2] == rows[3] == 1
+    # identical far docs cluster together under the min id
+    assert rows[4] == rows[5] == 4
+
+
+def test_connected_components_transitive_chain(spark):
+    # A-B and B-C edges with no A-C edge: pairwise dedup deletes wrongly;
+    # label propagation must still produce one cluster {1,2,3}. The chain
+    # 10-11 checks multi-hop propagation needs >1 iteration.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
