@@ -33,6 +33,8 @@ HEADLINE = [
     "top_orders_per_customer",
     "events_hourly_rollup",
     "events_type_pivot",
+    "events_sessionize",
+    "purchase_attribution",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

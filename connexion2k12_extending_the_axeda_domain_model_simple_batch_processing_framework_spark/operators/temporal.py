@@ -1,0 +1,98 @@
+"""Temporal operators: sessionization and as-of (attribution) joins.
+
+Spark has no native ASOF JOIN or session operator; both are re-expressed as
+single-shuffle window plans — the composition-of-DataFrame-ops path:
+
+- sessionize: one shuffle on user_id, then lag + running sum inside each
+  partition. No joins, no explosion; 100 TB of events sessionizes in one
+  pass (the streaming twin is ``session_window`` in Structured Streaming).
+- asof_attribute: the union/last-observation-carried-forward construction.
+  Tag both event roles, sort within user by time, carry the last "left"
+  (e.g. click) forward onto each "right" (e.g. purchase). One shuffle total
+  — strictly better at scale than a range join, which explodes candidate
+  pairs before filtering (the DuckDB oracle uses its native ASOF JOIN, so
+  the two implementations are genuinely independent).
+
+Gap arithmetic is integer microseconds (``unix_micros`` / ``epoch_us``) —
+bit-exact across engines, immune to double-rounding at the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D = "decimal(18,2)"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the user's previous event exceeds ``gap_us``. Output: one row per
+    session with start/end, event count and exact value sum."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    with_session = events.withColumn("session_idx", F.sum(is_new).over(run))
+    return (
+        with_session.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def asof_attribute(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Attribute each ``right_type`` event to the user's most recent
+    ``left_type`` event at or before it (ties: the left event sorts first,
+    so an equal-timestamp left IS attributable — ASOF ``>=`` semantics).
+
+    Union construction: tag rows 0 (left) / 1 (right), sort within user by
+    (time, tag, event_id), carry the last left event forward with an
+    ignore-nulls window ``last``. Rights with no prior left drop out (inner
+    ASOF). One shuffle on user_id regardless of data size.
+    """
+    tagged = events.filter(F.col("event_type").isin(left_type, right_type)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == left_type, 0).otherwise(1).alias("tag"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_left = F.col("tag") == 0
+    carried_id = F.last(F.when(is_left, F.col("event_id")), ignorenulls=True).over(order)
+    carried_ts = F.last(F.when(is_left, F.col("ts")), ignorenulls=True).over(order)
+    return (
+        tagged.withColumn("attr_event_id", carried_id)
+        .withColumn("attr_ts", carried_ts)
+        .filter((F.col("tag") == 1) & F.col("attr_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("attr_event_id").alias("click_id"),
+            F.col("attr_ts").alias("click_ts"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("attr_ts"))).alias("lag_us"),
+        )
+    )

@@ -912,3 +912,68 @@ ORACLE.update(
         "dup_clusters": SQL_DUP_CLUSTERS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 additions: temporal operators (sessionization, as-of attribution)
+# ---------------------------------------------------------------------------
+
+from .operators import temporal  # noqa: E402
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = temporal.sessionize(load_table(spark, sf_dir, "events"))
+    return df.select(
+        "user_id", "session_idx", "session_start", "session_end", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > {temporal.SESSION_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.asof_attribute(load_table(spark, sf_dir, "events"))
+
+
+#: oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely independent
+#: implementation of the same semantics as the union/carry-forward plan.
+SQL_PURCHASE_ATTRIBUTION = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id::BIGINT AS purchase_id, p.user_id::BIGINT AS user_id,
+       p.ts AS purchase_ts, c.event_id::BIGINT AS click_id, c.ts AS click_ts,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+FROM purchases p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES.update(
+    {
+        "events_sessionize": q_events_sessionize,
+        "purchase_attribution": q_purchase_attribution,
+    }
+)
+
+ORACLE.update(
+    {
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    }
+)
