@@ -60,8 +60,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with one tiny action so per-query times
-    # measure the query, not session startup.
+    # warm the JVM + every table's parquet footers so per-query times
+    # measure the query, not session startup or first-touch file listing.
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.domain import (  # noqa: E402
+        TABLES,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (  # noqa: E402
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     force(q.QUERIES["igniter_pick"](spark, sf_dir))
 
     times: dict[str, float] = {}

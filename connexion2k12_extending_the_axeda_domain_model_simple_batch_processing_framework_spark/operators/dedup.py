@@ -76,10 +76,15 @@ def ngram_jaccard_pairs(
     inter = count of shared distinct shingles (equi-join on shingle);
     union = |A| + |B| − inter. No arrays are carried through the join —
     only counts — keeping shuffle rows narrow.
+
+    Doc sizes are counted from the exploded table (shingles are per-doc
+    distinct) rather than via ``size(shingles)`` on a separate leg: the
+    count reuses a subtree Spark must compute anyway instead of re-running
+    tokenize+shingle two more times for the size joins.
     """
     sh = shingle_table(documents, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
