@@ -157,3 +157,23 @@ def read_task_event_stream(spark, path: str, max_files_per_trigger: int = 10) ->
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(path)
     )
+
+
+def session_window_stream(
+    task_events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming gap-based sessionization — the streaming twin of
+    ``operators.temporal.sessionize`` using Spark's native session_window:
+    a session closes when no event arrives for ``gap``; state is evicted
+    once the watermark passes the session end."""
+    return (
+        task_events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "batch_id",
+            "n_events",
+        )
+    )

@@ -129,3 +129,31 @@ def test_windowed_rollup_stream(spark, tmp_path):
     assert rows[10].n_success == 1
     assert rows[10].n_error == 1
     assert 11 not in rows  # open window not emitted in append mode
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = tmp_path / "events3"
+    src.mkdir()
+    _write_events(
+        src / "all.json",
+        [
+            _ev(1, 1, True, 9, "2026-01-01T10:00:00"),
+            _ev(1, 2, True, 9, "2026-01-01T10:10:00"),
+            # > 30 min gap: session 1 closes
+            _ev(1, 3, True, 9, "2026-01-01T11:00:00"),
+            # far-future event advances the watermark past session 2's end
+            _ev(1, 4, True, 9, "2026-01-01T14:00:00"),
+        ],
+    )
+    events = batch_stream.read_task_event_stream(spark, str(src))
+    out = batch_stream.session_window_stream(events)
+    _run_to_memory(out, tmp_path, "sessions")
+    rows = sorted(
+        spark.sql("select * from sessions").collect(), key=lambda r: r.session_start
+    )
+    # first session: 2 events, 10:00 → 10:10 + 30min gap extension
+    assert rows[0].n_events == 2
+    assert rows[0].session_start.hour == 10 and rows[0].session_start.minute == 0
+    # second session: single 11:00 event
+    assert rows[1].n_events == 1
+    assert rows[1].session_start.hour == 11
