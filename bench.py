@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_ivf_topk",
     "lang_id",
     "quality_score",
     "doc_fingerprint",

@@ -121,3 +121,132 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means centroids for an IVF index, fully as DataFrame plans.
+
+    Deterministic init: the ``nlist`` corpus vectors with the smallest
+    md5-derived id hash (reproducible across runs — no rand()). Each Lloyd
+    iteration is (a) a broadcast join corpus × centroids + one argmax
+    aggregation per vector, and (b) a posexplode → per-dimension mean —
+    both single-shuffle; centroids stay tiny (nlist × dim) so every join
+    against them broadcasts. Returns (centroid_id, centroid array<double>).
+    """
+    seeds = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            hex_hash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(nlist)
+    )
+    centroids = seeds.select(
+        F.row_number()
+        .over(Window.orderBy("h", id_col))
+        .cast("long")
+        .alias("centroid_id"),
+        F.transform("v", lambda x: x.cast("double")).alias("centroid"),
+    ).localCheckpoint(eager=True)
+
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+    for _ in range(iters):
+        assigned = _assign(c, centroids)
+        centroids = (
+            assigned.join(c, "vid")
+            .select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, centroid_id): nearest centroid by cosine, ties to lowest id."""
+    cos = cosine_similarity(F.col("cv"), F.col("centroid"))
+    return (
+        corpus.join(F.broadcast(centroids))
+        .groupBy("vid")
+        .agg(
+            F.max(F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("nid")))
+            .alias("best")
+        )
+        .select("vid", (-F.col("best.nid")).alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    are bucketed by nearest centroid; each query probes only its ``nprobe``
+    closest centroids' buckets, scanning ~nprobe/nlist of the corpus.
+
+    The 100 TB path the LSH variant trades against: centroids come from
+    k-means (ivf_centroids), the corpus partition is a broadcast-join
+    assignment, and the probe is an equi-join on centroid_id — candidate
+    volume is controlled by nprobe, not by hash luck.
+    """
+    centroids = ivf_centroids(corpus, nlist, iters, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+    assignments = _assign(c, centroids).join(c, "vid")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.col("qc_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("qc_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("cv")), 6)
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(assignments, "centroid_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(rank).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

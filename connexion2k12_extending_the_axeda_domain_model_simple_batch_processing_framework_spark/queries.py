@@ -977,3 +977,15 @@ ORACLE.update(
         "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     }
 )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via IVF index — no SQL oracle (k-means is iterative,
+    not SQL-expressible); recall vs brute force asserted in
+    tests/test_similarity.py."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(corpus, queries, k=5)
+
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk

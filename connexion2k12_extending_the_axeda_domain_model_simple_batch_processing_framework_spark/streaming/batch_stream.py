@@ -177,3 +177,22 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def exact_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash within
+    the watermark horizon passes; later copies are dropped. State holds one
+    md5 per distinct doc and is evicted as the watermark advances — the
+    streaming twin of operators.dedup.exact_dedup, for dedup-at-ingest
+    (reference parity: ProcessBatch.groovy's duplicate-serial rejection is
+    the same first-wins contract, applied as data arrives)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -73,3 +73,29 @@ def test_embedding_near_dup_pairs_symmetric_free(spark):
     rows = similarity.embedding_near_dup_pairs(vecs, threshold=0.9).collect()
     pairs = {(r.vec_a, r.vec_b) for r in rows}
     assert pairs == {(1, 2)}  # only the near pair; a<b canonical orientation
+
+
+def test_ivf_topk_recall_floor(spark):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(corpus, queries, k=5).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & ivf) / len(brute)
+    # nprobe/nlist = 4/16 scans ~25% of the corpus; measured recall ~0.5
+    assert recall >= 0.3
+
+
+def test_ivf_centroids_deterministic(spark):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = {r.centroid_id: r.centroid for r in similarity.ivf_centroids(corpus).collect()}
+    c2 = {r.centroid_id: r.centroid for r in similarity.ivf_centroids(corpus).collect()}
+    assert c1.keys() == c2.keys()
+    for cid in c1:
+        assert c1[cid] == c2[cid]

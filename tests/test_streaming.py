@@ -157,3 +157,26 @@ def test_session_window_stream(spark, tmp_path):
     # second session: single 11:00 event
     assert rows[1].n_events == 1
     assert rows[1].session_start.hour == 11
+
+
+def test_exact_dedup_stream_first_wins(spark, tmp_path):
+    import json as _json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "same text", "event_time": "2026-01-01T10:00:00"},
+        {"doc_id": 2, "text": "same text", "event_time": "2026-01-01T10:01:00"},
+        {"doc_id": 3, "text": "other text", "event_time": "2026-01-01T10:02:00"},
+    ]
+    with open(src / "f.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    docs = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .json(str(src))
+    )
+    out = batch_stream.exact_dedup_stream(docs)
+    _run_to_memory(out, tmp_path, "dedup_stream")
+    got = sorted(r.doc_id for r in spark.sql("select * from dedup_stream").collect())
+    assert got == [1, 3]
