@@ -35,6 +35,9 @@ HEADLINE = [
     "events_type_pivot",
     "events_sessionize",
     "purchase_attribution",
+    "events_props_metric",
+    "orders_rollup",
+    "price_quantiles",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -141,3 +141,55 @@ def events_type_pivot(events: DataFrame) -> DataFrame:
         *[n_of(t) for t in ["click", "view", "purchase", "signup", "error"]],
         F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast(D)).otherwise(F.lit(0).cast(D))).alias("purchase_value"),
     )
+
+
+def events_props_metric(events: DataFrame) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column and aggregate
+    the embedded metric per event_type. JSON parsing is a JVM-side
+    expression (get_json_object) evaluated during the scan projection —
+    no UDF, prunes to two columns at the reader."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """Multi-level totals in one pass: ROLLUP over (orderstatus,
+    orderpriority) computes per-(status,priority), per-status and grand
+    totals in a single shuffle instead of three queries. ``grouping_id``
+    disambiguates the NULL-as-total rows."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).alias("sum_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated quantiles of extendedprice per returnflag — the
+    distribution statistics a quality/outlier filter needs. Exact
+    ``percentile`` (not approx) so the oracle matches bit-for-bit after
+    rounding; at 100 TB you'd swap in approx_percentile and accept the
+    documented error bound."""
+    pct = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(pct.alias("q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+            F.round(F.col("q")[3], 4).alias("p95"),
+        )
+    )

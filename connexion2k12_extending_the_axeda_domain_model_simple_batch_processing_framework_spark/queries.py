@@ -989,3 +989,72 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
+# ---------------------------------------------------------------------------
+# §2.2 additions: JSON props, rollup grouping sets, quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_events_props_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_props_metric(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_PROPS_METRIC = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = analytics.orders_rollup(load_table(spark, sf_dir, "orders"))
+    return df.select(
+        "o_orderstatus", "o_orderpriority", "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"), "gid",
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+       grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.price_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "events_props_metric": q_events_props_metric,
+        "orders_rollup": q_orders_rollup,
+        "price_quantiles": q_price_quantiles,
+    }
+)
+
+ORACLE.update(
+    {
+        "events_props_metric": SQL_EVENTS_PROPS_METRIC,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "price_quantiles": SQL_PRICE_QUANTILES,
+    }
+)

@@ -1,0 +1,54 @@
+"""JSON props extraction, rollup grouping sets, exact quantiles."""
+
+from __future__ import annotations
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    analytics,
+)
+
+
+def test_events_props_metric_parses_json(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 10}'),
+            (2, "click", '{"k": 20}'),
+            (3, "view", '{"k": 5}'),
+            (4, "view", "not json"),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    rows = {r.event_type: r for r in analytics.events_props_metric(events).collect()}
+    assert rows["click"].sum_k == 30
+    assert rows["click"].avg_k == 15.0
+    # malformed JSON -> null k, excluded from sum/avg but counted as event
+    assert rows["view"].n_events == 2
+    assert rows["view"].sum_k == 5
+
+
+def test_orders_rollup_levels(spark):
+    orders = spark.createDataFrame(
+        [(1, "F", "1-URGENT", 10.0), (2, "F", "2-HIGH", 20.0), (3, "O", "1-URGENT", 5.0)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    rows = analytics.orders_rollup(orders).collect()
+    by_key = {(r.o_orderstatus, r.o_orderpriority): r for r in rows}
+    # detail rows (gid 0), per-status subtotals (gid 1), grand total (gid 3)
+    assert by_key[("F", "1-URGENT")].gid == 0
+    assert by_key[("F", None)].n_orders == 2
+    assert by_key[("F", None)].gid == 1
+    assert by_key[(None, None)].n_orders == 3
+    assert by_key[(None, None)].gid == 3
+    assert float(by_key[(None, None)].sum_price) == 35.0
+
+
+def test_price_quantiles_exact(spark):
+    lineitem = spark.createDataFrame(
+        [("N", float(x)) for x in range(1, 101)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    r = analytics.price_quantiles(lineitem).collect()[0]
+    # exact interpolated percentiles over 1..100
+    assert r.p25 == 25.75
+    assert r.p50 == 50.5
+    assert r.p75 == 75.25
+    assert r.p95 == 95.05
