@@ -13,10 +13,35 @@ from pyspark.sql import functions as F
 
 from ..domain import TABLES
 
+# Runtime-settable SQL confs the engine's plans depend on. ``get_spark``
+# sets these at build time, but callers may hand us a foreign SparkSession
+# (a test harness, a notebook) that lacks them — both are plain SQL confs,
+# safe to set on a live session:
+#  - nanosAsLong: events.parquet carries INT64 TIMESTAMP(NANOS), which
+#    Spark refuses to read (PARQUET_TYPE_ILLEGAL) unless told to surface
+#    the raw long; we then truncate to micros below.
+#  - InferFiltersFromGenerate exclusion: see session.py — the inferred
+#    `size(arr) > 0` filter inlines the whole array-building expression
+#    pre-scan and slows the shingle-explode dedup paths 10-20x.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the SQL confs every plan in this package assumes (idempotent)."""
+    for key, value in _REQUIRED_CONFS.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a raw
