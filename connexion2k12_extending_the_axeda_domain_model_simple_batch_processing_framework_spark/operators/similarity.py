@@ -16,9 +16,12 @@ oracle ranks identically (SURVEY.md §6).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
 from ..functions.vectors import cosine_similarity
 
@@ -50,28 +53,43 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: F.Column, planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> F.Column:
-    """Deterministic random-hyperplane LSH signature.
+def _plane_sign(p: int, i: int) -> float:
+    """±1 component i of hyperplane p: parity of the md5-derived 60-bit
+    hash of the literal "plane-{p}-{i}" — the Python twin of
+    ``hashing.hex_hash64`` on a literal, identical to what DuckDB computes
+    in the oracle. Folded here at plan-build time: embedding the constant
+    keeps the expression tree 10x smaller than a per-term md5 subtree
+    (which made driver-side analysis/optimization the bottleneck), with
+    bit-identical results."""
+    h = int(hashlib.md5(f"plane-{p}-{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplane_signature(vec_col: str, planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> F.Column:
+    """Deterministic random-hyperplane LSH signature over the named
+    array<float> column.
 
     Plane p's component i is ±1 derived from a seeded md5 hash — fully
-    reproducible across runs/engines with no stored plane matrix (the
-    planes are re-derived wherever the expression runs; nothing ships to
-    executors but the expression tree).
+    reproducible across runs/engines with no stored plane matrix. The signed
+    sum folds left-to-right (i ascending) in double, matching the DuckDB
+    oracle's + chain term for term (negation is bit-identical to *-1.0).
+
+    Built as ONE ``F.expr`` from generated SQL text: composing the 8x64
+    term tree through Column operators costs ~2500 py4j round trips
+    (~8 s of driver time per call, measured); a single expr parse is
+    milliseconds for the identical expression.
     """
-    bits = []
+    plane_exprs = []
     for p in range(planes):
-        terms = None
-        for i in range(dim):
-            sign = F.when(
-                hex_hash64(F.lit(f"plane-{p}-{i}")) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            term = sign * vec_col[i].cast("double")
-            terms = term if terms is None else terms + term
-        bits.append(F.when(terms >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+        terms = " + ".join(
+            ("" if _plane_sign(p, i) > 0 else "-")
+            + f"CAST(`{vec_col}`[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        plane_exprs.append(
+            f"(CASE WHEN ({terms}) >= 0 THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(" + " + ".join(plane_exprs) + ")")
 
 
 def lsh_topk(
@@ -85,7 +103,7 @@ def lsh_topk(
     """Approximate top-k: bucket corpus and queries by hyperplane signature,
     rank only within the bucket. Recall < 1 by design; the candidate scan
     per query is corpus/2^planes in expectation."""
-    sig = hyperplane_signature(F.col(vec_col), planes)
+    sig = hyperplane_signature(vec_col, planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
     )
@@ -106,19 +124,38 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. The r1 form is the exact
-    all-pairs join (fine for dimension-table-sized inputs); the scale path
-    for a 100 TB corpus is lsh_topk-style bucketing first — kept as the
-    documented follow-up, the brute pair join here is the correctness
-    anchor the LSH variant is measured against."""
+    """Pairs with cosine ≥ threshold.
+
+    Default path (``exact=False``) buckets by hyperplane signature first —
+    an equi-join on the 2^planes buckets, so candidate volume is
+    corpus²/2^planes in expectation instead of corpus²: the 100 TB shape.
+    Recall < 1 by design (near-dups whose signatures differ are missed);
+    the deterministic signature means the DuckDB oracle reproduces the
+    exact same bucketed pair set, so this path is still hash-verified.
+
+    ``exact=True`` is the all-pairs O(n²) correctness anchor — only for
+    dimension-table-sized inputs or recall measurement.
+    """
     a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    if exact:
+        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        a = a.withColumn("bucket_a", hyperplane_signature("va"))
+        b = b.withColumn("bucket_b", hyperplane_signature("vb"))
+        joined = a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        joined.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -152,18 +189,20 @@ def ivf_centroids(
         .orderBy("h", id_col)
         .limit(nlist)
     )
-    centroids = seeds.select(
-        F.row_number()
-        .over(Window.orderBy("h", id_col))
-        .cast("long")
-        .alias("centroid_id"),
-        F.transform("v", lambda x: x.cast("double")).alias("centroid"),
-    ).localCheckpoint(eager=True)
+    centroids = cut_lineage(
+        seeds.select(
+            F.row_number()
+            .over(Window.orderBy("h", id_col))
+            .cast("long")
+            .alias("centroid_id"),
+            F.transform("v", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
 
     c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
     for _ in range(iters):
         assigned = _assign(c, centroids)
-        centroids = (
+        centroids = cut_lineage(
             assigned.join(c, "vid")
             .select("centroid_id", F.posexplode("cv").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -178,7 +217,6 @@ def ivf_centroids(
                 "centroid_id",
                 F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
             )
-            .localCheckpoint(eager=True)
         )
     return centroids
 
@@ -197,29 +235,41 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
-    are bucketed by nearest centroid; each query probes only its ``nprobe``
-    closest centroids' buckets, scanning ~nprobe/nlist of the corpus.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index once: k-means centroids + the inverted file.
 
-    The 100 TB path the LSH variant trades against: centroids come from
-    k-means (ivf_centroids), the corpus partition is a broadcast-join
-    assignment, and the probe is an equi-join on centroid_id — candidate
-    volume is controlled by nprobe, not by hash luck.
+    Returns ``(centroids, assignments)``: centroids is (centroid_id,
+    centroid array<double>), tiny (nlist rows, always broadcastable);
+    assignments is (vid, centroid_id, cv) — the corpus partitioned by
+    nearest centroid, materialized so repeated probes don't re-run
+    k-means or the assignment join. At 100 TB both are tables you persist
+    (e.g. parquet partitioned by centroid_id) and probe many times; here
+    they're lineage-cut in memory.
     """
     centroids = ivf_centroids(corpus, nlist, iters, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
-    assignments = _assign(c, centroids).join(c, "vid")
+    assignments = cut_lineage(_assign(c, centroids).join(c, "vid"))
+    return centroids, assignments
 
+
+def ivf_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: each query ranks only the vectors in its
+    ``nprobe`` nearest centroids' buckets — an equi-join on centroid_id
+    against the inverted file, scanning ~nprobe/nlist of the corpus."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probe_rank = Window.partitionBy("query_id").orderBy(
         F.col("qc_cos").desc(), F.col("centroid_id").asc()
@@ -250,3 +300,21 @@ def ivf_topk(
         .withColumn("rk", F.row_number().over(rank).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: build + probe in
+    one call. For repeated query sets build once with ``ivf_build`` and
+    probe many times with ``ivf_probe`` — the build (k-means + assignment)
+    dominates cost and amortizes to zero."""
+    centroids, assignments = ivf_build(corpus, nlist, iters, id_col, vec_col)
+    return ivf_probe(centroids, assignments, queries, k, nprobe, id_col, vec_col)

@@ -586,8 +586,10 @@ _COS_SQL = (
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs variant — the correctness anchor the LSH-bucketed
+    default (q_dedup_embedding_lsh) is measured against."""
     return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, exact=True
     )
 
 
@@ -596,6 +598,56 @@ WITH e AS (SELECT vec_id, embedding FROM embeddings)
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
        {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35
+"""
+
+
+def _lsh_bucket_sql(emb: str) -> str:
+    """DuckDB expression computing hyperplane_signature(emb) exactly:
+    per-plane signed sums are left-assoc + chains (same fold order as the
+    Spark expression), negation is bit-identical to *-1.0 in IEEE 754."""
+    planes = []
+    for p in range(similarity.LSH_PLANES):
+        terms = " + ".join(
+            ("" if similarity._plane_sign(p, i) > 0 else "-") + f"{emb}[{i + 1}]::DOUBLE"
+            for i in range(similarity.EMBEDDING_DIM)
+        )
+        planes.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(planes) + ")::BIGINT"
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM sigs WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket AS cb FROM sigs),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL.format(a='qv', b='cv')} AS cosine
+  FROM q JOIN c ON qb = cb AND query_id <> neighbor_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default near-dup pairs: hyperplane-bucketed candidate join
+    (corpus²/2^planes expected candidates instead of corpus²)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35
 """
 
@@ -621,7 +673,9 @@ QUALIFY rk <= 5
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (rows-only check); recall vs the
+    """Approximate ANN. The hyperplane signature is md5-derived and fully
+    deterministic, so SQL_ANN_LSH_TOPK reproduces the identical buckets and
+    ranks — hash-verified despite being approximate. Recall vs the
     brute-force baseline is asserted in tests/test_similarity.py."""
     corpus = load_table(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 50 == 0)
@@ -768,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
@@ -799,8 +854,9 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "ann_topk": SQL_ANN_TOPK,
-    # ann_lsh_topk: rows-only (approximate by design)
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,

@@ -42,7 +42,7 @@ def test_brute_force_topk_orders_by_cosine(spark):
 
 def test_lsh_buckets_are_deterministic(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
-    sig = similarity.hyperplane_signature(F.col("embedding"))
+    sig = similarity.hyperplane_signature("embedding")
     a = emb.select("vec_id", sig.alias("s1")).collect()
     b = emb.select("vec_id", sig.alias("s2")).collect()
     assert {r.vec_id: r.s1 for r in a} == {r.vec_id: r.s2 for r in b}
@@ -69,10 +69,44 @@ def test_lsh_topk_results_subset_of_bucket_with_true_cosines(spark, sf_dir):
 
 
 def test_embedding_near_dup_pairs_symmetric_free(spark):
+    # exact path: the signature needs EMBEDDING_DIM-wide vectors, so the
+    # tiny handcrafted case exercises the all-pairs anchor
     vecs = _vecs(spark, [[1, 0], [1, 0.001], [0, 1]])
-    rows = similarity.embedding_near_dup_pairs(vecs, threshold=0.9).collect()
+    rows = similarity.embedding_near_dup_pairs(vecs, threshold=0.9, exact=True).collect()
     pairs = {(r.vec_a, r.vec_b) for r in rows}
     assert pairs == {(1, 2)}  # only the near pair; a<b canonical orientation
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(emb, 0.35, exact=True).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(emb, 0.35).collect()
+    }
+    assert lsh, "bucketed path returned nothing"
+    # every bucketed pair is a true near-dup pair with the identical cosine
+    for pair, c in lsh.items():
+        assert exact[pair] == c
+
+
+def test_ivf_build_probe_reuses_index(spark):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, assignments = similarity.ivf_build(corpus)
+    q1 = corpus.filter(F.col("vec_id") % 50 == 0)
+    q2 = corpus.filter(F.col("vec_id") % 50 == 7)
+    r1 = similarity.ivf_probe(centroids, assignments, q1, k=3).collect()
+    r2 = similarity.ivf_probe(centroids, assignments, q2, k=3).collect()
+    assert r1 and r2
+    assert {r.query_id for r in r1}.isdisjoint({r.query_id for r in r2})
+    # composition matches build+probe
+    composed = similarity.ivf_topk(corpus, q1, k=3).collect()
+    assert {(r.query_id, r.neighbor_id, r.rk) for r in composed} == {
+        (r.query_id, r.neighbor_id, r.rk) for r in r1
+    }
 
 
 def test_ivf_topk_recall_floor(spark):
