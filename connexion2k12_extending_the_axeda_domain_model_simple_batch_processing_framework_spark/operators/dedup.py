@@ -20,9 +20,12 @@ signature is bit-identical in the DuckDB oracle (SURVEY.md §6).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
 from ..functions.textfns import tokens, word_shingles
 
@@ -69,13 +72,26 @@ def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
     inter = count of shared distinct shingles (equi-join on shingle);
     union = |A| + |B| − inter. No arrays are carried through the join —
     only counts — keeping shuffle rows narrow.
+
+    **Frequent-shingle cap**: the self-join on shingle value is quadratic
+    per shingle bucket — one corpus-common 3-gram with document frequency
+    B lands B² candidate pairs on a single reducer. Shingles with
+    df > ``max_shingle_df`` are dropped from the Jaccard universe (both
+    intersection AND sizes, so the score stays a true Jaccard over the
+    capped universe — standard near-dedup practice; ubiquitous shingles
+    carry no discriminative signal). The frequent set is tiny by
+    definition, so the drop is a broadcast anti-join. Per-bucket fan-out
+    is then bounded by max_shingle_df² regardless of corpus size.
 
     Doc sizes are counted from the exploded table (shingles are per-doc
     distinct) rather than via ``size(shingles)`` on a separate leg: the
@@ -84,6 +100,14 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(documents, n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        frequent = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(frequent), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -125,8 +149,16 @@ def minhash_lsh_pairs(
     Banded signatures join on (band_index, band_hash): only docs agreeing on
     a full band collide, so the join fan-out is tiny even at corpus scale.
     Verification joins the (distinct) shingle arrays of just the candidates.
+
+    The shingle table is materialized once (lineage cut) and shared by the
+    signature aggregation and both verification legs — without the cut,
+    tokenize+shingle would run three times per invocation.
     """
-    sig = minhash_signatures(documents, n, bands * rows)
+    sh = cut_lineage(shingle_table(documents, n))
+    ex = sh.select("doc_id", "shingles", F.explode("shingles").alias("s"))
+    k = bands * rows
+    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    sig = ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
@@ -153,7 +185,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingle_table(documents, n)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -194,25 +225,55 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+#: (shift, width) splits of the 16-bit signature into 3 bands (6/5/5).
+#: Pigeonhole: ≤ 2 differing bits across 3 bands ⇒ at least one band is
+#: bit-identical, so blocking on any-band-equal has recall 1.0 for
+#: hamming ≤ 2 — the result set EQUALS the exact all-pairs answer, which
+#: is what the DuckDB oracle computes.
+SIMHASH_BANDS = [(0, 6), (6, 5), (11, 5)]
+
+
 def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the signature value, then
-    compare within buckets ∪ single-bit-rotation buckets. For the r1 scale
-    path we emit exact-signature collisions (hamming 0) plus pairs within
-    hamming ≤ max_hamming found via a join on the high byte (cheap blocking
-    key) — bounded fan-out, no global cross join."""
+    """Near-dup pairs by SimHash with multi-band blocking.
+
+    The signature is split into ``len(SIMHASH_BANDS)`` bit bands; candidate
+    pairs are the union of equi-joins on each band's value (docs agreeing
+    on at least one full band). With 3 bands and max_hamming = 2 the
+    pigeonhole principle guarantees every qualifying pair collides in some
+    band — full recall, no global cross join, per-band fan-out bounded by
+    band-bucket sizes (2^5..2^6 buckets over the corpus)."""
+    assert max_hamming < len(SIMHASH_BANDS), "bands must outnumber differing bits"
     sig = simhash_signatures(documents)
-    block = F.shiftright(F.col("simhash"), SIMHASH_BITS - 8)
-    s = sig.withColumn("block", block)
-    a, b = s.alias("a"), s.alias("b")
+    parts = [
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(idx).alias("band"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for idx, (off, width) in enumerate(SIMHASH_BANDS)
+    ]
+    banded = parts[0]
+    for extra in parts[1:]:
+        banded = banded.unionAll(extra)
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -242,9 +303,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     # undirected edge list, both directions. Materialized once (checkpoint):
     # every propagation round joins against it, and without the cut each
     # round would re-run the whole upstream pair-generation pipeline.
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    edges = cut_lineage(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
@@ -259,7 +322,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         # scan), instead of executing the round's plan twice. The checkpoint
         # also keeps lineage shallow — each round would otherwise double the
         # plan depth under the next round's join.
-        updated = (
+        updated = cut_lineage(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -268,10 +331,21 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
                 ),
                 "cluster_id",
             )
-            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).limit(1).count()
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iterations while labels were still moving:
+        # the returned labels are partially propagated (graph diameter >
+        # max_iterations). Surface it rather than silently returning
+        # wrong clusters.
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; cluster labels are partially propagated. Raise "
+            "max_iterations (diameter of the near-dup graph exceeds it).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -480,16 +480,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+#: mirrors operators/dedup.ngram_jaccard_pairs: shingles with document
+#: frequency > 1000 are dropped from the Jaccard universe (intersection AND
+#: sizes) before the pair join.
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+freq AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM freq)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter
@@ -574,6 +579,23 @@ FROM bits
 
 
 SQL_DEDUP_SIMHASH = _simhash_oracle()
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-band-blocked SimHash near-dup pairs. With 3 bands and
+    max_hamming=2 the blocking has guaranteed full recall (pigeonhole), so
+    the result EQUALS the exact all-pairs hamming≤2 answer — which is what
+    the oracle computes."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sigs AS ({_simhash_oracle()})
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
 
 #: sequential-order double cosine, the DuckDB twin of functions/vectors.py
 _COS_SQL = (
@@ -821,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
@@ -853,6 +876,7 @@ ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "ann_topk": SQL_ANN_TOPK,

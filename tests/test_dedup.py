@@ -84,3 +84,80 @@ def test_sf_documents_round_trip(spark, sf_dir, name):
 
     df = q.QUERIES[name](spark, sf_dir)
     assert df.count() > 0
+
+
+def test_ngram_jaccard_df_cap_drops_ubiquitous_shingle(spark):
+    """An adversarial corpus-common shingle must not generate candidate
+    pairs once its document frequency exceeds the cap."""
+    # every doc shares the same leading trigram; pairs otherwise disjoint
+    common = "alpha beta gamma"
+    texts = [f"{common} doc{i} word{i} token{i} extra{i}" for i in range(6)]
+    docs = _docs(spark, texts)
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.01, max_shingle_df=None
+    ).collect()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.01, max_shingle_df=3
+    ).collect()
+    # uncapped: the shared "alpha beta gamma" shingle makes all 15 pairs
+    assert len(uncapped) == 15
+    # capped: df("alpha beta gamma") = 6 > 3 → dropped → no shared shingles
+    assert capped == []
+
+
+def test_simhash_pairs_full_recall_vs_exact(spark, sf_dir):
+    """3-band blocking must find EVERY hamming<=2 pair (pigeonhole)."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(docs)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    exact = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming) for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert blocked == exact
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    # a 5-node path graph has diameter 4; min-label propagation moves the
+    # min one hop per round, so 2 iterations cannot converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dedup.connected_components(edges, max_iterations=2)
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured, cut_lineage takes the durable
+    checkpoint() path; results must be identical."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.connected_components(edges).collect()
+        }
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # restore: no dir configured
+    assert got == expected
