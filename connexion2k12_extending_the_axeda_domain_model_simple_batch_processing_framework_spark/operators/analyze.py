@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..domain import MAXIMUM_COMMAS, MAXIMUM_TASK_COUNT, TASK_PATTERN
+from ..domain import (
+    ASSET_NAME_MAX,
+    MAXIMUM_COMMAS,
+    MAXIMUM_TASK_COUNT,
+    MODEL_NAME_MAX,
+    SERIAL_MAX,
+    TASK_PATTERN,
+)
 
 
 def comma_count(col: Column) -> Column:
@@ -24,8 +31,13 @@ def comma_count(col: Column) -> Column:
 def validate_tasks(tasks: DataFrame, line_col: str = "raw_line") -> DataFrame:
     """Annotate each task with validity + the reference's error reasons.
 
-    Returns the input plus ``n_commas``, ``valid`` and ``reason`` columns.
-    Reason strings mirror AnalyzeBatch.groovy error ids 1031.
+    Returns the input plus ``n_commas``, ``valid``, ``reason`` and ``field``
+    columns. Reason strings mirror AnalyzeBatch.groovy error ids 1031; the
+    ``field`` column names the first CSV field violating its own cap from
+    the task regex (AnalyzeBatch.groovy:89 — model 1-100 word chars,
+    serial/asset 1-200 word chars or dashes), which is what a user
+    debugging a rejected upload needs. ``field`` is NULL for valid lines
+    and for the line-level comma error (no single field to blame).
     """
     line = F.col(line_col)
     n_commas = comma_count(line)
@@ -41,10 +53,25 @@ def validate_tasks(tasks: DataFrame, line_col: str = "raw_line") -> DataFrame:
         .when(~matches, F.lit("Task has invalid form."))
         .otherwise(F.lit(None).cast("string"))
     )
+    # F.get returns NULL past the end (unlike ANSI element_at, which
+    # throws), so short lines fall through to "missing field invalid".
+    parts = F.split(line, ",", -1)
+    model_ok = F.coalesce(F.get(parts, 0).rlike(rf"^\w{{1,{MODEL_NAME_MAX}}}$"), F.lit(False))
+    serial_ok = F.coalesce(F.get(parts, 1).rlike(rf"^[\w-]{{1,{SERIAL_MAX}}}$"), F.lit(False))
+    asset_ok = F.coalesce(F.get(parts, 2).rlike(rf"^[\w-]{{1,{ASSET_NAME_MAX}}}$"), F.lit(False))
+    field = (
+        F.when(n_commas > MAXIMUM_COMMAS, F.lit(None).cast("string"))
+        .when(matches, F.lit(None).cast("string"))
+        .when(~model_ok, F.lit("model_name"))
+        .when(~serial_ok, F.lit("serial_number"))
+        .when(~asset_ok, F.lit("asset_name"))
+        .otherwise(F.lit(None).cast("string"))
+    )
     return (
         tasks.withColumn("n_commas", n_commas)
         .withColumn("valid", reason.isNull())
         .withColumn("reason", reason)
+        .withColumn("field", field)
     )
 
 

@@ -47,6 +47,7 @@ def list_batches(
     page_size: int = 10,
     id_col: str = "batch_id",
     state_col: str = "state",
+    include_total: bool = False,
 ) -> DataFrame:
     """GetBatches.groovy: optional state filter, sort by id ascending, then
     fauxPaginate (GetBatches.groovy:178-188: page/pageSize slicing, with
@@ -56,6 +57,13 @@ def list_batches(
     page*pageSize followed by dropping the first (page-1)*pageSize rows; the
     LIMIT bounds what the sort must retain (Spark runs TakeOrderedAndProject,
     no full global sort materialization).
+
+    With ``include_total`` the pageInfo contract
+    (GetBatches.groovy:194 createPageInfo — pageNumber/pageSize/
+    totalResults) rides along as constant columns: the total is a count
+    aggregate over the same filtered scan, attached with a broadcast cross
+    join of its single row — the count leg shares the pushed-down state
+    filter, so the scan cost is one extra pass, no extra shuffle.
     """
     page_number = page_number if page_number > 0 else 1
     page_size = page_size if page_size > 0 else 1
@@ -63,13 +71,21 @@ def list_batches(
         batches = batches.filter(F.col(state_col) == state)
     end = page_number * page_size
     w = Window.orderBy(F.col(id_col).asc())
-    return (
+    page = (
         batches.orderBy(F.col(id_col).asc())
         .limit(end)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > end - page_size)
         .drop("_rn")
     )
+    if include_total:
+        total = batches.agg(F.count(F.lit(1)).cast("long").alias("total_results"))
+        page = (
+            page.crossJoin(F.broadcast(total))
+            .withColumn("page_number", F.lit(page_number).cast("long"))
+            .withColumn("page_size", F.lit(page_size).cast("long"))
+        )
+    return page
 
 
 def batch_errors(
@@ -147,6 +163,51 @@ def delete_batches(
         "inner",
     )
     return batches.join(F.broadcast(deletable), id_col, "left_anti")
+
+
+def delete_batches_rejected(
+    batches: DataFrame,
+    criteria_ids: DataFrame,
+    id_col: str = "batch_id",
+    state_col: str = "state",
+) -> DataFrame:
+    """DeleteBatch.groovy error contract: per requested id that was NOT
+    deleted, the error code + message — 1020 when the batch exists in a
+    non-NOT_STARTED state (DeleteBatch.groovy:113), 1002 when no batch with
+    that id exists (DeleteBatch.groovy:116). Companion to
+    ``delete_batches`` (which returns the survivors): a left join of the
+    criteria against the anchor table, filtered to the rejections."""
+    anchor = batches.select(F.col(id_col), F.col(state_col).alias("_state"))
+    return (
+        criteria_ids.select(id_col)
+        .join(anchor, id_col, "left")
+        .filter(F.col("_state").isNull() | (F.col("_state") != STATE_NOT_STARTED))
+        .select(
+            id_col,
+            F.when(F.col("_state").isNull(), F.lit("1002"))
+            .otherwise(F.lit("1020"))
+            .alias("error_code"),
+            F.when(
+                F.col("_state").isNull(),
+                F.concat(
+                    F.lit("Unable to delete batch because the batch with ID = '"),
+                    F.col(id_col).cast("string"),
+                    F.lit("' could not be found."),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(
+                        "Unable to delete batch because the batch is an "
+                        "unacceptable state for deletion: '"
+                    ),
+                    F.col("_state"),
+                    F.lit("'."),
+                )
+            )
+            .alias("message"),
+        )
+    )
 
 
 def mark_in_process(batches: DataFrame, ignited_ids: DataFrame, id_col: str = "batch_id") -> DataFrame:

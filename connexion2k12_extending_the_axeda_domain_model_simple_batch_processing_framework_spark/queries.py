@@ -124,7 +124,11 @@ def q_analyze_batch_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw_line"),
     )
     return validate_tasks(raw).select(
-        "task_number", F.col("n_commas").cast("long").alias("n_commas"), "valid", "reason"
+        "task_number",
+        F.col("n_commas").cast("long").alias("n_commas"),
+        "valid",
+        "reason",
+        "field",
     )
 
 
@@ -136,18 +140,31 @@ WITH lines AS (
                WHEN p_partkey % 2 = 0 THEN replace(p_name, ' ', '-')
                ELSE p_name END) AS raw_line
   FROM part
+),
+parsed AS (
+  SELECT task_number, raw_line,
+         (length(raw_line) - length(replace(raw_line, ',', '')))::BIGINT AS n_commas,
+         string_split(raw_line, ',') AS parts,
+         regexp_matches(raw_line, '^\w{1,100},[\w-]{1,200},[\w-]{1,200}$') AS full_match
+  FROM lines
 )
 SELECT task_number,
-       (length(raw_line) - length(replace(raw_line, ',', '')))::BIGINT AS n_commas,
-       (CASE WHEN length(raw_line) - length(replace(raw_line, ',', '')) > 2 THEN FALSE
-             WHEN NOT regexp_matches(raw_line, '^\w{1,100},[\w-]{1,200},[\w-]{1,200}$') THEN FALSE
+       n_commas,
+       (CASE WHEN n_commas > 2 THEN FALSE
+             WHEN NOT full_match THEN FALSE
              ELSE TRUE END) AS valid,
-       (CASE WHEN length(raw_line) - length(replace(raw_line, ',', '')) > 2
+       (CASE WHEN n_commas > 2
              THEN 'Task contains too many '',''' || ' (comma) characters. Maximum allowed is (2).'
-             WHEN NOT regexp_matches(raw_line, '^\w{1,100},[\w-]{1,200},[\w-]{1,200}$')
+             WHEN NOT full_match
              THEN 'Task has invalid form.'
-             END) AS reason
-FROM lines
+             END) AS reason,
+       (CASE WHEN n_commas > 2 THEN NULL
+             WHEN full_match THEN NULL
+             WHEN NOT coalesce(regexp_matches(parts[1], '^\w{1,100}$'), FALSE) THEN 'model_name'
+             WHEN NOT coalesce(regexp_matches(parts[2], '^[\w-]{1,200}$'), FALSE) THEN 'serial_number'
+             WHEN NOT coalesce(regexp_matches(parts[3], '^[\w-]{1,200}$'), FALSE) THEN 'asset_name'
+             ELSE NULL END) AS field
+FROM parsed
 """
 
 
@@ -182,6 +199,30 @@ FROM orders
 WHERE o_orderstatus = 'O'
 ORDER BY o_orderkey
 LIMIT 10 OFFSET 10
+"""
+
+
+def q_batch_list_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetBatches with the pageInfo contract: page rows + pageNumber /
+    pageSize / totalResults columns (GetBatches.groovy createPageInfo)."""
+    return lifecycle.list_batches(
+        _batches(spark, sf_dir),
+        state=STATE_NOT_STARTED,
+        page_number=2,
+        page_size=10,
+        include_total=True,
+    )
+
+
+SQL_BATCH_LIST_TOTAL = f"""
+WITH filtered AS (
+  SELECT o_orderkey::BIGINT AS batch_id, {_STATE_SQL} AS state, o_orderdate AS inception_time
+  FROM orders
+  WHERE o_orderstatus = 'O'
+)
+SELECT f.*, t.total_results, 2::BIGINT AS page_number, 10::BIGINT AS page_size
+FROM (SELECT * FROM filtered ORDER BY batch_id LIMIT 10 OFFSET 10) f
+CROSS JOIN (SELECT count(*)::BIGINT AS total_results FROM filtered) t
 """
 
 
@@ -268,6 +309,39 @@ SQL_DELETE_BATCH_GUARD = f"""
 SELECT o_orderkey::BIGINT AS batch_id, {_STATE_SQL} AS state
 FROM orders
 WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'O')
+"""
+
+
+def q_delete_batch_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteBatch error reporting: the rejected deletes — 1020 for
+    wrong-state batches, 1002 for the two nonexistent ids in the request."""
+    batches = _batches(spark, sf_dir)
+    criteria = (
+        batches.filter(F.col("batch_id") % 7 == 0)
+        .select("batch_id")
+        .unionAll(
+            spark.createDataFrame([(-1,), (-2,)], "batch_id long")
+        )
+    )
+    return lifecycle.delete_batches_rejected(batches, criteria)
+
+
+SQL_DELETE_BATCH_REJECTED = f"""
+WITH batches AS (
+  SELECT o_orderkey::BIGINT AS batch_id, {_STATE_SQL} AS state FROM orders
+),
+criteria AS (
+  SELECT batch_id FROM batches WHERE batch_id % 7 = 0
+  UNION ALL SELECT -1 UNION ALL SELECT -2
+)
+SELECT c.batch_id,
+       CASE WHEN b.batch_id IS NULL THEN '1002' ELSE '1020' END AS error_code,
+       CASE WHEN b.batch_id IS NULL
+            THEN 'Unable to delete batch because the batch with ID = ''' || c.batch_id::VARCHAR || ''' could not be found.'
+            ELSE 'Unable to delete batch because the batch is an unacceptable state for deletion: ''' || b.state || '''.'
+       END AS message
+FROM criteria c LEFT JOIN batches b ON c.batch_id = b.batch_id
+WHERE b.batch_id IS NULL OR b.state <> 'NOT_STARTED'
 """
 
 
@@ -825,10 +899,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analyze_batch_validation": q_analyze_batch_validation,
     "batch_status": q_batch_status,
     "batch_list_paginated": q_batch_list_paginated,
+    "batch_list_total": q_batch_list_total,
     "batch_errors_grouped": q_batch_errors_grouped,
     "igniter_pick": q_igniter_pick,
     "finalizer_state": q_finalizer_state,
     "delete_batch_guard": q_delete_batch_guard,
+    "delete_batch_rejected": q_delete_batch_rejected,
     "process_batch_upsert": q_process_batch_upsert,
     # §2.2 analytics
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -860,10 +936,12 @@ ORACLE: dict[str, str] = {
     "analyze_batch_validation": SQL_ANALYZE_BATCH_VALIDATION,
     "batch_status": SQL_BATCH_STATUS,
     "batch_list_paginated": SQL_BATCH_LIST_PAGINATED,
+    "batch_list_total": SQL_BATCH_LIST_TOTAL,
     "batch_errors_grouped": SQL_BATCH_ERRORS_GROUPED,
     "igniter_pick": SQL_IGNITER_PICK,
     "finalizer_state": SQL_FINALIZER_STATE,
     "delete_batch_guard": SQL_DELETE_BATCH_GUARD,
+    "delete_batch_rejected": SQL_DELETE_BATCH_REJECTED,
     "process_batch_upsert": SQL_PROCESS_BATCH_UPSERT,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,

@@ -87,3 +87,24 @@ def test_analyze_batch_oversize_flag(spark):
     )
     row = analyze_batch(df).collect()[0]
     assert row.exceeds_maximum is True
+
+
+def test_validate_tasks_field_detail(spark):
+    lines = [
+        (1, "Model,Serial-1,Asset-1"),          # valid
+        (2, "has space,Serial-1,Asset-1"),      # model invalid (space)
+        (3, "Model," + "x" * 201 + ",Asset-1"),  # serial too long
+        (4, "Model,Serial-1,bad name"),          # asset invalid (space)
+        (5, "Model,Serial-1"),                   # asset missing
+        (6, "a,b,c,d,e"),                        # comma error -> no field
+    ]
+    df = spark.createDataFrame(lines, "task_number long, raw_line string")
+    got = {r.task_number: r.field for r in validate_tasks(df).collect()}
+    assert got == {
+        1: None,
+        2: "model_name",
+        3: "serial_number",
+        4: "asset_name",
+        5: "asset_name",
+        6: None,
+    }

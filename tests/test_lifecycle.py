@@ -131,3 +131,38 @@ def test_mark_in_process_transitions_only_not_started(spark):
     assert out[1] == STATE_IN_PROCESS  # NOT_STARTED → IN_PROCESS
     assert out[4] == STATE_SUCCESS  # terminal state untouched
     assert out[2] == STATE_NOT_STARTED  # not ignited → unchanged
+
+
+def test_list_batches_include_total(spark):
+    from pyspark.sql import functions as F
+
+    batches = spark.createDataFrame(
+        [(i, "NOT_STARTED" if i % 2 == 0 else "SUCCESS") for i in range(1, 21)],
+        "batch_id long, state string",
+    )
+    page = lifecycle.list_batches(
+        batches, state="NOT_STARTED", page_number=2, page_size=3, include_total=True
+    ).collect()
+    # 10 NOT_STARTED rows total; page 2 of size 3 = ids 8, 10, 12
+    assert [r.batch_id for r in page] == [8, 10, 12]
+    assert all(r.total_results == 10 for r in page)
+    assert all(r.page_number == 2 and r.page_size == 3 for r in page)
+
+
+def test_delete_batches_rejected_codes(spark):
+    batches = spark.createDataFrame(
+        [(1, "NOT_STARTED"), (2, "IN_PROCESS"), (3, "SUCCESS")],
+        "batch_id long, state string",
+    )
+    criteria = spark.createDataFrame([(1,), (2,), (3,), (99,)], "batch_id long")
+    rejected = {
+        r.batch_id: (r.error_code, r.message)
+        for r in lifecycle.delete_batches_rejected(batches, criteria).collect()
+    }
+    assert set(rejected) == {2, 3, 99}  # 1 is deletable, not rejected
+    assert rejected[2][0] == "1020" and "'IN_PROCESS'" in rejected[2][1]
+    assert rejected[3][0] == "1020" and "'SUCCESS'" in rejected[3][1]
+    assert rejected[99][0] == "1002" and "ID = '99'" in rejected[99][1]
+    # survivors from the companion operator exclude only the deletable id
+    survivors = {r.batch_id for r in lifecycle.delete_batches(batches, criteria).collect()}
+    assert survivors == {2, 3}
