@@ -4,8 +4,9 @@ Spark's native ``xxhash64``/``hash`` have no DuckDB equivalent, so operators
 whose results must be oracle-verifiable use md5-derived integers instead:
 ``conv(substr(md5(s), 1, 15), 16, 10)`` in Spark equals
 ``('0x' || substr(md5(s), 1, 15))::BIGINT`` in DuckDB — a uniform 60-bit
-value. md5 is computed JVM-side per row; for the non-verified hot paths
-(SimHash, LSH planes) we keep the cheaper xxhash64.
+value. md5 is computed JVM-side per row. Every hash in the engine is
+md5-derived (SimHash token hashes, MinHash seeds, LSH plane signs) so each
+signature family stays oracle-verifiable end to end.
 """
 
 from __future__ import annotations

@@ -115,9 +115,12 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
 
 
 #: PII patterns kept to syntax with identical semantics in Java regex
-#: (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PHONE_RE = r"\d{3}[- ]\d{3}[- ]\d{4}"
+#: (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround. Email is
+#: case-insensitive via inline (?i) so matching runs against the ORIGINAL
+#: text (redaction must not rewrite the document's casing); phone covers
+#: 555-123-4567 / 555.123.4567 / 555 123 4567 / (555) 123-4567.
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"(\(\d{3}\)[ ]?|\d{3}[-. ])\d{3}[-. ]\d{4}"
 
 
 def pii_redact(documents: DataFrame) -> DataFrame:
@@ -126,13 +129,14 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     The scrub every training-data pipeline runs before anything else. Pure
     regexp expressions — single scan, no shuffle; the per-kind counts let a
     downstream audit aggregate redaction rates by source without re-scanning
-    the raw text.
+    the raw text. Only the PII spans are replaced — the rest of the
+    document (including its casing) is untouched.
     """
-    lowered = F.lower(F.col("text"))
-    n_emails = F.regexp_count(lowered, F.lit(EMAIL_RE)).cast("long")
-    n_phones = F.regexp_count(lowered, F.lit(PHONE_RE)).cast("long")
+    txt = F.col("text")
+    n_emails = F.regexp_count(txt, F.lit(EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count(txt, F.lit(PHONE_RE)).cast("long")
     cleaned = F.regexp_replace(
-        F.regexp_replace(lowered, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
     return documents.select(
         "doc_id",

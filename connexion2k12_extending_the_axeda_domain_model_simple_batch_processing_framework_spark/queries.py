@@ -1007,10 +1007,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PII_REDACT = f"""
 SELECT doc_id::BIGINT AS doc_id,
        regexp_replace(
-         regexp_replace(lower(text), '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+         regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
          '{text.PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
-       len(regexp_extract_all(lower(text), '{text.EMAIL_RE}'))::BIGINT AS n_emails,
-       len(regexp_extract_all(lower(text), '{text.PHONE_RE}'))::BIGINT AS n_phones
+       len(regexp_extract_all(text, '{text.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{text.PHONE_RE}'))::BIGINT AS n_phones
 FROM documents
 """
 

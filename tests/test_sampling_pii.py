@@ -94,3 +94,20 @@ def test_connected_components_transitive_chain(spark):
     )
     rows = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_pii_redact_preserves_casing_and_phone_formats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Dear Sir, reach Bob.Smith@Example.COM today"),
+            (2, "call (555) 123-4567 or 555.123.4567 or 555 123 4567"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.pii_redact(docs).collect()}
+    # casing outside the redacted span is untouched
+    assert rows[1].redacted_text == "Dear Sir, reach <EMAIL> today"
+    assert rows[1].n_emails == 1
+    # all three phone formats matched
+    assert rows[2].n_phones == 3
+    assert rows[2].redacted_text == "call <PHONE> or <PHONE> or <PHONE>"
