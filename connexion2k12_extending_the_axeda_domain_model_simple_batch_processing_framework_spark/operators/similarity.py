@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
-from ..functions.vectors import cosine_similarity
+from ..functions.partitioning import spread
+from ..functions.vectors import dot_expr, l2_norm_expr
 
 EMBEDDING_DIM = 64
 LSH_PLANES = 8
@@ -36,12 +37,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k of each query over the corpus (self excluded)."""
+    """Exact cosine top-k of each query over the corpus (self excluded).
+
+    Norms are per-row facts, so each side computes its own once; the pair
+    join evaluates only the codegen'd dot product.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_norm", l2_norm_expr("c_vec", EMBEDDING_DIM))
+    cos = F.round(
+        dot_expr("q_vec", "c_vec", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -104,13 +113,16 @@ def lsh_topk(
     rank only within the bucket. Recall < 1 by design; the candidate scan
     per query is corpus/2^planes in expectation."""
     sig = hyperplane_signature(vec_col, planes)
+    corpus = spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
-    )
+    ).withColumn("c_norm", l2_norm_expr("c_vec", EMBEDDING_DIM))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("q_bucket")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
+    cos = F.round(
+        dot_expr("q_vec", "c_vec", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
     )
-    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         c.join(
@@ -142,18 +154,32 @@ def embedding_near_dup_pairs(
     ``exact=True`` is the all-pairs O(n²) correctness anchor — only for
     dimension-table-sized inputs or recall measurement.
     """
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    embeddings = spread(embeddings)
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", l2_norm_expr("va", EMBEDDING_DIM))
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", l2_norm_expr("vb", EMBEDDING_DIM))
+    cos = F.round(dot_expr("va", "vb", EMBEDDING_DIM) / (F.col("na") * F.col("nb")), 6)
     if exact:
-        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    else:
-        a = a.withColumn("bucket_a", hyperplane_signature("va"))
-        b = b.withColumn("bucket_b", hyperplane_signature("vb"))
-        joined = a.join(
-            b,
-            (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+        # score in a materialized projection, NOT the join condition:
+        # Catalyst would push the threshold filter into the nested-loop
+        # join, and a 64-term expression evaluated as a join predicate
+        # never reaches JIT-compiled speed. The scored table is narrow
+        # (two ids + a double), so the materialization is cheap.
+        scored = cut_lineage(
+            a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+                "vec_a", "vec_b", cos.alias("cosine")
+            )
         )
+        return scored.filter(F.col("cosine") >= threshold)
+    a = a.withColumn("bucket_a", hyperplane_signature("va"))
+    b = b.withColumn("bucket_b", hyperplane_signature("vb"))
+    joined = a.join(
+        b,
+        (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
     return (
         joined.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -222,10 +248,18 @@ def ivf_centroids(
 
 
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vid, centroid_id): nearest centroid by cosine, ties to lowest id."""
-    cos = cosine_similarity(F.col("cv"), F.col("centroid"))
+    """(vid, centroid_id): nearest centroid by cosine, ties to lowest id.
+
+    Norms factored out per side (corpus row / centroid row) so the
+    per-(row × centroid) work is one codegen'd dot product — both the
+    smallest expression to compile and the least work per pair."""
+    cent = centroids.withColumn("_cent_norm", l2_norm_expr("centroid", EMBEDDING_DIM))
+    corp = corpus.withColumn("_cv_norm", l2_norm_expr("cv", EMBEDDING_DIM))
+    cos = dot_expr("cv", "centroid", EMBEDDING_DIM) / (
+        F.col("_cv_norm") * F.col("_cent_norm")
+    )
     return (
-        corpus.join(F.broadcast(centroids))
+        corp.join(F.broadcast(cent))
         .groupBy("vid")
         .agg(
             F.max(F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("nid")))
@@ -252,6 +286,7 @@ def ivf_build(
     (e.g. parquet partitioned by centroid_id) and probe many times; here
     they're lineage-cut in memory.
     """
+    corpus = spread(corpus)
     centroids = ivf_centroids(corpus, nlist, iters, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
     assignments = cut_lineage(_assign(c, centroids).join(c, "vid"))
@@ -270,29 +305,40 @@ def ivf_probe(
     """Probe a built IVF index: each query ranks only the vectors in its
     ``nprobe`` nearest centroids' buckets — an equi-join on centroid_id
     against the inverted file, scanning ~nprobe/nlist of the corpus."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
     probe_rank = Window.partitionBy("query_id").orderBy(
         F.col("qc_cos").desc(), F.col("centroid_id").asc()
     )
+    cent = centroids.withColumn("_cent_norm", l2_norm_expr("centroid", EMBEDDING_DIM))
     probes = (
-        q.join(F.broadcast(centroids))
+        q.join(F.broadcast(cent))
         .select(
             "query_id",
             "q_vec",
+            "q_norm",
             "centroid_id",
-            cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("qc_cos"),
+            (
+                dot_expr("q_vec", "centroid", EMBEDDING_DIM)
+                / (F.col("q_norm") * F.col("_cent_norm"))
+            ).alias("qc_cos"),
         )
         .withColumn("pr", F.row_number().over(probe_rank))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
     )
 
-    cos = F.round(cosine_similarity(F.col("q_vec"), F.col("cv")), 6)
+    # corpus-side norm once per inverted-file row, before the probe join
+    inv = assignments.withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
+    cos = F.round(
+        dot_expr("q_vec", "cv", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
     rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        probes.join(assignments, "centroid_id")
+        probes.join(inv, "centroid_id")
         .filter(F.col("query_id") != F.col("vid"))
         .select(
             "query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")
