@@ -1,0 +1,203 @@
+"""Corpus-preparation operators for training-data pipelines: chunking,
+TF-IDF keyword extraction, benchmark-contamination checks, repetition
+scoring, and deterministic corpus shuffling.
+
+These extend the reference's batch surface (which processes CSV task rows,
+see e.g. ``internal/ProcessBatch.groovy``) with the row-wise and corpus-wise
+derivations an LLM training pipeline runs over a 100 TB document store. All
+operators are declarative DataFrame plans — no Python on the data path —
+and each docstring states its shuffle story at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_hash64
+from ..functions.partitioning import spread
+from ..functions.textfns import tokens
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Chunk c covers tokens [c*stride, c*stride + chunk_size); the last chunk
+    may be shorter. Documents with zero tokens produce no chunks. This is
+    the context-window packing step of a training pipeline: explode-based,
+    so it pipelines off the scan with NO shuffle — each task turns its rows
+    into chunk rows locally, and output parallelism equals input splits at
+    any corpus size.
+
+    The token array is materialized in its own projection (planner trap:
+    inlining the regex-split into the per-chunk slice would re-tokenize per
+    chunk access).
+    """
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    ex = toked.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("__toks", F.col("start") + 1, F.lit(chunk_size))
+    return ex.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.least(F.size("__toks") - F.col("start"), F.lit(chunk_size))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``), ties broken by term ascending.
+
+    Three shuffles, each on a natural key: (doc_id, term) for tf,
+    term for df, doc_id for the final rank window — all with map-side
+    partial aggregation. The corpus size N is a 1-row broadcast, not a
+    driver-side collect. The tf→df join shuffles on term; at 100 TB the
+    vocabulary table is still ~millions of rows (Zipf), so AQE usually
+    broadcasts it — either plan is safe.
+    """
+    ex = (
+        spread(documents)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"), "tfidf", "rk",
+        )
+    )
+
+
+CONTAM_NGRAM = 8
+BENCHMARK_MOD = 97
+
+
+def contamination_check(
+    documents: DataFrame, n: int = CONTAM_NGRAM, benchmark_mod: int = BENCHMARK_MOD
+) -> DataFrame:
+    """Flag training documents that share an ``n``-gram with the benchmark
+    (eval) subset — the decontamination pass every pretraining pipeline
+    runs before training.
+
+    The benchmark set here is the deterministic pseudo-holdout
+    ``doc_id % benchmark_mod == 0``; in production it is the eval-suite
+    corpus. Benchmark n-gram sets are small (eval suites, not the corpus),
+    so the gram set is BROADCAST and the check is a map-side semi-join:
+    one scan of the training corpus, one shuffle (the per-doc hit count),
+    no skew exposure. Returns every non-benchmark doc with its matched-gram
+    count and a contaminated flag.
+    """
+    from .dedup import shingle_table
+
+    sh = shingle_table(documents, n)
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench_grams = (
+        sh.filter(is_bench).select(F.explode("shingles").alias("gram")).distinct()
+    )
+    corpus_grams = sh.filter(~is_bench).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = spread(documents).filter(~is_bench).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_contaminated_grams"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word ``n``-grams.
+
+    High values mark boilerplate / degenerate text (a standard pretraining
+    quality filter). Pure per-row column math over one scan — no shuffle,
+    no UDF; runs at parquet-scan speed at any corpus size. Documents with
+    fewer than ``n`` tokens score 0 (no grams).
+    """
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.col("__toks")[i + j] for j in range(n)]
+    )
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("__toks") - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select("doc_id", grams.alias("__grams"))
+    total = F.size("__grams").cast("long")
+    distinct = F.size(F.array_distinct("__grams")).cast("long")
+    return g.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.when(
+            total > 0, F.round(1.0 - distinct / total, 6)
+        ).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+N_SHARDS = 32
+
+
+def corpus_shuffle(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic global shuffle: assign each document a shard and a
+    position within it by md5 hash order — reproducible training-data
+    ordering without ``rand()``.
+
+    One shuffle on the shard key; within a shard the rank window sorts by
+    (hash, doc_id). At 100 TB you'd write this as
+    ``repartition(n_shards, shard).sortWithinPartitions(h)`` into the
+    training store — the same single-shuffle plan; n_shards scales with the
+    corpus so each shard's sort fits an executor.
+    """
+    h = hex_hash64(F.col("doc_id").cast("string"))
+    d = spread(documents).select("doc_id", h.alias("__h"))
+    shard = (F.col("__h") % n_shards).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "__h", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

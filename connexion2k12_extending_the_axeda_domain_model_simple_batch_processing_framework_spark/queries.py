@@ -1216,3 +1216,136 @@ ORACLE.update(
         "price_quantiles": SQL_PRICE_QUANTILES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 additions (r2): corpus preparation — chunking, TF-IDF, contamination,
+# repetition, deterministic shuffle
+# ---------------------------------------------------------------------------
+
+from .operators import corpus  # noqa: E402
+
+
+def _grams_sql(n: int, distinct: bool = True) -> str:
+    """DuckDB word-n-gram fragment over a token list column ``t`` — the SQL
+    twin of functions/textfns.word_shingles (distinct) or the raw gram
+    stream used by repetition_score (distinct=False)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    body = (
+        f"CASE WHEN len(t) >= {n} "
+        f"THEN list_transform(range(1, len(t) - {n - 2}), i -> {concat}) "
+        "ELSE [] END"
+    )
+    return f"list_distinct({body})" if distinct else body
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, {corpus.CHUNK_STRIDE})) AS start FROM nz)
+SELECT doc_id::BIGINT AS doc_id,
+       (start // {corpus.CHUNK_STRIDE})::BIGINT AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, least(start + {corpus.CHUNK_SIZE}, n)), ' ') AS chunk_text,
+       least(n - start, {corpus.CHUNK_SIZE})::BIGINT AS n_tokens
+FROM s
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       tfidf, rk::BIGINT AS rk
+FROM r WHERE rk <= 5
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_grams_sql(corpus.CONTAM_NGRAM)} AS shingles
+       FROM toks WHERE len(t) >= {corpus.CONTAM_NGRAM}),
+bench AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh
+          WHERE doc_id % {corpus.BENCHMARK_MOD} = 0),
+corp AS (SELECT doc_id, unnest(shingles) AS gram FROM sh
+         WHERE doc_id % {corpus.BENCHMARK_MOD} <> 0),
+hits AS (SELECT doc_id, count(*) AS n FROM corp JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n, 0)::BIGINT AS n_contaminated_grams,
+       (coalesce(n, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % {corpus.BENCHMARK_MOD} <> 0
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_SCORE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, {_grams_sql(3, distinct=False)} AS grams FROM toks)
+SELECT doc_id::BIGINT AS doc_id,
+       len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH d AS (SELECT doc_id, {_HEX64.format(expr="doc_id::VARCHAR")} AS h FROM documents),
+s AS (SELECT doc_id, h, (h % {corpus.N_SHARDS})::BIGINT AS shard FROM d)
+SELECT doc_id::BIGINT AS doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)::BIGINT AS pos
+FROM s
+"""
+
+
+QUERIES.update(
+    {
+        "doc_chunks": q_doc_chunks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination_check": q_contamination_check,
+        "repetition_score": q_repetition_score,
+        "corpus_shuffle": q_corpus_shuffle,
+    }
+)
+
+ORACLE.update(
+    {
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "contamination_check": SQL_CONTAMINATION_CHECK,
+        "repetition_score": SQL_REPETITION_SCORE,
+        "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    }
+)

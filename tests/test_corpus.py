@@ -1,0 +1,117 @@
+"""Corpus-preparation operators: chunking windows, TF-IDF ranking,
+contamination detection, repetition scoring, deterministic shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    corpus,
+)
+
+
+def _docs(spark, texts, ids=None):
+    ids = ids or range(1, len(texts) + 1)
+    return spark.createDataFrame(
+        list(zip(ids, texts)), "doc_id long, text string"
+    )
+
+
+def test_chunk_windows(spark):
+    # 10 tokens, chunk_size=4, stride=3 → starts 0,3,6,9
+    toks = " ".join(f"t{i}" for i in range(10))
+    rows = sorted(
+        corpus.chunk_documents(_docs(spark, [toks]), chunk_size=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"
+    assert rows[3].chunk_text == "t9"  # tail chunk, shorter
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+
+
+def test_chunk_empty_doc_drops(spark):
+    rows = corpus.chunk_documents(_docs(spark, ["!!!", "a b"])).collect()
+    assert {r.doc_id for r in rows} == {2}  # no tokens → no chunks
+
+
+def test_tfidf_ranks_rare_terms(spark):
+    docs = _docs(
+        spark,
+        [
+            "common common rare",
+            "common blah blah",
+            "common other words",
+        ],
+    )
+    rows = corpus.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'common' appears in every doc → idf = ln(4/4) = 0 → never outranks
+    # a doc-unique term.
+    top1 = {d: sorted(rs, key=lambda r: r.rk)[0].term for d, rs in by_doc.items()}
+    assert top1[1] == "rare"
+    assert top1[2] == "blah"
+    assert all(len(rs) == 2 for rs in by_doc.values())
+
+
+def test_tfidf_tie_break_is_term_asc(spark):
+    rows = corpus.tfidf_top_terms(_docs(spark, ["zeta alpha", "unrelated x"]), k=2).collect()
+    d1 = sorted((r for r in rows if r.doc_id == 1), key=lambda r: r.rk)
+    # equal tf and df → equal score; alphabetical order decides
+    assert [r.term for r in d1] == ["alpha", "zeta"]
+
+
+def test_contamination_flags_shared_ngram(spark):
+    bench_text = " ".join(f"w{i}" for i in range(12))
+    clean_text = " ".join(f"c{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [bench_text, bench_text + " extra tail tokens", clean_text],
+        # doc 97 is the benchmark doc (97 % 97 == 0)
+        ids=[97, 5, 6],
+    )
+    rows = {r.doc_id: r for r in corpus.contamination_check(docs, n=8).collect()}
+    assert set(rows) == {5, 6}  # benchmark doc excluded from output
+    assert rows[5].contaminated and rows[5].n_contaminated_grams > 0
+    assert not rows[6].contaminated and rows[6].n_contaminated_grams == 0
+
+
+def test_repetition_score_values(spark):
+    docs = _docs(spark, ["a b c a b c a b c", "a b c d e f", "one two"])
+    rows = {r.doc_id: r for r in corpus.repetition_score(docs).collect()}
+    # 9 tokens → 7 grams, 3 distinct ("a b c","b c a","c a b")
+    assert rows[1].n_grams == 7 and rows[1].n_distinct == 3
+    assert abs(rows[1].rep_ratio - round(1 - 3 / 7, 6)) < 1e-9
+    assert rows[2].rep_ratio == 0.0  # all grams unique
+    assert rows[3].n_grams == 0 and rows[3].rep_ratio == 0.0  # < n tokens
+
+
+def test_corpus_shuffle_deterministic_and_dense(spark):
+    docs = _docs(spark, [f"doc {i}" for i in range(50)])
+    a = corpus.corpus_shuffle(docs, n_shards=4).collect()
+    b = corpus.corpus_shuffle(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))  # dense ranks
+    assert sum(len(p) for p in by_shard.values()) == 50
+
+
+def test_chunking_plan_has_no_shuffle(spark):
+    """Chunking must pipeline off the scan: no exchange in the plan beyond
+    the input spread (which is a no-op for multi-partition inputs)."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.createDataFrame(
+        [(i, "some text here repeated") for i in range(100)],
+        "doc_id long, text string",
+    ).repartition(width)  # already wide → spread is a no-op
+    plan = corpus.chunk_documents(docs)._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Repartition: the test's own widening above — spread must
+    # not have added another, and chunking itself introduces no exchange.
+    assert plan.count("Repartition") == 1
