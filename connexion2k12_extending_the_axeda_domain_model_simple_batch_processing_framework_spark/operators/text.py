@@ -72,8 +72,14 @@ def quality_score(documents: DataFrame) -> DataFrame:
         punct_count(F.col("text")).alias("n_punct"),
         stop_hits.alias("n_stopwords"),
     )
-    punct_ratio = F.col("n_punct") / F.col("n_chars")
-    stop_ratio = F.col("n_stopwords") / F.col("n_tokens")
+    # empty/degenerate docs (no chars, no tokens) score 0 on a ratio rather
+    # than dividing by zero (ANSI mode raises; a 100 TB corpus has them)
+    punct_ratio = F.when(
+        F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("n_stopwords") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
     min_tok = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
     score = 0.4 * min_tok + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
     return df.select(

@@ -831,14 +831,20 @@ m AS (
          length(regexp_replace(lower(text), '[a-z0-9 \\n]', '', 'g'))::BIGINT AS n_punct,
          ({stop_hits})::BIGINT AS n_stopwords
   FROM d
+),
+r AS (
+  SELECT *,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_tokens > 0 THEN n_stopwords::DOUBLE / n_tokens ELSE 0.0 END AS sr
+  FROM m
 )
 SELECT doc_id::BIGINT AS doc_id, n_tokens, n_chars, n_punct, n_stopwords,
-       round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
-       round(n_stopwords::DOUBLE / n_tokens, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
        round(0.4 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - n_punct::DOUBLE / n_chars)
-             + 0.3 * (n_stopwords::DOUBLE / n_tokens), 6) AS quality
-FROM m
+             + 0.3 * (1.0 - pr)
+             + 0.3 * sr, 6) AS quality
+FROM r
 """
 
 
