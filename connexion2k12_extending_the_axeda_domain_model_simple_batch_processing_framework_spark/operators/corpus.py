@@ -178,6 +178,36 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """One-row corpus summary: doc count, total/distinct token counts, mean
+    tokens per document.
+
+    Two aggregation legs off one tokenized scan: per-doc counts (map-side
+    partial, no shuffle beyond the final 1-row reduce) and a distinct-token
+    count (one shuffle on token). The distinct count is exact here for
+    oracle parity; at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL, no shuffle of distinct values) — the
+    docstring contract every quantile/cardinality operator in this engine
+    follows (cf. analytics.price_quantiles).
+    """
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    per_doc = toked.select(F.size("__toks").alias("n"))
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_doc_tokens"),
+    )
+    dist = (
+        toked.select(F.explode("__toks").alias("t"))
+        .agg(F.countDistinct("t").alias("distinct_tokens"))
+    )
+    return base.crossJoin(F.broadcast(dist)).select(
+        "n_docs", "total_tokens", "distinct_tokens", "avg_doc_tokens"
+    )
+
+
 N_SHARDS = 32
 
 

@@ -1355,3 +1355,28 @@ ORACLE.update(
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     }
 )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_STATS = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+per AS (SELECT len(toks) AS n FROM d),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(n)::BIGINT AS total_tokens,
+         round(avg(n::DOUBLE), 6) AS avg_doc_tokens
+  FROM per
+),
+dist AS (
+  SELECT count(DISTINCT t)::BIGINT AS distinct_tokens
+  FROM (SELECT unnest(toks) AS t FROM d)
+)
+SELECT n_docs, total_tokens, distinct_tokens, avg_doc_tokens
+FROM base CROSS JOIN dist
+"""
+
+QUERIES["corpus_stats"] = q_corpus_stats
+ORACLE["corpus_stats"] = SQL_CORPUS_STATS

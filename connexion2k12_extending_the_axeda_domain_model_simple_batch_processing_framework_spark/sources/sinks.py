@@ -64,6 +64,24 @@ def finalization_notifications(finalized: DataFrame) -> DataFrame:
     )
 
 
+def write_compacted(
+    df: DataFrame, path: str, target_mb: int = 256, fmt: str = "parquet"
+) -> int:
+    """Write ``df`` with output files sized toward ``target_mb``.
+
+    Small-file proliferation is the classic large-pipeline failure mode
+    (every downstream scan pays per-file open cost; a 100 TB table written
+    at 1 MB/file is 100M files). File count comes from Catalyst's
+    size-in-bytes estimate of the plan — no extra data pass, no collect —
+    and a round-robin repartition balances rows across exactly that many
+    files. Returns the partition count used.
+    """
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(est_bytes // (target_mb * 2**20) + 1, 1_000_000))
+    df.repartition(n).write.mode("overwrite").format(fmt).save(path)
+    return n
+
+
 def send_email(notifications: DataFrame) -> None:
     """Email transport stub.
 
