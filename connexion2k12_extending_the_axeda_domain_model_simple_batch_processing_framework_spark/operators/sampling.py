@@ -49,3 +49,35 @@ def stratified_sample(
         .withColumn("bucket", bucket.cast("long"))
         .filter(F.col("bucket") < F.col("sample_rate"))
     )
+
+
+#: default split: 98% train / 1% validation / 1% test
+DEFAULT_SPLIT_PCT: tuple[int, int] = (98, 1)
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    train_pct: int = DEFAULT_SPLIT_PCT[0],
+    val_pct: int = DEFAULT_SPLIT_PCT[1],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash.
+
+    The split every training pipeline needs, with the properties rand()
+    cannot give: idempotent under retries, stable across runs and engines,
+    and disjoint by construction (one bucket value per doc). The ``salt``
+    decorrelates the split from every other hash-bucket decision (sampling,
+    sharding) — without it, "bucket < 40" samples and "bucket < 98" splits
+    would select nested row sets. Adds ``split`` ∈ {train, val, test};
+    single scan, no shuffle.
+    """
+    bucket = F.pmod(
+        hex_hash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(100)
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.withColumn("split", split)

@@ -1380,3 +1380,22 @@ FROM base CROSS JOIN dist
 
 QUERIES["corpus_stats"] = q_corpus_stats
 ORACLE["corpus_stats"] = SQL_CORPUS_STATS
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+_SPLIT_BUCKET = _HEX64.format(expr="doc_id::VARCHAR || '#' || 'split'") + " % 100"
+
+SQL_TRAIN_SPLIT = f"""
+WITH d AS (SELECT *, ({_SPLIT_BUCKET})::BIGINT AS b FROM documents)
+SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars::BIGINT AS n_chars,
+       CASE WHEN b < {sampling.DEFAULT_SPLIT_PCT[0]} THEN 'train'
+            WHEN b < {sampling.DEFAULT_SPLIT_PCT[0] + sampling.DEFAULT_SPLIT_PCT[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM d
+"""
+
+QUERIES["train_split"] = q_train_split
+ORACLE["train_split"] = SQL_TRAIN_SPLIT

@@ -111,3 +111,46 @@ def test_pii_redact_preserves_casing_and_phone_formats(spark):
     # all three phone formats matched
     assert rows[2].n_phones == 3
     assert rows[2].redacted_text == "call <PHONE> or <PHONE> or <PHONE>"
+
+
+def test_train_val_test_split_disjoint_and_stable(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    a = train_val_test_split(docs).collect()
+    b = train_val_test_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    counts = {}
+    for r in a:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 900  # ~98%
+    assert counts["val"] + counts["test"] < 100
+
+
+def test_split_decorrelated_from_sample_bucket(spark):
+    """The salted split hash must not be the same ordering as the sampling
+    bucket — docs in the 40% sample must not all land in 'train' prefix
+    buckets."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.sampling import (
+        hash_bucket,
+        train_val_test_split,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    out = train_val_test_split(docs, train_pct=50, val_pct=25).withColumn(
+        "samp_bucket", hash_bucket(F.col("doc_id").cast("string"))
+    )
+    rows = out.collect()
+    # if correlated, every doc with samp_bucket < 50 would be 'train';
+    # decorrelated ⇒ roughly half of them are
+    low = [r for r in rows if r.samp_bucket < 50]
+    train_low = sum(1 for r in low if r.split == "train")
+    assert 0.3 < train_low / len(low) < 0.7
