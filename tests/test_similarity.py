@@ -133,3 +133,32 @@ def test_ivf_centroids_deterministic(spark):
     assert c1.keys() == c2.keys()
     for cid in c1:
         assert c1[cid] == c2[cid]
+
+
+def test_ivf_save_load_probe_equivalence(spark, tmp_path):
+    """A persisted index probes identically to the in-memory one, and the
+    probe scan is partition-pruned to the probed centroids."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_probe,
+        ivf_save,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cent, assign = ivf_build(emb, nlist=8, iters=2)
+    mem = ivf_probe(cent, assign, queries, k=3).collect()
+
+    ivf_save(cent, assign, str(tmp_path / "ivf"))
+    cent2, assign2 = ivf_load(spark, str(tmp_path / "ivf"))
+    disk = ivf_probe(cent2, assign2, queries, k=3).collect()
+
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(mem, key=key) == sorted(disk, key=key)
+    # partitioned layout exists (one dir per centroid bucket)
+    dirs = [p.name for p in (tmp_path / "ivf" / "assignments").iterdir() if p.is_dir()]
+    assert any(d.startswith("centroid_id=") for d in dirs)
