@@ -90,3 +90,32 @@ def test_events_rollup_prunes_columns(dfs):
     assert schemas
     # ts, event_type, value, user_id only
     assert all(len(s.split(",")) <= 4 for s in schemas), schemas
+
+
+def test_corpus_ops_stay_jvm_side(dfs):
+    for name in (
+        "doc_chunks",
+        "repetition_score",
+        "corpus_shuffle",
+        "corpus_stats",
+        "train_split",
+        "tfidf_top_terms",
+    ):
+        df = dfs[name]
+        assert not checks.uses_python_eval(df), name
+
+
+def test_contamination_broadcasts_benchmark_grams(dfs):
+    """The benchmark gram set must be the broadcast side — shipping the
+    (tiny) eval-suite grams to the corpus, never shuffling the corpus."""
+    df = dfs["contamination_check"]
+    assert checks.count_broadcast_joins(df) >= 1
+    assert not checks.uses_python_eval(df)
+
+
+def test_tfidf_shuffle_count_bounded(dfs):
+    """tf (doc,term) + df (term) + rank (doc) = at most 5 exchanges incl.
+    the input spread; a regression that adds per-row re-tokenization or an
+    extra global shuffle trips this."""
+    df = dfs["tfidf_top_terms"]
+    assert checks.count_shuffle_exchanges(df) <= 5
