@@ -143,6 +143,37 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = NUM_MINHASHES)
     return ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
 
 
+def minhash_band_table(
+    sh: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, band_hash) banded-minhash table from a shingle table.
+
+    One shuffle (the per-doc signature aggregation computes all
+    bands×rows mins in a single groupBy); the band union is a local
+    projection. This table IS the LSH index: persist the corpus side once
+    and every later dedup pass (self-join or incremental) is an equi-join
+    against it — see ``incremental_near_dup``.
+    """
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    k = bands * rows
+    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionAll(extra)
+    return bands_df
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -161,23 +192,7 @@ def minhash_lsh_pairs(
     tokenize+shingle would run three times per invocation.
     """
     sh = cut_lineage(shingle_table(documents, n))
-    ex = sh.select("doc_id", "shingles", F.explode("shingles").alias("s"))
-    k = bands * rows
-    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
-    sig = ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
-            )
-        )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionAll(extra)
+    bands_df = minhash_band_table(sh, bands, rows)
 
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
@@ -202,6 +217,57 @@ def minhash_lsh_pairs(
             "doc_a",
             "doc_b",
             F.round((inter.cast("double") / union.cast("double")), 6).alias("jaccard"),
+        )
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-dups of NEW documents against an EXISTING corpus — the daily
+    ingest shape of dedup: a 100 TB corpus is deduped once; every later
+    batch only needs to know which of ITS docs collide with what is
+    already stored.
+
+    Asymmetric LSH: band tables for both sides, equi-join on
+    (band, band_hash) — the corpus side is the persisted index
+    (``minhash_band_table`` + its shingle table, written once), so a new
+    batch costs hash(new) + one equi-join, never a corpus re-hash or
+    self-join. Verification computes true Jaccard for candidates only.
+    Output: (new_doc_id, corpus_doc_id, jaccard).
+    """
+    sh_new = cut_lineage(shingle_table(new_docs, n))
+    sh_cor = cut_lineage(shingle_table(corpus, n))
+    b_new = minhash_band_table(sh_new, bands, rows).alias("a")
+    b_cor = minhash_band_table(sh_cor, bands, rows).alias("b")
+    cand = (
+        b_new.join(
+            b_cor,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    sa = sh_new.select(F.col("doc_id").alias("new_doc_id"), F.col("shingles").alias("sh_a"))
+    sb = sh_cor.select(F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        cand.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
         )
     )
 

@@ -1399,3 +1399,61 @@ FROM d
 
 QUERIES["train_split"] = q_train_split
 ORACLE["train_split"] = SQL_TRAIN_SPLIT
+
+
+#: incremental dedup's simulated daily batch: every 10th doc is "new"
+_INC_NEW_MOD = 10
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % _INC_NEW_MOD == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % _INC_NEW_MOD != 0)
+    return dedup.incremental_near_dup(new_docs, corpus_docs)
+
+
+def _incremental_oracle() -> str:
+    k = dedup.NUM_MINHASHES
+    bands, rows = dedup.LSH_BANDS, dedup.LSH_ROWS
+    seeded = [_HEX64.format(expr="s || '#' || '%d'" % i) for i in range(k)]
+    mins = ",\n    ".join(f"min({seeded[i]}) AS h{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '-' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM mh"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id % {_INC_NEW_MOD} = 0 AND b.doc_id % {_INC_NEW_MOD} <> 0
+)
+SELECT c.new_doc_id::BIGINT AS new_doc_id,
+       c.corpus_doc_id::BIGINT AS corpus_doc_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN shn sa ON sa.doc_id = c.new_doc_id
+JOIN shn sb ON sb.doc_id = c.corpus_doc_id
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _incremental_oracle()
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLE["dedup_incremental"] = SQL_DEDUP_INCREMENTAL

@@ -161,3 +161,28 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     finally:
         sc._jsc.sc().setCheckpointDir(None)  # restore: no dir configured
     assert got == expected
+
+
+def test_incremental_near_dup_finds_corpus_collision(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different content about spark physical plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),  # exact text of corpus doc 1 → must collide
+            (101, "fresh unrelated words that match nothing in the stored corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_near_dup(new, corpus).collect()
+    assert {(r.new_doc_id, r.corpus_doc_id) for r in rows} == {(100, 1)}
+    assert rows[0].jaccard == 1.0
