@@ -193,3 +193,42 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
             F.round(F.col("q")[3], 4).alias("p95"),
         )
     )
+
+
+def events_moving_avg(events: DataFrame, window_rows: int = 3) -> DataFrame:
+    """Per-user trailing moving average of event values (current row +
+    ``window_rows`` preceding), ordered by (ts, event_id).
+
+    Single shuffle on user_id, then a sorted frame scan per partition — the
+    canonical streaming-feature backfill (e.g. "user's recent spend") as
+    one window plan. Skewed power-users are bounded by AQE skew handling;
+    the frame is ROWS-based so memory per group is O(window_rows).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-window_rows, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.round(F.avg(F.col("value").cast("double")).over(w), 6).alias("moving_avg"),
+    )
+
+
+def value_histogram(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of event values: one groupBy on the bucket
+    index (map-side combine ⇒ shuffle rows = #buckets × partitions no
+    matter the input size) — the profiling primitive for choosing filter
+    thresholds over a 100 TB column."""
+    bucket = F.floor(F.col("value") / bucket_width).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )

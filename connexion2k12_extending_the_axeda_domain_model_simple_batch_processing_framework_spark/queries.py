@@ -1457,3 +1457,38 @@ SQL_DEDUP_INCREMENTAL = _incremental_oracle()
 
 QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLE["dedup_incremental"] = SQL_DEDUP_INCREMENTAL
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_moving_avg(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, ts,
+       value::DOUBLE AS value,
+       round(avg(value::DOUBLE) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT floor(value / 10.0)::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+QUERIES.update(
+    {"events_moving_avg": q_events_moving_avg, "value_histogram": q_value_histogram}
+)
+ORACLE.update(
+    {"events_moving_avg": SQL_EVENTS_MOVING_AVG, "value_histogram": SQL_VALUE_HISTOGRAM}
+)

@@ -84,12 +84,20 @@ def minhash_ingest_signature(text_col: str = "text", k: int = INGEST_MINHASHES) 
     Documents too short to shingle fall back to their exact md5 so nulls
     never collide in the dedup key."""
     sh = word_shingles(tokens(F.col(text_col)), 3)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: hex_hash64(s, i)))
-        for i in range(k)
-    ]
-    sig = F.concat_ws("-", *[m.cast("string") for m in mins])
+    sig = F.concat_ws(
+        "-", *[_row_min_hash(sh, i).cast("string") for i in range(k)]
+    )
     return F.when(F.size(sh) > 0, sig).otherwise(F.md5(F.col(text_col)))
+
+
+def _row_min_hash(sh_col: F.Column, seed: int) -> F.Column:
+    """min of the seeded 60-bit hash over an in-row shingle array.
+
+    NOTE the single-parameter lambda: ``transform`` treats a TWO-parameter
+    lambda as (element, index) and would silently pass the array index as
+    the seed — the closure must capture the seed instead.
+    """
+    return F.array_min(F.transform(sh_col, lambda s: hex_hash64(s, seed)))
 
 
 def ingest_pipeline_stream(
@@ -120,3 +128,67 @@ def ingest_pipeline_stream(
     )
     exact = keyed.dropDuplicatesWithinWatermark(["content_hash"])
     return exact.dropDuplicatesWithinWatermark(["minhash_sig"])
+
+
+def stream_band_table(
+    docs: DataFrame,
+    bands: int = None,  # defaults resolved from operators.dedup
+    rows: int = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row banded-minhash rows (doc cols + band, band_hash) for a
+    STREAMING frame: the minhash mins come from higher-order ``array_min``
+    over the in-row shingle array — bit-identical to the batch
+    ``operators.dedup.minhash_band_table`` (asserted in tests) but with no
+    groupBy, so it is legal and stateless in any streaming stage. Docs too
+    short to shingle produce no band rows (they cannot near-dup)."""
+    from ..operators.dedup import LSH_BANDS, LSH_ROWS
+
+    bands = bands or LSH_BANDS
+    rows = rows or LSH_ROWS
+    sh = word_shingles(tokens(F.col(text_col)), 3)
+    d = docs.withColumn("__sh", sh).filter(F.size("__sh") > 0)
+    k = bands * rows
+    mins = [_row_min_hash(F.col("__sh"), i) for i in range(k)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "-", *[mins[b * rows + r].cast("string") for r in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return d.select(
+        *docs.columns, F.explode(F.array(*band_structs)).alias("__bb")
+    ).select(*docs.columns, F.col("__bb.band").alias("band"), F.col("__bb.band_hash").alias("band_hash"))
+
+
+def corpus_collision_stream(
+    stream_docs: DataFrame,
+    corpus_band_index: DataFrame,
+    watermark: str = "1 hour",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Flag arriving documents that near-dup something ALREADY in the
+    stored corpus — the streaming twin of
+    ``operators.dedup.incremental_near_dup``.
+
+    Stream-static equi-join: the arriving doc's band rows (stateless,
+    per-row) against the persisted corpus band index (static side —
+    ``minhash_band_table`` written once, reloaded per micro-batch from
+    storage). Multi-band collisions collapse to one emission per
+    (doc, corpus doc) via watermark-bounded dedup. Emits
+    (doc columns…, corpus_doc_id)."""
+    idx = corpus_band_index.select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_hash"
+    )
+    hits = stream_band_table(stream_docs).join(idx, ["band", "band_hash"])
+    out_cols = [c for c in stream_docs.columns] + ["corpus_doc_id"]
+    return (
+        hits.select(*out_cols)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
+    )

@@ -136,3 +136,61 @@ def test_short_docs_do_not_collide_on_null_signature(spark):
     ).collect()
     assert sigs[0].sig != sigs[1].sig
     assert all(r.sig is not None for r in sigs)
+
+
+def test_stream_band_table_matches_batch_index(spark):
+    """Per-row (streaming-legal) band hashes must be bit-identical to the
+    batch minhash_band_table so a persisted corpus index is joinable."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.dedup import (
+        minhash_band_table,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "a completely different second document with enough tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r.doc_id, r.band): r.band_hash
+        for r in minhash_band_table(shingle_table(docs)).collect()
+    }
+    stream_shaped = {
+        (r.doc_id, r.band): r.band_hash
+        for r in ingest.stream_band_table(docs).collect()
+    }
+    assert batch == stream_shaped and len(batch) > 0
+
+
+def test_corpus_collision_stream_flags_near_dup(spark, tmp_path):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.dedup import (
+        minhash_band_table,
+        shingle_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "stored corpus text about entirely unrelated matters here")],
+        "doc_id long, text string",
+    )
+    index = minhash_band_table(shingle_table(corpus))
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    _write_docs(
+        src / "f.json",
+        [
+            {"doc_id": 100, "text": base, "event_time": "2026-01-01T10:00:00"},
+            {
+                "doc_id": 101,
+                "text": "a brand new document that matches nothing stored so far today",
+                "event_time": "2026-01-01T10:01:00",
+            },
+        ],
+    )
+    out = ingest.corpus_collision_stream(_doc_stream(spark, src), index)
+    _run_to_memory(out, tmp_path, "collisions")
+    rows = spark.sql("select * from collisions").collect()
+    assert {(r.doc_id, r.corpus_doc_id) for r in rows} == {(100, 1)}
