@@ -53,3 +53,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the join strategy money buys at 100 TB: two tables
+    bucketed on the same key with the same bucket count equi-join with NO
+    shuffle on either side (Spark trusts the on-disk hash layout), and a
+    sorted bucket upgrades it to a zero-sort merge join. Use for the
+    repeatedly-joined spines: task results by batch_id, shingle/band
+    tables by doc_id, the IVF inverted file by centroid_id.
+    ``sort_col`` defaults to the bucket column.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+    )
+    writer.saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket metadata intact (plain
+    ``spark.read.parquet`` on the files would lose the layout and
+    reintroduce the shuffle)."""
+    ensure_session_confs(spark)
+    return spark.table(table)

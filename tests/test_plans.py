@@ -119,3 +119,31 @@ def test_tfidf_shuffle_count_bounded(dfs):
     extra global shuffle trips this."""
     df = dfs["tfidf_top_terms"]
     assert checks.count_shuffle_exchanges(df) <= 5
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-join with ZERO exchanges —
+    the bucketing contract write_bucketed exists to provide."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_bucketed,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/wh'")
+    try:
+        docs = spark.range(0, 1000).selectExpr("id AS doc_id", "id % 7 AS grp")
+        stats = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS metric")
+        write_bucketed(docs, "buckdb.docs_b", "doc_id", n_buckets=8)
+        write_bucketed(stats, "buckdb.stats_b", "doc_id", n_buckets=8)
+        # MERGE hint models the 100 TB case (both sides far beyond the
+        # broadcast threshold — here the planner would broadcast instead)
+        joined = (
+            load_bucketed(spark, "buckdb.docs_b")
+            .hint("merge")
+            .join(load_bucketed(spark, "buckdb.stats_b"), "doc_id")
+        )
+        assert joined.count() == 1000
+        assert checks.count_shuffle_exchanges(joined) == 0
+        assert checks.count_broadcast_joins(joined) == 0  # a real merge join
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
