@@ -107,13 +107,19 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     ``acc = (acc*131 + token_hash % POLY_MOD) % POLY_MOD`` folded left to
     right (token_hash = md5-derived 60-bit int), plus the md5 content hash.
     Reordering any two tokens changes the fingerprint — unlike bag-of-words
-    hashes — while the DuckDB oracle can still replay it exactly."""
+    hashes — while the DuckDB oracle can still replay it exactly.
+
+    The fold is a higher-order ``aggregate`` — interpreted, not codegen'd —
+    so the input is spread to full parallelism first (a single-file scan
+    would run the whole fold in one task)."""
+    from ..functions.partitioning import spread
+
     fp = F.aggregate(
         tokens(F.col("text")),
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 131 + hex_hash64(t) % POLY_MOD) % POLY_MOD,
     )
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         fp.alias("rolling_fp"),
         F.md5(F.col("text")).alias("content_md5"),
