@@ -30,7 +30,8 @@ def chunk_documents(
     Chunk c covers tokens [c*stride, c*stride + chunk_size); the last chunk
     may be shorter. Documents with zero tokens produce no chunks. This is
     the context-window packing step of a training pipeline: explode-based,
-    so it pipelines off the scan with NO shuffle — each task turns its rows
+    so it pipelines off the scan with NO shuffle (beyond the small-input
+    ``spread``, a no-op on multi-split scans) — each task turns its rows
     into chunk rows locally, and output parallelism equals input splits at
     any corpus size.
 
