@@ -232,3 +232,35 @@ def corpus_shuffle(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def source_mix_report(documents: DataFrame) -> DataFrame:
+    """Per-source corpus composition: doc count + share, token volume, and
+    mean quality — the mixture dashboard a curation pass reads before
+    setting per-source sampling rates (cf. sampling.stratified_sample).
+
+    Per-row quality math (operators.text.quality_score) feeds one groupBy
+    on source; the corpus total rides in as a 1-row broadcast. Shuffle
+    rows = #sources × partitions (map-side combine), independent of corpus
+    size.
+    """
+    from .text import quality_score
+
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    joined = documents.select("doc_id", "source").join(q, "doc_id")
+    per = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    total = joined.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
+            "total_tokens",
+            "mean_quality",
+        )
+    )

@@ -1492,3 +1492,27 @@ QUERIES.update(
 ORACLE.update(
     {"events_moving_avg": SQL_EVENTS_MOVING_AVG, "value_histogram": SQL_VALUE_HISTOGRAM}
 )
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_mix_report(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_MIX = f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+j AS (SELECT d.source, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_id)),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         round(avg(quality), 6) AS mean_quality
+  FROM j GROUP BY source
+),
+t AS (SELECT count(*) AS _total FROM j)
+SELECT source, n_docs,
+       round(n_docs / _total, 6) AS doc_share,
+       total_tokens, mean_quality
+FROM per CROSS JOIN t
+"""
+
+QUERIES["source_mix"] = q_source_mix
+ORACLE["source_mix"] = SQL_SOURCE_MIX

@@ -115,3 +115,53 @@ def test_chunking_plan_has_no_shuffle(spark):
     # exactly one Repartition: the test's own widening above — spread must
     # not have added another, and chunking itself introduces no exchange.
     assert plan.count("Repartition") == 1
+
+
+def test_source_mix_report(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "web"),
+            (2, "it is a fine day to test the engine", "web"),
+            (3, "short one", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in corpus.source_mix_report(docs).collect()}
+    assert rows["web"].n_docs == 2 and rows["books"].n_docs == 1
+    assert abs(rows["web"].doc_share - round(2 / 3, 6)) < 1e-9
+    assert rows["web"].total_tokens == 17
+    assert 0.0 <= rows["books"].mean_quality <= 1.0
+
+
+def test_chunking_reconstructs_tokens_property(spark):
+    """Property: with stride == chunk_size (no overlap), concatenating the
+    chunks in order reconstructs the tokenized document exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.text(alphabet="abc123", min_size=1, max_size=5),
+            min_size=0,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=7),
+    )
+    def check(tokens_list, size):
+        df = spark.createDataFrame(
+            [(1, " ".join(tokens_list))], "doc_id long, text string"
+        )
+        rows = sorted(
+            corpus.chunk_documents(df, chunk_size=size, stride=size).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        rebuilt = " ".join(r.chunk_text for r in rows).split()
+        assert rebuilt == tokens_list
+        assert sum(r.n_tokens for r in rows) == len(tokens_list)
+
+    check()
