@@ -264,3 +264,33 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
             "mean_quality",
         )
     )
+
+
+def quality_bands(documents: DataFrame) -> DataFrame:
+    """Assign each document a corpus-relative quality quartile (q1 worst …
+    q4 best) — the banding a curation pass uses to set per-band sampling.
+
+    The scale-correct two-pass shape: pass 1 reduces the corpus to THREE
+    numbers (the quartile cutoffs, a 1-row aggregate), pass 2 assigns bands
+    by comparing against the broadcast cutoffs — no global sort, no ntile
+    over a total order (which would funnel 100 TB through one sort).
+    Cutoffs here are exact percentiles for oracle parity; at 100 TB swap
+    ``percentile`` for ``approx_percentile`` (same plan shape).
+    """
+    from .text import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    cuts = q.agg(
+        F.percentile("quality", 0.25).alias("p25"),
+        F.percentile("quality", 0.50).alias("p50"),
+        F.percentile("quality", 0.75).alias("p75"),
+    )
+    band = (
+        F.when(F.col("quality") <= F.col("p25"), F.lit("q1"))
+        .when(F.col("quality") <= F.col("p50"), F.lit("q2"))
+        .when(F.col("quality") <= F.col("p75"), F.lit("q3"))
+        .otherwise(F.lit("q4"))
+    )
+    return q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "quality", band.alias("band")
+    )

@@ -1516,3 +1516,28 @@ FROM per CROSS JOIN t
 
 QUERIES["source_mix"] = q_source_mix
 ORACLE["source_mix"] = SQL_SOURCE_MIX
+
+
+def q_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.quality_bands(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_BANDS = f"""
+WITH qx AS ({SQL_QUALITY_SCORE}),
+q AS (SELECT doc_id, quality FROM qx),
+cuts AS (
+  SELECT quantile_cont(quality, 0.25) AS p25,
+         quantile_cont(quality, 0.50) AS p50,
+         quantile_cont(quality, 0.75) AS p75
+  FROM q
+)
+SELECT doc_id, quality,
+       CASE WHEN quality <= p25 THEN 'q1'
+            WHEN quality <= p50 THEN 'q2'
+            WHEN quality <= p75 THEN 'q3'
+            ELSE 'q4' END AS band
+FROM q CROSS JOIN cuts
+"""
+
+QUERIES["quality_bands"] = q_quality_bands
+ORACLE["quality_bands"] = SQL_QUALITY_BANDS

@@ -165,3 +165,22 @@ def test_chunking_reconstructs_tokens_property(spark):
         assert sum(r.n_tokens for r in rows) == len(tokens_list)
 
     check()
+
+
+def test_quality_bands_quartiles(spark):
+    docs = _docs(spark, [f"word {'the ' * i}tail" for i in range(20)])
+    rows = corpus.quality_bands(docs).collect()
+    counts = {}
+    for r in rows:
+        counts[r.band] = counts.get(r.band, 0) + 1
+    assert set(counts) <= {"q1", "q2", "q3", "q4"}
+    assert sum(counts.values()) == 20
+    # quartiles of 20 docs: roughly 5 per band (ties can shift boundaries)
+    assert all(2 <= v <= 8 for v in counts.values()), counts
+    # band ordering is monotone in quality
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r.quality)
+    for lo, hi in [("q1", "q2"), ("q2", "q3"), ("q3", "q4")]:
+        if lo in by_band and hi in by_band:
+            assert max(by_band[lo]) <= min(by_band[hi])
