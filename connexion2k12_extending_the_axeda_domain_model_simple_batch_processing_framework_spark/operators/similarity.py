@@ -337,8 +337,13 @@ def ivf_probe(
     rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # probes is queries × nprobe rows — always the broadcast side. Without
+    # the hint Spark may plan a shuffle join on centroid_id, whose
+    # cardinality is only nlist: the inverted file (the 100 TB side) would
+    # collapse onto nlist reducers. Broadcasting the probe set streams the
+    # inverted file in place with its partition pruning intact.
     return (
-        probes.join(inv, "centroid_id")
+        F.broadcast(probes).join(inv, "centroid_id")
         .filter(F.col("query_id") != F.col("vid"))
         .select(
             "query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")
