@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex_hash64
 from ..functions.partitioning import spread
-from ..functions.textfns import tokens
+from ..functions.textfns import token_count_col, tokens
 
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
@@ -263,6 +263,64 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
             "total_tokens",
             "mean_quality",
         )
+    )
+
+
+SEQ_LEN = 512
+PACK_BUCKET_BITS = 5  # 32 contiguous hash-range buckets
+
+
+def sequence_pack(
+    documents: DataFrame,
+    seq_len: int = SEQ_LEN,
+    bucket_bits: int = PACK_BUCKET_BITS,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: place every document in the
+    deterministic (md5-hash, doc_id) global token stream — each doc costs
+    ``n_tokens + 1`` (one EOS separator) — and cut the stream every
+    ``seq_len`` tokens. Returns per doc its stream ``start_offset``, the
+    training sequence it starts in (``seq_id``) and how many sequences it
+    spans (``n_seqs``): the packing manifest an LLM data loader consumes.
+
+    A naive global running sum is a single-partition window — the 100 TB
+    killer. Instead the hash's top ``bucket_bits`` bits split the stream
+    into contiguous ranges: pass 1 computes each bucket's token total
+    (tiny: 2^bucket_bits rows) and prefix-sums those on the driver-sized
+    table; pass 2 does a per-bucket window cumsum and adds the broadcast
+    bucket offset — global offsets from one bounded-width shuffle, the
+    same shape as sources/csv_tasks' per-file line numbering. Because the
+    bucket is the hash's high bits, bucket-major order IS (hash, doc_id)
+    order, so the result equals the single-window computation exactly.
+    """
+    h = hex_hash64(F.col("doc_id").cast("string"))
+    d = spread(documents).select(
+        "doc_id",
+        h.alias("__h"),
+        (token_count_col(F.col("text")) + 1).alias("__cost"),
+    )
+    d = d.withColumn("__b", F.shiftright(F.col("__h"), 60 - bucket_bits))
+    totals = d.groupBy("__b").agg(F.sum("__cost").alias("__btot"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__btot").over(wb), F.lit(0)).alias("__boff")
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = (F.col("__boff") + F.sum("__cost").over(w) - F.col("__cost")).alias(
+        "start_offset"
+    )
+    scored = d.join(F.broadcast(offsets), "__b").select(
+        "doc_id", (F.col("__cost") - 1).alias("n_tokens"), start, "__cost"
+    )
+    seq_id = F.expr(f"start_offset div {seq_len}")
+    last_seq = F.expr(f"(start_offset + __cost - 1) div {seq_len}")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        seq_id.alias("seq_id"),
+        (last_seq - seq_id + 1).alias("n_seqs"),
     )
 
 

@@ -1541,3 +1541,38 @@ FROM q CROSS JOIN cuts
 
 QUERIES["quality_bands"] = q_quality_bands
 ORACLE["quality_bands"] = SQL_QUALITY_BANDS
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest for the fixed-length-sequence training stream
+    (operators.corpus.sequence_pack)."""
+    return corpus.sequence_pack(load_table(spark, sf_dir, "documents"))
+
+
+# the oracle computes the SAME global (hash, doc_id) stream with one flat
+# window — the Spark side's bucketed two-phase cumsum must equal it exactly
+SQL_SEQUENCE_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({_TOKS}) + 1 AS cost,
+         {_HEX64.format(expr="doc_id::VARCHAR")} AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, cost,
+         COALESCE(SUM(cost) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_offset
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (cost - 1)::BIGINT AS n_tokens,
+       start_offset,
+       (start_offset // {corpus.SEQ_LEN})::BIGINT AS seq_id,
+       ((start_offset + cost - 1) // {corpus.SEQ_LEN}
+        - start_offset // {corpus.SEQ_LEN} + 1)::BIGINT AS n_seqs
+FROM s
+"""
+
+QUERIES["sequence_pack"] = q_sequence_pack
+ORACLE["sequence_pack"] = SQL_SEQUENCE_PACK

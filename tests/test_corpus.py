@@ -184,3 +184,45 @@ def test_quality_bands_quartiles(spark):
     for lo, hi in [("q1", "q2"), ("q2", "q3"), ("q3", "q4")]:
         if lo in by_band and hi in by_band:
             assert max(by_band[lo]) <= min(by_band[hi])
+
+
+def test_sequence_pack_stream_is_contiguous(spark):
+    # 30 docs of varying token counts; the packing manifest must describe
+    # one gapless stream: sorted by start_offset, each doc starts exactly
+    # where the previous one ended (n_tokens + 1 EOS), starting at 0.
+    texts = [" ".join(f"w{j}" for j in range(1 + (i * 7) % 13)) for i in range(30)]
+    rows = sorted(
+        corpus.sequence_pack(_docs(spark, texts), seq_len=16).collect(),
+        key=lambda r: r.start_offset,
+    )
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.seq_id == pos // 16
+        last = pos + r.n_tokens  # last occupied offset = start + cost - 1
+        assert r.n_seqs == last // 16 - pos // 16 + 1
+        pos += r.n_tokens + 1
+    assert pos == sum(len(t.split()) + 1 for t in texts)
+
+
+def test_sequence_pack_matches_flat_window(spark):
+    # the bucketed two-phase cumsum must equal the naive single-window
+    # computation (same deterministic (hash, doc_id) order) — and with
+    # bucket_bits=1 vs 5 the manifest is identical: bucketing is purely a
+    # parallelism choice, never a semantics one.
+    texts = [f"doc {i} body " + "pad " * (i % 9) for i in range(40)]
+    a = sorted(
+        corpus.sequence_pack(_docs(spark, texts), seq_len=8, bucket_bits=1).collect()
+    )
+    b = sorted(
+        corpus.sequence_pack(_docs(spark, texts), seq_len=8, bucket_bits=5).collect()
+    )
+    assert a == b
+
+
+def test_sequence_pack_window_is_bucket_partitioned(spark):
+    # the heavy window must partition by the hash bucket — a global
+    # single-partition window over the corpus would be the 100 TB killer.
+    df = corpus.sequence_pack(_docs(spark, ["alpha beta", "gamma"]))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__b" in plan
