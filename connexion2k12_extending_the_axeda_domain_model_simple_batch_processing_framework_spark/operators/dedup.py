@@ -370,6 +370,26 @@ def dup_clusters(
     return connected_components(pairs, max_iterations)
 
 
+def keep_canonical(
+    documents: DataFrame, max_iterations: int = 10, **lsh_kwargs
+) -> DataFrame:
+    """The deduplicated corpus itself: drop every near-dup cluster member
+    except the canonical one (the doc whose id IS the cluster label — the
+    smallest id in its component); docs in no cluster pass through. This is
+    the step a training pipeline actually materializes — `dup_clusters` is
+    the diagnosis, this is the treatment.
+
+    The drop set (non-canonical members) is a tiny fraction of the corpus,
+    so the final filter is a broadcast ANTI-join against it: one scan of
+    the corpus, no shuffle of the big side. Cf. the reference's
+    state-guarded delete (``DeleteBatch.groovy``) for the same
+    anti-join-as-delete shape on the batch surface.
+    """
+    labels = dup_clusters(documents, max_iterations, **lsh_kwargs)
+    dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return documents.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     """Min-label propagation over an undirected edge list (doc_a, doc_b):
     output (doc_id, cluster_id) where cluster_id = min node id reachable."""

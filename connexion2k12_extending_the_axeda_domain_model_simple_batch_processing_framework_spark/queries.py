@@ -1576,3 +1576,21 @@ FROM s
 
 QUERIES["sequence_pack"] = q_sequence_pack
 ORACLE["sequence_pack"] = SQL_SEQUENCE_PACK
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: one canonical survivor per near-dup cluster
+    (operators.dedup.keep_canonical)."""
+    return dedup.keep_canonical(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_CANONICAL = f"""
+SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({SQL_DUP_CLUSTERS}) l WHERE cluster_id <> doc_id
+)
+"""
+
+QUERIES["dedup_canonical"] = q_dedup_canonical
+ORACLE["dedup_canonical"] = SQL_DEDUP_CANONICAL

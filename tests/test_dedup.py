@@ -186,3 +186,16 @@ def test_incremental_near_dup_finds_corpus_collision(spark):
     rows = incremental_near_dup(new, corpus).collect()
     assert {(r.new_doc_id, r.corpus_doc_id) for r in rows} == {(100, 1)}
     assert rows[0].jaccard == 1.0
+
+
+def test_keep_canonical_one_survivor_per_cluster(spark):
+    # docs 1..3 are a near-dup chain (A~B, B~C); doc 4 is unrelated. The
+    # deduplicated corpus keeps exactly the cluster's min id plus the
+    # untouched doc — A-B-C chains must lose BOTH non-canonical members
+    # even though A and C may never pair directly.
+    docs = _docs(spark, [BASE, BASE + " x", BASE + " x y", FAR])
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(docs).collect())
+    assert kept == [1, 4]
+    # output keeps the full document schema, not just ids
+    cols = dedup.keep_canonical(docs).columns
+    assert cols == ["doc_id", "text"]
