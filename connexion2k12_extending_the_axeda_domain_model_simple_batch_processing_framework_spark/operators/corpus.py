@@ -352,3 +352,48 @@ def quality_bands(documents: DataFrame) -> DataFrame:
     return q.crossJoin(F.broadcast(cuts)).select(
         "doc_id", "quality", band.alias("band")
     )
+
+
+SOURCE_CAP = 20
+CAP_SALT_BUCKETS = 32
+
+
+def source_cap(
+    documents: DataFrame,
+    cap: int = SOURCE_CAP,
+    salt_buckets: int = CAP_SALT_BUCKETS,
+) -> DataFrame:
+    """Per-source document cap: keep the ``cap`` highest-quality documents
+    of each source (the per-domain cap every pretraining pipeline applies
+    so one giant domain can't dominate the mixture). Deterministic total
+    order: quality desc, doc_id asc.
+
+    Scale shape — two-phase salted top-N. A single
+    ``Window.partitionBy(source)`` funnels EVERY row of a source through
+    one task; with ~20 sources over 100 TB that's a multi-TB partition.
+    Phase 1 ranks within (source, salt) — ``salt_buckets`` deterministic
+    slices per source — and keeps ``cap`` rows per slice, shrinking each
+    source to salt_buckets × cap candidates; phase 2 ranks the survivors
+    per source, now trivially small. Any row the global top-cap contains
+    is in its slice's top-cap, so the two-phase result is exact.
+
+    Quality rides through ``quality_score(keep=("source",))`` — a
+    projection, not a join back to documents.
+    """
+    from .text import quality_score
+
+    q = quality_score(documents, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    salt = F.pmod(F.col("doc_id"), F.lit(salt_buckets))
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        q.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= cap)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "quality", "rk")
+    )

@@ -56,6 +56,91 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel conversion: for each user, step *i* counts only if an
+    event of ``steps[i]`` occurs at-or-after the user's earliest qualifying
+    step *i-1* time (``t_i = min ts of steps[i] with ts >= t_{i-1}``).
+
+    One shuffle total: every per-step first-reach time is an unordered
+    window aggregate over the same ``partitionBy(user_id)``, so Catalyst
+    plans a single Exchange feeding a chain of Window operators; the
+    per-user reduction reuses that partitioning (no second Exchange) and
+    the final step-count aggregate moves one row per partition. At 100 TB
+    the full events table is shuffled once — the naive per-step
+    join-back-to-events plan shuffles it ``len(steps)`` times.
+
+    Output: one row per step — (step, event_type, n_users), n_users
+    monotonically non-increasing down the funnel.
+    """
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "ts", "event_type")
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            # strictly-ordered reach: same-timestamp follow-ups count
+            # (>=), matching ASOF attribution's tie semantics above
+            cond = cond & (F.col("ts") >= F.col(prev))
+        df = df.withColumn(f"__t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"__t{i}"
+    per_user = df.groupBy("user_id").agg(
+        *[F.first(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"__c{i}").cast("long").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.inline(rows))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their first
+    event; for each later week they were active, one (cohort_week,
+    week_offset) cell with the distinct-user count.
+
+    Plan shape: the first-event time is an unordered window min over
+    ``partitionBy(user_id)`` (one Exchange of the events table), the
+    (user, week) activity grid is a distinct over already-derived columns,
+    and the cell counts aggregate the deduplicated grid — input flows
+    through exactly one full-size shuffle, the rest move |users|×|weeks|
+    rows at most. week_offset uses day-difference integer division (UTC
+    session timezone, no DST), bit-exact vs the oracle.
+    """
+    w = Window.partitionBy("user_id")
+    active = (
+        events.select("user_id", "ts")
+        .withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        active.select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def asof_attribute(
     events: DataFrame,
     left_type: str = "click",

@@ -49,10 +49,14 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic document quality in [0,1]:
     0.4·min(n_tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
-    Ratios in double, rounded to 6 decimals (SURVEY.md §6)."""
+    Ratios in double, rounded to 6 decimals (SURVEY.md §6).
+
+    ``keep`` threads extra input columns (e.g. ``source``) through the
+    projection so downstream per-group operators don't need a join back to
+    the documents table."""
     en_words = LANG_PROFILES[0][1]
     # materialize tokens once (own projection) — summing a per-stopword
     # filter over the inline tokenize expression re-ran the regex split per
@@ -60,13 +64,14 @@ def quality_score(documents: DataFrame) -> DataFrame:
     # equivalent (sum of per-word occurrence counts == count of tokens in
     # the stopword set) and single-pass.
     toked = documents.select(
-        "doc_id", F.col("text"), tokens(F.col("text")).alias("__toks")
+        "doc_id", *keep, F.col("text"), tokens(F.col("text")).alias("__toks")
     )
     stop_hits = F.size(
         F.filter(F.col("__toks"), lambda t: t.isin(*en_words))
     ).cast("long")
     df = toked.select(
         "doc_id",
+        *keep,
         F.size("__toks").cast("long").alias("n_tokens"),
         F.length(F.col("text")).cast("long").alias("n_chars"),
         punct_count(F.col("text")).alias("n_punct"),
@@ -84,6 +89,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     score = 0.4 * min_tok + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
     return df.select(
         "doc_id",
+        *keep,
         "n_tokens",
         "n_chars",
         "n_punct",
@@ -155,6 +161,31 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         cleaned.alias("redacted_text"),
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
+    )
+
+
+#: normalization regexes restricted to syntax with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB oracle): explicit char classes, no
+#: shorthand \s (Java's includes \x0b, RE2's doesn't).
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+WS_RE = r"[ \t\r\n]+"
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Whitespace/control normalization: control chars → space, whitespace
+    runs collapsed to one space, ends trimmed. The first pass of every
+    text-cleaning pipeline; pure regexp column expressions — single scan,
+    no shuffle, scan-speed at 100 TB. ``changed`` marks rewritten docs so
+    a downstream audit can count normalization rates without a re-diff."""
+    txt = F.col("text")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(txt, CTRL_RE, " "), WS_RE, " ")
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != txt).alias("changed"),
     )
 
 

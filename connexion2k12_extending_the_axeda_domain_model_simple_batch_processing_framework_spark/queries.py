@@ -1594,3 +1594,117 @@ WHERE doc_id NOT IN (
 
 QUERIES["dedup_canonical"] = q_dedup_canonical
 ORACLE["dedup_canonical"] = SQL_DEDUP_CANONICAL
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: funnel / cohort analytics, per-source cap, text normalization
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream
+    (operators.temporal.funnel)."""
+    return temporal.funnel(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+# per-step first-reach CTE chain: step i's reach time is the min event time
+# at-or-after the user's step i-1 reach — identical to the window chain
+SQL_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+  GROUP BY e.user_id
+)
+SELECT 0::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s0)::BIGINT AS n_users
+UNION ALL
+SELECT 1::BIGINT, 'click', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL
+SELECT 2::BIGINT, 'purchase', (SELECT count(*) FROM s2)::BIGINT
+"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLE["events_funnel"] = SQL_EVENTS_FUNNEL
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (operators.temporal.cohort_retention)."""
+    return temporal.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts)::DATE AS active_week
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, active_week) // 7)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM grid
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE["cohort_retention"] = SQL_COHORT_RETENTION
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source highest-quality document cap (operators.corpus.source_cap)."""
+    return corpus.source_cap(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_CAP = f"""
+WITH qx AS ({{quality}}),
+j AS (
+  SELECT d.doc_id, d.source, qx.quality
+  FROM documents d JOIN qx USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM j
+)
+SELECT doc_id::BIGINT AS doc_id, source, quality, rk::BIGINT AS rk
+FROM r WHERE rk <= {corpus.SOURCE_CAP}
+"""
+
+QUERIES["source_cap"] = q_source_cap
+ORACLE["source_cap"] = SQL_SOURCE_CAP.format(quality=SQL_QUALITY_SCORE)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control normalization pass (operators.text.normalize_text)."""
+    return text.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_NORMALIZE = rf"""
+SELECT doc_id::BIGINT AS doc_id,
+       trim(regexp_replace(regexp_replace(text, '{text.CTRL_RE}', ' ', 'g'),
+                           '{text.WS_RE}', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(text, '{text.CTRL_RE}', ' ', 'g'),
+                                  '{text.WS_RE}', ' ', 'g')))::BIGINT AS n_chars_norm,
+       (trim(regexp_replace(regexp_replace(text, '{text.CTRL_RE}', ' ', 'g'),
+                            '{text.WS_RE}', ' ', 'g')) <> text) AS changed
+FROM documents
+"""
+
+QUERIES["text_normalize"] = q_text_normalize
+ORACLE["text_normalize"] = SQL_TEXT_NORMALIZE

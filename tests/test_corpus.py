@@ -226,3 +226,62 @@ def test_sequence_pack_window_is_bucket_partitioned(spark):
     df = corpus.sequence_pack(_docs(spark, ["alpha beta", "gamma"]))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(__b" in plan
+
+
+# ---------------------------------------------------------------------------
+# source_cap
+# ---------------------------------------------------------------------------
+
+
+def test_source_cap_keeps_top_quality_per_source(spark):
+    # stopword ratio dominates at these lengths: doc 1 ("the fox", ratio
+    # 1/2 = .5, quality .458) > doc 2 (3/7, .4566) > doc 3 (3/10, .43);
+    # a cap of 2 keeps docs 1 and 2 and drops doc 3. srcB is untouched.
+    docs = spark.createDataFrame(
+        [
+            (1, "the fox", "srcA"),
+            (2, "the quick brown fox and a dog", "srcA"),
+            (3, "the quick brown fox and the lazy dog again and again", "srcA"),
+            (4, "only doc", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = corpus.source_cap(docs, cap=2).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.rk, r.doc_id))
+    assert sorted(by_source["srcA"]) == [(1, 1), (2, 2)]
+    assert by_source["srcB"] == [(1, 4)]
+
+
+def test_source_cap_two_phase_equals_single_window(spark):
+    # the salted two-phase plan must be EXACT: compare against a plain
+    # single-window top-N on a corpus larger than cap x salt slices
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("word " * (i % 37 + 1)).strip(), f"src{i % 3}")
+            for i in range(1, 301)
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source, r.rk): r.doc_id
+        for r in corpus.source_cap(docs, cap=5, salt_buckets=4).collect()
+    }
+    q = quality_score(docs, keep=("source",))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r.source, r.rk): r.doc_id
+        for r in q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want

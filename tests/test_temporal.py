@@ -75,3 +75,65 @@ def test_asof_equal_timestamp_click_counts(spark):
     assert len(rows) == 1
     assert rows[0].click_id == 1
     assert rows[0].lag_us == 0
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_ordered_steps(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1 completes the funnel in order
+            (1, _t(0), 1, "view", 0.0),
+            (2, _t(1), 1, "click", 0.0),
+            (3, _t(2), 1, "purchase", 0.0),
+            # user 2 clicks BEFORE viewing: click doesn't count, purchase
+            # (after a later re-click) does not exist -> stops at view
+            (4, _t(1), 2, "click", 0.0),
+            (5, _t(2), 2, "view", 0.0),
+            (6, _t(0), 2, "purchase", 0.0),
+            # user 3 never views
+            (7, _t(0), 3, "click", 0.0),
+            (8, _t(1), 3, "purchase", 0.0),
+        ],
+        SCHEMA,
+    )
+    rows = {r.step: r for r in temporal.funnel(events).collect()}
+    assert [rows[i].event_type for i in range(3)] == ["view", "click", "purchase"]
+    assert rows[0].n_users == 2          # users 1 and 2 viewed
+    assert rows[1].n_users == 1          # only user 1 clicked after viewing
+    assert rows[2].n_users == 1
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # >= semantics: a click at the exact view instant advances the funnel
+    events = spark.createDataFrame(
+        [(1, _t(0), 1, "view", 0.0), (2, _t(0), 1, "click", 0.0)], SCHEMA
+    )
+    rows = {r.step: r.n_users for r in temporal.funnel(events).collect()}
+    assert rows == {0: 1, 1: 1, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+
+    def day(d, user, eid):
+        return (eid, dt(2026, 1, d, 12, 0), user, "view", 0.0)
+
+    # 2026-01-05 is a Monday (week start); user 1 first active that week,
+    # again 2 weeks later; user 2 joins the same cohort, active week 0 only
+    events = spark.createDataFrame(
+        [day(5, 1, 1), day(6, 1, 2), day(19, 1, 3), day(7, 2, 4)], SCHEMA
+    )
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in temporal.cohort_retention(events).collect()
+    }
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}

@@ -105,3 +105,26 @@ def test_doc_fingerprint_is_order_sensitive(spark):
 def test_empty_doc_fingerprint_zero(spark):
     r = text.doc_fingerprint(_docs(spark, ["!!!"])).collect()[0]
     assert r.rolling_fp == 0
+
+
+def test_normalize_text_collapses_and_trims(spark):
+    rows = {r.doc_id: r for r in text.normalize_text(_docs(spark, [
+        "  hello\t\tworld \n next\r\nline  ",
+        "already clean",
+        "ctrl\x01char\x7fhere",
+    ])).collect()}
+    assert rows[1].norm_text == "hello world next line"
+    assert rows[1].changed is True
+    assert rows[1].n_chars_norm == len("hello world next line")
+    assert rows[2].norm_text == "already clean"
+    assert rows[2].changed is False
+    assert rows[3].norm_text == "ctrl char here"
+
+
+def test_quality_score_keep_threads_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "the fox", "srcA")], "doc_id long, text string, source string"
+    )
+    r = text.quality_score(docs, keep=("source",)).collect()[0]
+    assert r.source == "srcA"
+    assert r.quality > 0
