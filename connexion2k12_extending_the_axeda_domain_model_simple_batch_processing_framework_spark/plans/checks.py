@@ -27,8 +27,13 @@ def count_broadcast_joins(df: DataFrame) -> int:
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
-    plan = plan_string(df)
+    """Number of shuffle Exchange operators (excludes broadcast exchanges).
+
+    Parses the SIMPLE-mode plan: formatted mode prints exchanges as
+    ``Exchange (5)`` with the partitioning on a detail line, so the
+    operator+arguments regex silently matched nothing there (every
+    count was 0 and upper-bound assertions passed vacuously)."""
+    plan = plan_string(df, "simple")
     return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
 
 

@@ -147,3 +147,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert checks.count_broadcast_joins(joined) == 0  # a real merge join
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+
+
+def test_funnel_single_full_shuffle(dfs):
+    # one hashpartitioning Exchange on user_id; the window chain, per-user
+    # reduction, and final count reuse it (plus one SinglePartition move
+    # of a row per partition)
+    df = dfs["events_funnel"]
+    assert checks.count_shuffle_exchanges(df) <= 2
+    assert not checks.uses_python_eval(df)
+
+
+def test_cohort_retention_bounded_shuffles(dfs):
+    # user_id Exchange (window + distinct reuse it) + the tiny cell-count
+    # aggregate; nothing else may shuffle
+    df = dfs["cohort_retention"]
+    assert checks.count_shuffle_exchanges(df) <= 2
+    assert not checks.uses_python_eval(df)
+
+
+def test_source_cap_salted_no_single_task_source(dfs):
+    # two-phase top-N: (source, _salt) ranking then source ranking over
+    # survivors — exactly two exchanges, none SinglePartition
+    df = dfs["source_cap"]
+    assert checks.count_shuffle_exchanges(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert not checks.uses_python_eval(df)
+
+
+def test_text_normalize_zero_shuffle_scan_speed(dfs):
+    df = dfs["text_normalize"]
+    assert checks.count_shuffle_exchanges(df) == 0
+    assert not checks.uses_python_eval(df)
+    assert checks.codegen_stage_count(df) >= 1
