@@ -123,6 +123,38 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+SLIDE_WINDOW = "1 hour"
+SLIDE_STEP = "30 minutes"
+
+
+def events_sliding_rollup(events: DataFrame) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows every 30 minutes, so each
+    event lands in exactly window/slide = 2 windows. ``F.window`` expands
+    the memberships as a generator BEFORE the shuffle — output volume is
+    2× the input feeding one groupBy (map-side combined), not a
+    self-join of hour buckets. The streaming twin is the same expression
+    under ``readStream`` + a watermark.
+
+    Output: window_start, event_type, n_events, sum_value, n_users.
+    """
+    win = F.window(F.col("ts"), SLIDE_WINDOW, SLIDE_STEP)
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """LEFT ANTI join (NOT EXISTS). At scale: shuffle-partitioned on the
     key; AQE converts to broadcast when the orders key set is small."""

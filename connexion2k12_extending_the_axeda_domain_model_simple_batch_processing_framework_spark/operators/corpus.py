@@ -111,7 +111,10 @@ BENCHMARK_MOD = 97
 
 
 def contamination_check(
-    documents: DataFrame, n: int = CONTAM_NGRAM, benchmark_mod: int = BENCHMARK_MOD
+    documents: DataFrame,
+    n: int = CONTAM_NGRAM,
+    benchmark_mod: int = BENCHMARK_MOD,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Flag training documents that share an ``n``-gram with the benchmark
     (eval) subset — the decontamination pass every pretraining pipeline
@@ -124,6 +127,15 @@ def contamination_check(
     one scan of the training corpus, one shuffle (the per-doc hit count),
     no skew exposure. Returns every non-benchmark doc with its matched-gram
     count and a contaminated flag.
+
+    ``bloom_prefilter=True`` is the large-eval-suite path: the benchmark
+    grams fold into a bloom filter (``bloom_filter_agg``, one binary blob
+    of a few MB no matter how many grams), which prefilters corpus grams
+    map-side before the exact broadcast join. Bloom false positives are
+    removed by that exact join, so the result — and the DuckDB oracle —
+    is IDENTICAL to the exact path; what changes at 100 TB is the volume
+    entering the join: only grams that (probably) hit, instead of every
+    gram in the corpus.
     """
     from .dedup import shingle_table
 
@@ -135,6 +147,17 @@ def contamination_check(
     corpus_grams = sh.filter(~is_bench).select(
         "doc_id", F.explode("shingles").alias("gram")
     )
+    if bloom_prefilter:
+        bloom = bench_grams.agg(
+            F.expr(
+                "bloom_filter_agg(xxhash64(gram), 100000L, 800000L)"
+            ).alias("bf")
+        )
+        corpus_grams = (
+            corpus_grams.join(F.broadcast(bloom))
+            .filter(F.expr("might_contain(bf, xxhash64(gram))"))
+            .drop("bf")
+        )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
