@@ -15,16 +15,22 @@ from ..domain import TABLES
 
 # Runtime-settable SQL confs the engine's plans depend on. ``get_spark``
 # sets these at build time, but callers may hand us a foreign SparkSession
-# (a test harness, a notebook) that lacks them — both are plain SQL confs,
+# (a test harness, a notebook) that lacks them — all are plain SQL confs,
 # safe to set on a live session:
-#  - nanosAsLong: events.parquet carries INT64 TIMESTAMP(NANOS), which
-#    Spark refuses to read (PARQUET_TYPE_ILLEGAL) unless told to surface
-#    the raw long; we then truncate to micros below.
+#  - nanosAsLong: on Spark <= 4.0, events.parquet's INT64 TIMESTAMP(NANOS)
+#    is unreadable (PARQUET_TYPE_ILLEGAL) unless surfaced as a raw long;
+#    Spark 4.1+ reads nanos natively as TIMESTAMP_NTZ and ignores this
+#    conf, so ``load_table`` branches on the dtype it actually got.
+#  - session.timeZone=UTC: pins the TIMESTAMP_NTZ -> TIMESTAMP cast (and
+#    every hour/date extraction) to UTC wall clock, so results are
+#    identical across Spark versions, host timezones, and the DuckDB
+#    oracle (which computes in naive UTC).
 #  - InferFiltersFromGenerate exclusion: see session.py — the inferred
 #    `size(arr) > 0` filter inlines the whole array-building expression
 #    pre-scan and slows the shingle-explode dedup paths 10-20x.
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
@@ -44,10 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a raw
-        # long (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros —
-        # identical to DuckDB's/Arrow's ns→µs conversion.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts is parquet TIMESTAMP(NANOS). What Spark hands us is
+        # version-dependent: <= 4.0 with nanosAsLong gives the raw nano
+        # long; 4.1+ reads it natively as TIMESTAMP_NTZ (micro-truncated).
+        # Normalize both to TIMESTAMP under the UTC session timezone —
+        # value-identical to DuckDB's/Arrow's ns→µs conversion either way.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

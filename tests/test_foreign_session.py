@@ -1,12 +1,16 @@
 """Regression: load_table must work on a SparkSession it did not build.
 
 The driver's correctness harness constructs its own SparkSession without
-the confs ``get_spark`` sets (nanosAsLong for the TIMESTAMP(NANOS) events
-table, the InferFiltersFromGenerate exclusion). ``load_table`` must set
-them at runtime so every query works on a foreign session.
+the confs ``get_spark`` sets. ``load_table`` must self-heal at runtime:
+set the runtime-settable SQL confs and normalize the events TIMESTAMP
+(NANOS) column to TIMESTAMP regardless of what the running Spark version
+hands back (raw nano long on <= 4.0 with nanosAsLong, TIMESTAMP_NTZ on
+4.1+ where the legacy conf is inert).
 """
 
 from __future__ import annotations
+
+import datetime
 
 import pytest
 
@@ -30,18 +34,32 @@ def confless(spark):
             spark.conf.set(k, v)
 
 
-def test_events_read_fails_without_conf(confless, sf_dir):
-    # Sanity: the raw read really does fail on a conf-less session,
-    # proving the fixture simulates the driver's environment.
-    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
-        confless.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
-
-
 def test_load_table_self_heals_events(confless, sf_dir):
     df = load_table(confless, sf_dir, "events")
-    rows = df.limit(5).collect()
+    rows = df.orderBy("event_id").limit(5).collect()
     assert len(rows) == 5
+    # normalized to TIMESTAMP (not a raw long, not NTZ) on every version
     assert dict(df.dtypes)["ts"] == "timestamp"
     # and the confs are now in place for subsequent plans
     for k, v in _REQUIRED_CONFS.items():
         assert confless.conf.get(k) == v
+
+
+def test_events_ts_values_are_utc_micros(confless, sf_dir):
+    """The normalized ts must equal the raw parquet nano count truncated
+    to micros and interpreted as UTC — the exact values the DuckDB oracle
+    computes — independent of which read path the Spark version took."""
+    import duckdb
+
+    df = load_table(confless, sf_dir, "events")
+    got = [r["ts"] for r in df.orderBy("event_id").limit(3).collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT ts FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 3"
+        ).fetchall()
+    ]
+    assert [g.replace(tzinfo=None) if g.tzinfo else g for g in got] == [
+        w.replace(tzinfo=None) for w in want
+    ]
+    assert all(isinstance(w, datetime.datetime) for w in want)
