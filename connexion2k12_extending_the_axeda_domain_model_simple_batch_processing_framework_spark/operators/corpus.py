@@ -108,6 +108,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
 
 CONTAM_NGRAM = 8
 BENCHMARK_MOD = 97
+BLOOM_BUCKETS = 1 << 20
 
 
 def contamination_check(
@@ -129,14 +130,20 @@ def contamination_check(
     count and a contaminated flag.
 
     ``bloom_prefilter=True`` is the large-eval-suite path: the benchmark
-    grams fold into a bloom filter (``bloom_filter_agg``, one binary blob
-    of a few MB no matter how many grams), which prefilters corpus grams
-    map-side before the exact broadcast join. Bloom false positives are
-    removed by that exact join, so the result — and the DuckDB oracle —
-    is IDENTICAL to the exact path; what changes at 100 TB is the volume
-    entering the join: only grams that (probably) hit, instead of every
-    gram in the corpus.
+    grams fold into a single-hash Bloom filter — the distinct set of
+    ``hash(gram) % BLOOM_BUCKETS`` bucket ids, a compact integer set
+    bounded by BLOOM_BUCKETS no matter how many grams — and corpus grams
+    are prefiltered by a map-side broadcast SEMI-join on their bucket id
+    before the exact gram join. (Spark's native ``bloom_filter_agg`` /
+    ``might_contain`` pair is an optimizer-internal expression not in the
+    SQL function registry as of 4.1, so the filter is built declaratively;
+    the plan shape — broadcast a compact summary, filter map-side — is the
+    same.) Bloom false positives are removed by the exact join, so the
+    result — and the DuckDB oracle — is IDENTICAL to the exact path; what
+    changes at 100 TB is the volume entering the join: only grams that
+    (probably) hit, instead of every gram in the corpus.
     """
+    from ..functions.hashing import hex_hash64
     from .dedup import shingle_table
 
     sh = shingle_table(documents, n)
@@ -148,15 +155,12 @@ def contamination_check(
         "doc_id", F.explode("shingles").alias("gram")
     )
     if bloom_prefilter:
-        bloom = bench_grams.agg(
-            F.expr(
-                "bloom_filter_agg(xxhash64(gram), 100000L, 800000L)"
-            ).alias("bf")
-        )
+        bucket = (hex_hash64(F.col("gram")) % BLOOM_BUCKETS).alias("__bkt")
+        bench_buckets = bench_grams.select(bucket).distinct()
         corpus_grams = (
-            corpus_grams.join(F.broadcast(bloom))
-            .filter(F.expr("might_contain(bf, xxhash64(gram))"))
-            .drop("bf")
+            corpus_grams.withColumn("__bkt", bucket)
+            .join(F.broadcast(bench_buckets), "__bkt", "left_semi")
+            .drop("__bkt")
         )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
@@ -285,6 +289,135 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
             F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
             "total_tokens",
             "mean_quality",
+        )
+    )
+
+
+#: logprob quantization: micro-nats, summed as exact integers
+LP_SCALE = 1_000_000
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model — the cheap perplexity proxy pretraining pipelines use as a
+    quality filter (very low mean logprob = gibberish / OCR noise; very
+    high = degenerate repetition of common tokens).
+
+    Two-pass shape: pass 1 reduces the corpus to its unigram table
+    (one shuffle on token, map-side combined; vocabulary-sized output —
+    Zipf-small, so AQE broadcasts it into pass 2's join); pass 2 rejoins
+    token occurrences to their frequencies and aggregates per document.
+
+    Determinism: a float sum over shuffled rows is order-dependent, so
+    each occurrence's ln p is quantized to integer micro-nats FIRST
+    (round half-up, same in DuckDB) and the per-doc sum runs on exact
+    longs — bit-identical across engines and partitionings; only the
+    final mean divides back to double.
+    """
+    ex = spread(documents).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    freq = ex.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    lp_micro = F.round(
+        F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+        * LP_SCALE,
+        0,
+    ).cast("long")
+    scored = (
+        ex.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp_micro.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum")
+    )
+    base = documents.select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.col("lp_sum") / (F.col("n_tokens") * F.lit(float(LP_SCALE))), 6
+        ).alias("avg_logprob"),
+    )
+
+
+SEG_LEN = 4
+BOILER_MAX_DF = 2
+
+
+def boilerplate_scrub(
+    documents: DataFrame, seg_len: int = SEG_LEN, max_df: int = BOILER_MAX_DF
+) -> DataFrame:
+    """Cross-document segment dedup (CCNet-style boilerplate removal,
+    adapted to token segments since this corpus has no line structure):
+    split each document into consecutive ``seg_len``-token segments, drop
+    every segment that appears in more than ``max_df`` documents (headers,
+    footers, navigation chrome — text repeated verbatim across documents),
+    and reassemble the surviving segments in order.
+
+    Scale shape: segments explode ~tokens/seg_len rows off the scan; the
+    document-frequency aggregation shuffles on segment text (map-side
+    combined); the boilerplate set — segments with df > max_df — is tiny
+    by construction (Zipf tail cut), so the drop is a broadcast ANTI-join
+    against it, and reassembly is one shuffle on doc_id with per-doc
+    row counts bounded by doc length. Same frequent-item-cap pattern as
+    ``dedup.ngram_jaccard_pairs``' shingle-df cap.
+
+    Output keeps every document: (doc_id, n_segments, n_dropped,
+    clean_text); a fully-boilerplate doc comes back with empty text —
+    the rows a curation pass deletes.
+    """
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    ex = toked.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(seg_len))
+        ).alias("start"),
+    )
+    segs = ex.select(
+        "doc_id",
+        (F.col("start") / seg_len).cast("long").alias("seg_idx"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("start") + 1, F.lit(seg_len))
+        ).alias("seg_text"),
+    )
+    boiler = (
+        segs.select("doc_id", "seg_text")
+        .distinct()
+        .groupBy("seg_text")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("seg_text")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg_text", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg_text"))
+                ),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            (F.coalesce("n_segments", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

@@ -1,0 +1,155 @@
+"""Deterministic cardinality / frequency sketches.
+
+At 100 TB, exact distinct counts and exact per-item frequencies are the
+expensive queries: both shuffle every distinct value. The standard fix is
+a sketch — a small summary mergeable across partitions. Spark's built-ins
+(``approx_count_distinct`` HLL, ``count_min_sketch``) are seeded/engine
+-specific and can't be reproduced by the DuckDB oracle, so this module
+implements two classic sketches from md5-derived hashes
+(functions.hashing.hex_hash64), making every estimate bit-identical across
+engines while keeping the sketch-shaped plan:
+
+- **KMV (k-minimum-values)** distinct estimator: keep the k smallest
+  distinct hash values; estimate = (k-1) / normalized kth minimum. The
+  per-group state is k longs regardless of cardinality.
+- **Count-min sketch**: depth x width counter grid; an item's estimate is
+  the min of its depth bucket counts. The sketch table is depth*width rows
+  total — constant size — no matter how many tokens the corpus has.
+
+Both are pure DataFrame plans (explode + groupBy), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_hash64
+from ..functions.partitioning import spread
+from ..functions.textfns import tokens
+
+KMV_K = 64
+KMV_SALT_BUCKETS = 32
+#: hex_hash64 draws 15 hex chars = 60 uniform bits
+HASH_SPACE = float(1 << 60)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SEED_BASE = 1000
+CMS_TOPK = 20
+
+
+def kmv_distinct_tokens(
+    documents: DataFrame,
+    k: int = KMV_K,
+    salt_buckets: int = KMV_SALT_BUCKETS,
+) -> DataFrame:
+    """Per-source distinct-token estimate via a k-minimum-values sketch,
+    reported next to the exact count so the error is visible.
+
+    Scale shape: the distinct (source, hash) set is reduced to the k
+    smallest hashes per source with the same two-phase salted top-k as
+    operators.corpus.source_cap — phase 1 ranks within (source, salt)
+    slices and keeps k per slice (so no source ever funnels through one
+    task), phase 2 ranks the <= salt_buckets*k survivors. The sketch
+    estimate then reads ONE row per source. The exact count (one shuffle
+    of every distinct token) is the cost the sketch avoids at 100 TB; it
+    is computed here as the oracle-checked accuracy reference.
+
+    Estimate: (k-1) * 2^60 / kth_min_hash (the classic KMV estimator with
+    hashes uniform on [0, 2^60)); when a source has fewer than k distinct
+    tokens the sketch holds them all and the estimate is the exact count.
+    """
+    ex = spread(documents).select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    hs = ex.select("source", hex_hash64(F.col("t")).alias("h")).distinct()
+    order = [F.col("h").asc()]
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    topk = (
+        hs.withColumn("_salt", F.col("h") % salt_buckets)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .groupBy("source")
+        .agg(
+            F.max("h").alias("kth_hash"),
+            F.count(F.lit(1)).alias("k_actual"),
+        )
+    )
+    exact = ex.groupBy("source").agg(
+        F.countDistinct("t").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("k_actual") < k, F.col("k_actual").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash"), 4)
+    )
+    return exact.join(topk, "source").select(
+        "source",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        est.alias("kmv_estimate"),
+    )
+
+
+def _cms_buckets(col: F.Column, depth: int, width: int) -> F.Column:
+    """array of the item's bucket per sketch row r: hash(item, seed_r) % width."""
+    return F.array(
+        *[hex_hash64(col, CMS_SEED_BASE + r) % width for r in range(depth)]
+    )
+
+
+def cms_token_counts(
+    documents: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topk: int = CMS_TOPK,
+) -> DataFrame:
+    """Count-min-sketch token frequencies, validated against exact counts
+    for the corpus's ``topk`` most frequent tokens.
+
+    The sketch build is one pass: each token occurrence posexplodes to its
+    ``depth`` (row, bucket) cells and a groupBy reduces to the
+    depth x width counter grid — map-side combine means the shuffle moves
+    at most depth*width rows per partition, and the finished sketch is
+    ~4k rows no matter the corpus size (the thing worth broadcasting,
+    persisting, and merging across days at 100 TB). Estimates read the
+    sketch with a broadcast join; CMS guarantees estimate >= true count,
+    with overestimates only from bucket collisions.
+
+    The exact top-k side is a TakeOrdered (distributed heap per partition,
+    k rows to the driver) — not a global sort.
+    """
+    ex = spread(documents).select(F.explode(tokens(F.col("text"))).alias("t"))
+    cells = ex.select(
+        F.posexplode(_cms_buckets(F.col("t"), depth, width)).alias("r", "bucket")
+    )
+    sketch = cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    true_top = (
+        ex.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("t").asc())
+        .limit(topk)
+    )
+    probes = true_top.select(
+        "t",
+        "true_count",
+        F.posexplode(_cms_buckets(F.col("t"), depth, width)).alias("r", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("t")
+        .agg(
+            F.first("true_count").alias("true_count"),
+            F.min("cnt").alias("cms_count"),
+        )
+        .select(
+            F.col("t").alias("token"),
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms_count").cast("long").alias("cms_count"),
+        )
+    )

@@ -141,6 +141,67 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+FOLLOW_WINDOW_US = 5 * 60 * 1_000_000  # 5 min
+
+
+def range_join_follow(
+    events: DataFrame,
+    anchor_type: str = "error",
+    window_us: int = FOLLOW_WINDOW_US,
+) -> DataFrame:
+    """Bounded-interval range join: for every ``anchor_type`` event, count
+    the same user's events strictly inside ``(t, t + window_us]`` — the
+    "what happened in the 5 minutes after each error" query.
+
+    A naive range join is a per-user cross join filtered by the time
+    predicate — quadratic in events-per-user, the classic range-join
+    candidate explosion. The scale shape here is **time bucketing**: both
+    sides get a bucket of width ``window_us``; an anchor's window spans at
+    most 2 consecutive buckets, so the anchor side explodes 2x (a bounded
+    constant) and candidates come from an EQUI-join on (user_id, bucket).
+    Each qualifying pair collides in exactly one bucket (the follower's),
+    so no distinct is needed. Candidate volume per (user, bucket) is
+    bounded by events-per-window — independent of total history length.
+
+    Arithmetic is integer microseconds end to end (no double rounding at
+    the window boundary). Anchors with no followers are kept with 0.
+    """
+    e = events.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    anchors = events.filter(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("a_user"),
+        F.unix_micros(F.col("ts")).alias("a_us"),
+    )
+    spanned = anchors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"a_us div {window_us}"),
+                F.expr(f"a_us div {window_us} + 1"),
+            )
+        ),
+    )
+    followers = e.withColumn("bucket", F.expr(f"us div {window_us}"))
+    hits = (
+        spanned.join(
+            followers,
+            (F.col("a_user") == F.col("user_id"))
+            & (spanned.bucket == followers.bucket)
+            & (F.col("us") > F.col("a_us"))
+            & (F.col("us") <= F.col("a_us") + window_us),
+        )
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return anchors.join(hits, "anchor_id", "left").select(
+        F.col("anchor_id").alias("error_event_id"),
+        F.col("a_user").alias("user_id"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_follow"),
+    )
+
+
 def asof_attribute(
     events: DataFrame,
     left_type: str = "click",

@@ -1708,3 +1708,187 @@ FROM documents
 
 QUERIES["text_normalize"] = q_text_normalize
 ORACLE["text_normalize"] = SQL_TEXT_NORMALIZE
+
+
+# ---------------------------------------------------------------------------
+# r3 additions: deterministic sketches, bounded range join, unigram quality
+# model, boilerplate scrub, bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+from .operators import sketches  # noqa: E402
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-token estimate next to the exact count
+    (operators.sketches.kmv_distinct_tokens)."""
+    return sketches.kmv_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DISTINCT_KMV = f"""
+WITH ex AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+hs AS (SELECT DISTINCT source, {_HEX64.format(expr="t")} AS h FROM ex),
+r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM hs
+),
+topk AS (
+  SELECT source, max(h) AS kth_hash, count(*) AS k_actual
+  FROM r WHERE rk <= {sketches.KMV_K} GROUP BY source
+),
+exact AS (SELECT source, count(DISTINCT t) AS exact_distinct FROM ex GROUP BY source)
+SELECT source,
+       exact_distinct::BIGINT AS exact_distinct,
+       kth_hash::BIGINT AS kth_hash,
+       CASE WHEN k_actual < {sketches.KMV_K} THEN k_actual::DOUBLE
+            ELSE round({sketches.KMV_K - 1}.0 * {int(sketches.HASH_SPACE)}.0 / kth_hash, 4)
+       END AS kmv_estimate
+FROM exact JOIN topk USING (source)
+"""
+
+QUERIES["distinct_kmv"] = q_distinct_kmv
+ORACLE["distinct_kmv"] = SQL_DISTINCT_KMV
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequencies for the corpus's top tokens
+    (operators.sketches.cms_token_counts)."""
+    return sketches.cms_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _cms_oracle() -> str:
+    d, w, k = sketches.CMS_DEPTH, sketches.CMS_WIDTH, sketches.CMS_TOPK
+    bucket = _HEX64.format(expr=f"t || '#' || (r + {sketches.CMS_SEED_BASE})::VARCHAR")
+    return f"""
+WITH ex AS (SELECT unnest({_TOKS}) AS t FROM documents),
+rs AS (SELECT unnest(range({d})) AS r),
+cells AS (SELECT ({bucket}) % {w} AS bucket, r FROM ex CROSS JOIN rs),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket),
+tc AS (SELECT t, count(*) AS true_count FROM ex GROUP BY t),
+top AS (SELECT t, true_count FROM tc ORDER BY true_count DESC, t ASC LIMIT {k}),
+probes AS (SELECT t, true_count, r, ({bucket}) % {w} AS bucket FROM top CROSS JOIN rs)
+SELECT p.t AS token,
+       min(p.true_count)::BIGINT AS true_count,
+       min(s.cnt)::BIGINT AS cms_count
+FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+GROUP BY p.t
+"""
+
+
+SQL_CMS_COUNTS = _cms_oracle()
+
+QUERIES["cms_counts"] = q_cms_counts
+ORACLE["cms_counts"] = SQL_CMS_COUNTS
+
+
+def q_range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events within 5 minutes after each error, via the bucketed range
+    join (operators.temporal.range_join_follow)."""
+    return temporal.range_join_follow(load_table(spark, sf_dir, "events"))
+
+
+SQL_RANGE_JOIN_FOLLOW = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+err AS (SELECT event_id AS eid, user_id, us FROM e WHERE event_type = 'error'),
+f AS (
+  SELECT err.eid, count(*) AS n
+  FROM err JOIN e ON e.user_id = err.user_id
+   AND e.us > err.us AND e.us <= err.us + {temporal.FOLLOW_WINDOW_US}
+  GROUP BY err.eid
+)
+SELECT err.eid::BIGINT AS error_event_id,
+       err.user_id::BIGINT AS user_id,
+       coalesce(f.n, 0)::BIGINT AS n_follow
+FROM err LEFT JOIN f ON err.eid = f.eid
+"""
+
+QUERIES["range_join_follow"] = q_range_join_follow
+ORACLE["range_join_follow"] = SQL_RANGE_JOIN_FOLLOW
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability (operators.corpus.unigram_logprob)."""
+    return corpus.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS tf FROM ex GROUP BY t),
+tot AS (SELECT sum(tf) AS total FROM freq),
+scored AS (
+  SELECT ex.doc_id,
+         round(ln(freq.tf::DOUBLE / tot.total::DOUBLE) * {corpus.LP_SCALE}, 0)::BIGINT AS lp
+  FROM ex JOIN freq USING (t) CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lp) AS lp_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       round(per.lp_sum / (per.n_tokens * {corpus.LP_SCALE}.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+ORACLE["unigram_logprob"] = SQL_UNIGRAM_LOGPROB
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-segment removal
+    (operators.corpus.boilerplate_scrub)."""
+    return corpus.boilerplate_scrub(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BOILERPLATE_SCRUB = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {corpus.SEG_LEN})) AS start
+  FROM toks WHERE len(t) > 0
+),
+segs AS (
+  SELECT doc_id, (start // {corpus.SEG_LEN})::BIGINT AS seg_idx,
+         array_to_string(
+           list_slice(t, start + 1, least(start + {corpus.SEG_LEN}, len(t))), ' '
+         ) AS seg_text
+  FROM st
+),
+boiler AS (
+  SELECT seg_text
+  FROM (SELECT DISTINCT doc_id, seg_text FROM segs)
+  GROUP BY seg_text HAVING count(*) > {corpus.BOILER_MAX_DF}
+),
+kept AS (
+  SELECT * FROM segs WHERE seg_text NOT IN (SELECT seg_text FROM boiler)
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(tot.n_segments, 0)::BIGINT AS n_segments,
+       (coalesce(tot.n_segments, 0) - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id
+"""
+
+QUERIES["boilerplate_scrub"] = q_boilerplate_scrub
+ORACLE["boilerplate_scrub"] = SQL_BOILERPLATE_SCRUB
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the bloom-prefiltered gram join — result is
+    IDENTICAL to contamination_check (bloom false positives are removed by
+    the exact join), so it shares that oracle; what changes is the volume
+    entering the join at scale (operators.corpus.contamination_check)."""
+    return corpus.contamination_check(
+        load_table(spark, sf_dir, "documents"), bloom_prefilter=True
+    )
+
+
+QUERIES["contamination_bloom"] = q_contamination_bloom
+ORACLE["contamination_bloom"] = SQL_CONTAMINATION_CHECK

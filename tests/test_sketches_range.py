@@ -1,0 +1,209 @@
+"""r3 operators: KMV / count-min sketches, bucketed range join, unigram
+logprob quality model, boilerplate segment scrub, bloom-prefiltered
+decontamination."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    corpus,
+    sketches,
+    temporal,
+)
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text) or (doc_id, text, source)."""
+    if len(rows[0]) == 2:
+        rows = [(i, t, "s0") for i, t in rows]
+    return spark.createDataFrame(
+        list(rows), "doc_id long, text string, source string"
+    )
+
+
+# --- KMV ------------------------------------------------------------------
+
+
+def test_kmv_small_source_is_exact(spark):
+    # fewer distinct tokens than k → the sketch holds them all and the
+    # estimate IS the exact count
+    docs = _docs(spark, [(1, "a b c a b"), (2, "c d e")])
+    row = sketches.kmv_distinct_tokens(docs, k=64).collect()[0]
+    assert row.exact_distinct == 5
+    assert row.kmv_estimate == 5.0
+
+
+def test_kmv_estimate_within_error(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sketches.kmv_distinct_tokens(docs).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        if r.exact_distinct >= sketches.KMV_K:
+            # standard KMV error ~ 1/sqrt(k) ≈ 12.5% at k=64; allow 3 sigma
+            assert abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct < 0.5
+
+
+def test_kmv_two_phase_equals_flat_rank(spark, sf_dir):
+    """The salted two-phase top-k must equal a flat per-source rank."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.hashing import (
+        hex_hash64,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.textfns import (
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    hs = ex.select("source", hex_hash64(F.col("t")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    flat = (
+        hs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= sketches.KMV_K)
+        .groupBy("source")
+        .agg(F.max("h").alias("kth_hash"))
+    )
+    got = {
+        r.source: r.kth_hash
+        for r in sketches.kmv_distinct_tokens(docs).collect()
+    }
+    want = {r.source: r.kth_hash for r in flat.collect()}
+    assert got == want
+
+
+# --- CMS ------------------------------------------------------------------
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sketches.cms_token_counts(docs).collect()
+    assert len(rows) == sketches.CMS_TOPK
+    for r in rows:
+        assert r.cms_count >= r.true_count  # CMS never undercounts
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # tiny vocabulary → no bucket collisions → estimates are exact
+    docs = _docs(spark, [(1, "x x x y"), (2, "y z")])
+    rows = sketches.cms_token_counts(docs, topk=3).collect()
+    got = {r.token: (r.true_count, r.cms_count) for r in rows}
+    assert got == {"x": (3, 3), "y": (2, 2), "z": (1, 1)}
+
+
+# --- range join -----------------------------------------------------------
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, seconds_offset)."""
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (eid, base + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")
+        for eid, uid, et, s in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_range_join_counts_window_only(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, "error", 0),
+            (2, 7, "view", 100),     # inside (0, 300]
+            (3, 7, "click", 300),    # boundary: inside (inclusive end)
+            (4, 7, "view", 301),     # outside
+            (5, 8, "view", 50),      # other user
+            (6, 7, "view", 0),       # same instant as the error: excluded (strict >)
+        ],
+    )
+    rows = temporal.range_join_follow(ev).collect()
+    assert len(rows) == 1
+    assert rows[0].error_event_id == 1
+    assert rows[0].n_follow == 2
+
+
+def test_range_join_zero_follow_kept(spark):
+    ev = _events(spark, [(1, 7, "error", 0), (2, 8, "view", 10)])
+    rows = temporal.range_join_follow(ev).collect()
+    assert rows[0].n_follow == 0
+
+
+def test_range_join_bucket_straddle(spark):
+    # follower in the NEXT bucket (anchor at 299s, follower at 500s,
+    # bucket width 300) — caught only because anchors explode to 2 buckets
+    ev = _events(spark, [(1, 7, "error", 299), (2, 7, "view", 500)])
+    rows = temporal.range_join_follow(ev).collect()
+    assert rows[0].n_follow == 1
+
+
+# --- unigram logprob ------------------------------------------------------
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    import math
+
+    docs = _docs(spark, [(1, "a a a"), (2, "a a b")])
+    rows = {r.doc_id: r for r in corpus.unigram_logprob(docs).collect()}
+    # p(a)=5/6, p(b)=1/6; doc 1 = ln(5/6); doc 2 = (2 ln(5/6) + ln(1/6))/3
+    assert abs(rows[1].avg_logprob - math.log(5 / 6)) < 1e-4
+    assert rows[2].avg_logprob < rows[1].avg_logprob
+    assert rows[1].n_tokens == 3
+
+
+def test_unigram_logprob_keeps_tokenless_docs(spark):
+    docs = _docs(spark, [(1, "hello world"), (2, "!!!")])
+    rows = {r.doc_id: r for r in corpus.unigram_logprob(docs).collect()}
+    assert rows[2].n_tokens == 0
+    assert rows[2].avg_logprob is None
+
+
+# --- boilerplate scrub ----------------------------------------------------
+
+
+def test_boilerplate_scrub_drops_repeated_segment(spark):
+    footer = "subscribe to our newsletter"  # 4 tokens < seg boundary? 4 tokens
+    bodies = ["alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"]
+    docs = _docs(
+        spark,
+        [(i + 1, f"{b} {footer}") for i, b in enumerate(bodies)],
+    )
+    rows = {
+        r.doc_id: r
+        for r in corpus.boilerplate_scrub(docs, seg_len=4, max_df=2).collect()
+    }
+    # the footer segment appears in 3 docs > max_df=2 → dropped everywhere
+    for i, b in enumerate(bodies):
+        assert rows[i + 1].clean_text == b
+        assert rows[i + 1].n_dropped == 1
+        assert rows[i + 1].n_segments == 2
+
+
+def test_boilerplate_scrub_keeps_rare_segments(spark):
+    docs = _docs(spark, [(1, "one two three four"), (2, "five six seven eight")])
+    rows = corpus.boilerplate_scrub(docs, seg_len=4, max_df=2).collect()
+    for r in rows:
+        assert r.n_dropped == 0
+
+
+def test_boilerplate_scrub_order_preserved(spark):
+    # 3 segments; ensure reassembly is seg_idx order, not hash order
+    text = " ".join(f"w{i}" for i in range(12))
+    rows = corpus.boilerplate_scrub(_docs(spark, [(1, text)]), seg_len=4).collect()
+    assert rows[0].clean_text == text
+
+
+# --- bloom-prefiltered contamination --------------------------------------
+
+
+def test_contamination_bloom_equals_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = corpus.contamination_check(docs).collect()
+    bloom = corpus.contamination_check(docs, bloom_prefilter=True).collect()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(exact, key=key) == sorted(bloom, key=key)
