@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
@@ -163,17 +166,7 @@ def embedding_near_dup_pairs(
     ).withColumn("nb", l2_norm_expr("vb", EMBEDDING_DIM))
     cos = F.round(dot_expr("va", "vb", EMBEDDING_DIM) / (F.col("na") * F.col("nb")), 6)
     if exact:
-        # score in a materialized projection, NOT the join condition:
-        # Catalyst would push the threshold filter into the nested-loop
-        # join, and a 64-term expression evaluated as a join predicate
-        # never reaches JIT-compiled speed. The scored table is narrow
-        # (two ids + a double), so the materialization is cheap.
-        scored = cut_lineage(
-            a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-                "vec_a", "vec_b", cos.alias("cosine")
-            )
-        )
-        return scored.filter(F.col("cosine") >= threshold)
+        return _exact_pairs_arrow(embeddings, threshold, id_col, vec_col)
     a = a.withColumn("bucket_a", hyperplane_signature("va"))
     b = b.withColumn("bucket_b", hyperplane_signature("vb"))
     joined = a.join(
@@ -186,8 +179,77 @@ def embedding_near_dup_pairs(
     )
 
 
+def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """All-pairs dot products accumulated dimension-by-dimension in index
+    order — each pair's sum is the same IEEE left-fold chain
+    ``t0 + t1 + ... + t_{d-1}`` the SQL engines compute (dot_expr /
+    DuckDB list_reduce), so results are bit-identical to the expression
+    path, unlike a BLAS matmul whose tiled summation order differs."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for i in range(A.shape[1]):
+        acc += A[:, i, None] * B[None, :, i]
+    return acc
+
+
+def _seq_norms(M: "np.ndarray") -> "np.ndarray":
+    """Left-fold L2 norms (the l2_norm_expr twin of _seq_dot)."""
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _exact_pairs_arrow(
+    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as one Arrow-batched corpus scan.
+
+    The corpus (collected once — the exact path is the CORRECTNESS ANCHOR
+    for dimension-table-sized inputs; the scale default is the LSH-bucketed
+    branch) ships in the task closure, and each batch scores its rows
+    against all of it with vectorized dimension-order folds, keeping
+    results bit-identical to the SQL expression form. Replaces the r2
+    BroadcastNestedLoopJoin, which copied two 64-float arrays through every
+    candidate pair row (~n² × 0.5 KB of row traffic) before the projection
+    could score them — measured 8-10 s at sf0.1 vs ~1 s for this scan.
+    """
+    rows = embeddings.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    m_norms = _seq_norms(M)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy()
+            cos = np.round(
+                _seq_dot(A, M) / np.outer(_seq_norms(A), m_norms), 6
+            )
+            ai, bi = np.nonzero(
+                (cos >= threshold) & (a_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": all_ids[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score_batches, "vec_a long, vec_b long, cosine double"
+    )
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
+#: vectors used to train the coarse quantizer (k-means). IVF indexes are
+#: trained on a sample at any scale (faiss trains on ~max(10k, 256*nlist)
+#: vectors even for billion-vector indexes) — Lloyd on the full corpus
+#: buys nothing but cluster time.
+IVF_TRAIN_CAP = 16384
 
 
 def ivf_centroids(
@@ -196,90 +258,106 @@ def ivf_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = IVF_TRAIN_CAP,
 ) -> DataFrame:
-    """K-means centroids for an IVF index, fully as DataFrame plans.
+    """K-means centroids for an IVF index, trained on a deterministic
+    sample — the faiss design: the coarse quantizer needs only a corpus
+    sample, so the cluster does ONE TakeOrdered pass (no shuffle) to pull
+    the ``train_cap`` vectors with the smallest md5-derived id hashes, and
+    Lloyd runs on the driver in numpy (train_cap × dim doubles — a few MB).
+    The expensive corpus-wide step, assigning every vector to its nearest
+    centroid, stays distributed (see ``_assign``).
 
-    Deterministic init: the ``nlist`` corpus vectors with the smallest
-    md5-derived id hash (reproducible across runs — no rand()). Each Lloyd
-    iteration is (a) a broadcast join corpus × centroids + one argmax
-    aggregation per vector, and (b) a posexplode → per-dimension mean —
-    both single-shuffle; centroids stay tiny (nlist × dim) so every join
-    against them broadcasts. Returns (centroid_id, centroid array<double>).
+    Deterministic end to end: the sample is hash-ordered (no rand()), the
+    seeds are the ``nlist`` smallest-hash vectors (identical to the
+    previous distributed-Lloyd init), argmax ties break to the lowest
+    centroid id, and empty clusters drop (matching the old groupBy
+    semantics). Returns (centroid_id, centroid array<double>).
+
+    The r2 distributed Lloyd (broadcast join + 64-column avg per round)
+    was replaced: at sf0.1 it spent ~8 s on 3 rounds of job overhead +
+    codegen for math that fits in one driver-side BLAS call; at 100 TB it
+    would shuffle the corpus 3 extra times for a quantizer a sample trains
+    equally well.
     """
-    seeds = (
+    rows = (
         corpus.select(
-            F.col(id_col),
+            F.col(id_col).alias("vid"),
             F.col(vec_col).alias("v"),
             hex_hash64(F.col(id_col).cast("string")).alias("h"),
         )
-        .orderBy("h", id_col)
-        .limit(nlist)
+        .orderBy("h", "vid")
+        .limit(train_cap)
+        .collect()
     )
-    centroids = cut_lineage(
-        seeds.select(
-            F.row_number()
-            .over(Window.orderBy("h", id_col))
-            .cast("long")
-            .alias("centroid_id"),
-            F.transform("v", lambda x: x.cast("double")).alias("centroid"),
-        )
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    n_seed = min(nlist, len(V))
+    C = V[:n_seed].copy()
+    ids = np.arange(1, n_seed + 1, dtype=np.int64)
+    for _ in range(iters):
+        a = _nearest_idx(V, C)
+        keep, new_c = [], []
+        for j in range(len(C)):
+            members = V[a == j]
+            if len(members):
+                keep.append(j)
+                new_c.append(members.mean(axis=0))
+        C = np.array(new_c)
+        ids = ids[keep]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(ids, C)],
+        "centroid_id long, centroid array<double>",
     )
 
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
-    dim_means = [
-        F.avg(F.col("cv")[i].cast("double")).alias(f"__m{i}")
-        for i in range(EMBEDDING_DIM)
-    ]
-    for _ in range(iters):
-        # one Lloyd step: nearest-centroid assignment feeding a groupBy on
-        # centroid_id with an unrolled avg per dimension — map-side combine
-        # reduces each partition to nlist partial rows, and the shuffle
-        # carries nlist × partitions rows (no posexplode, which would
-        # shuffle rows × dim instead).
-        assigned = _assign(c, centroids)
-        centroids = cut_lineage(
-            assigned.groupBy("centroid_id")
-            .agg(*dim_means)
-            .select(
-                "centroid_id",
-                F.array(
-                    *[F.col(f"__m{i}") for i in range(EMBEDDING_DIM)]
-                ).alias("centroid"),
-            )
-        )
-    return centroids
+
+def _nearest_idx(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Row-wise nearest-centroid index by cosine; ties to the lowest index
+    (numpy argmax returns the first maximum)."""
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    return (Vn @ Cn.T).argmax(axis=1)
 
 
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vid, centroid_id, cv): nearest centroid by cosine, ties to lowest id.
 
-    Broadcast join corpus × centroids + per-vid argmax aggregation. Norms
-    are factored out per side (corpus row / centroid row) so the
-    per-(row × centroid) work is one codegen'd dot product; ``cv`` rides
-    through the aggregate (``first`` over the replicated rows) so callers
-    building the inverted file don't need a join back to the corpus.
+    Arrow-batched ``mapInPandas``: the centroid matrix (nlist × dim, a few
+    KB) ships in the task closure and each batch computes all corpus ×
+    centroid cosines as ONE BLAS matmul + argmax — no join, no row
+    replication, no shuffle; assignment streams off the scan at any corpus
+    size. This is the textbook case for dropping to a vectorized Pandas
+    path: the pure-expression alternatives each lose — a broadcast join
+    replicates every row nlist× through an argmax aggregation (one full
+    shuffle), and a literal-inlined nearest-centroid projection at
+    nlist×dim = 16×64 blows janino's 64 KB method limit and falls back to
+    interpreted eval (measured 2× slower than even the join plan at r1).
+    """
+    cent = centroids.orderBy("centroid_id").collect()
+    ids = np.array([r.centroid_id for r in cent], dtype=np.int64)
+    C = np.array([r.centroid for r in cent], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
 
-    A literal-inlined nearest-centroid projection (centroid matrix as
-    constants, no join/shuffle) was tried and rejected: at nlist×dim =
-    16×64 the single expression blows janino's 64 KB method limit, the
-    whole stage falls back to interpreted eval, and the query runs 2×
-    SLOWER than this plan (measured 16.1 s vs 7.2 s at sf0.1)."""
-    corp = corpus.withColumn("_cv_norm", l2_norm_expr("cv", EMBEDDING_DIM))
-    cent = centroids.withColumn("_cent_norm", l2_norm_expr("centroid", EMBEDDING_DIM))
-    cos = dot_expr("cv", "centroid", EMBEDDING_DIM) / (
-        F.col("_cv_norm") * F.col("_cent_norm")
+    fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = StructType(
+        [fields["vid"], StructField("centroid_id", LongType()), fields["cv"]]
     )
-    return (
-        corp.join(F.broadcast(cent))
-        .groupBy("vid")
-        .agg(
-            F.max(
-                F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("nid"))
-            ).alias("best"),
-            F.first("cv").alias("cv"),
-        )
-        .select("vid", (-F.col("best.nid")).alias("centroid_id"), "cv")
-    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "centroid_id": ids[(Vn @ Cn.T).argmax(axis=1)],
+                    "cv": pdf["cv"],
+                }
+            )
+
+    return corpus.mapInPandas(assign_batches, out_schema)
 
 
 def ivf_build(
