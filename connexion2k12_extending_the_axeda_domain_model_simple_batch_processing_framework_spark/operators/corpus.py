@@ -422,6 +422,57 @@ def boilerplate_scrub(
     )
 
 
+PIPE_MIN_QUALITY = 0.3
+PIPE_MAX_REP = 0.5
+
+
+def corpus_pipeline(documents: DataFrame) -> DataFrame:
+    """End-to-end curation disposition — the whole treatment as ONE
+    composed plan: quality gate → repetition gate → exact-dup drop →
+    train/val/test split, with a per-document verdict and the first
+    failing gate as the reason (gate precedence: low_quality, repetitive,
+    exact_dup). The gates and thresholds are the same ones the streaming
+    ingest pipeline applies (streaming/ingest.py), so batch backfill and
+    live ingest agree on what survives.
+
+    Plan shape: three scan-speed projection legs (quality, repetition,
+    split) plus the content-hash aggregation, all re-joined on doc_id —
+    after the first shuffle every join is co-partitioned on the same key,
+    and Catalyst collapses the projection legs into shared scans. No leg
+    ever shuffles more than one row per document.
+    """
+    from .sampling import train_val_test_split
+    from .text import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    rep = repetition_score(documents).select("doc_id", "rep_ratio")
+    hashes = documents.select("doc_id", F.md5("text").alias("__h"))
+    canon = hashes.groupBy("__h").agg(F.min("doc_id").alias("__canonical"))
+    dup = hashes.join(canon, "__h").select(
+        "doc_id", (F.col("doc_id") != F.col("__canonical")).alias("is_dup")
+    )
+    split = train_val_test_split(documents).select("doc_id", "split")
+    reason = (
+        F.when(F.col("quality") < PIPE_MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("rep_ratio") > PIPE_MAX_REP, F.lit("repetitive"))
+        .when(F.col("is_dup"), F.lit("exact_dup"))
+    )
+    return (
+        q.join(rep, "doc_id")
+        .join(dup, "doc_id")
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "rep_ratio",
+            "is_dup",
+            "split",
+            reason.isNull().alias("kept"),
+            F.coalesce(reason, F.lit("kept")).alias("reason"),
+        )
+    )
+
+
 SEQ_LEN = 512
 PACK_BUCKET_BITS = 5  # 32 contiguous hash-range buckets
 

@@ -95,6 +95,43 @@ def kmv_distinct_tokens(
     )
 
 
+QSK_K = 1024
+
+
+def quantile_sketch_prices(lineitem: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Quartiles of l_extendedprice from a deterministic hash sample,
+    reported next to the exact quartiles so the error is visible.
+
+    The sample is the ``k`` rows with the smallest md5 hash of the row key
+    (orderkey, linenumber) — a uniform random sample that is FIXED across
+    runs, partitionings, and engines, selected by one TakeOrdered pass
+    (distributed per-partition heaps, k rows to the driver side of the
+    plan; no global sort). Quantile interpolation then runs on k rows.
+    The exact leg — ``percentile`` over every row — is the global-sort-
+    sized cost the sketch avoids at 100 TB; it is computed here as the
+    oracle-checked accuracy reference (cf. analytics.price_quantiles'
+    approx_percentile swap note).
+    """
+    keyed = spread(lineitem).select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        hex_hash64(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("h"),
+    )
+    sample = keyed.orderBy("h", "price").limit(k)
+    est = sample.agg(
+        F.round(F.percentile("price", 0.25), 4).alias("est_p25"),
+        F.round(F.percentile("price", 0.50), 4).alias("est_p50"),
+        F.round(F.percentile("price", 0.75), 4).alias("est_p75"),
+    )
+    exact = keyed.agg(
+        F.round(F.percentile("price", 0.25), 4).alias("exact_p25"),
+        F.round(F.percentile("price", 0.50), 4).alias("exact_p50"),
+        F.round(F.percentile("price", 0.75), 4).alias("exact_p75"),
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 def _cms_buckets(col: F.Column, depth: int, width: int) -> F.Column:
     """array of the item's bucket per sketch row r: hash(item, seed_r) % width."""
     return F.array(

@@ -1892,3 +1892,75 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["contamination_bloom"] = q_contamination_bloom
 ORACLE["contamination_bloom"] = SQL_CONTAMINATION_CHECK
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation disposition: gates + dedup + split in one plan
+    (operators.corpus.corpus_pipeline)."""
+    return corpus.corpus_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_PIPELINE = f"""
+WITH qx AS ({SQL_QUALITY_SCORE}),
+rep AS ({SQL_REPETITION_SCORE}),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+canon AS (SELECT ch, min(doc_id) AS canonical_id FROM h GROUP BY ch),
+dup AS (
+  SELECT h.doc_id, (h.doc_id <> canon.canonical_id) AS is_dup
+  FROM h JOIN canon USING (ch)
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ({_SPLIT_BUCKET}) < {sampling.DEFAULT_SPLIT_PCT[0]} THEN 'train'
+              WHEN ({_SPLIT_BUCKET}) < {sampling.DEFAULT_SPLIT_PCT[0] + sampling.DEFAULT_SPLIT_PCT[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+verdict AS (
+  SELECT qx.doc_id, qx.quality, rep.rep_ratio, dup.is_dup, spl.split,
+         CASE WHEN qx.quality < {corpus.PIPE_MIN_QUALITY} THEN 'low_quality'
+              WHEN rep.rep_ratio > {corpus.PIPE_MAX_REP} THEN 'repetitive'
+              WHEN dup.is_dup THEN 'exact_dup'
+         END AS gate
+  FROM qx JOIN rep USING (doc_id) JOIN dup USING (doc_id) JOIN spl USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, quality, rep_ratio, is_dup, split,
+       (gate IS NULL) AS kept, coalesce(gate, 'kept') AS reason
+FROM verdict
+"""
+
+QUERIES["corpus_pipeline"] = q_corpus_pipeline
+ORACLE["corpus_pipeline"] = SQL_CORPUS_PIPELINE
+
+
+def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sample quantile estimates vs exact quartiles
+    (operators.sketches.quantile_sketch_prices)."""
+    return sketches.quantile_sketch_prices(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICE_QUANTILE_SKETCH = f"""
+WITH keyed AS (
+  SELECT l_extendedprice::DOUBLE AS price,
+         {_HEX64.format(expr="l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} AS h
+  FROM lineitem
+),
+sample AS (SELECT price FROM keyed ORDER BY h, price LIMIT {sketches.QSK_K}),
+est AS (
+  SELECT round(quantile_cont(price, 0.25), 4) AS est_p25,
+         round(quantile_cont(price, 0.50), 4) AS est_p50,
+         round(quantile_cont(price, 0.75), 4) AS est_p75
+  FROM sample
+),
+exact AS (
+  SELECT round(quantile_cont(price, 0.25), 4) AS exact_p25,
+         round(quantile_cont(price, 0.50), 4) AS exact_p50,
+         round(quantile_cont(price, 0.75), 4) AS exact_p75
+  FROM keyed
+)
+SELECT est_p25, est_p50, est_p75, exact_p25, exact_p50, exact_p75
+FROM est CROSS JOIN exact
+"""
+
+QUERIES["price_quantile_sketch"] = q_price_quantile_sketch
+ORACLE["price_quantile_sketch"] = SQL_PRICE_QUANTILE_SKETCH

@@ -93,6 +93,71 @@ def test_cms_exact_when_no_collisions(spark):
     assert got == {"x": (3, 3), "y": (2, 2), "z": (1, 1)}
 
 
+# --- quantile sketch ------------------------------------------------------
+
+
+def test_quantile_sketch_close_to_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = sketches.quantile_sketch_prices(li).collect()[0]
+    for p in ("p25", "p50", "p75"):
+        est, exact = row[f"est_{p}"], row[f"exact_{p}"]
+        # k=1024 uniform sample: quantile standard error ~ 2-3% of the
+        # price range; the synthetic prices span ~[900, 105k]
+        assert abs(est - exact) / exact < 0.2, (p, est, exact)
+
+
+def test_quantile_sketch_sample_is_exact_when_small(spark):
+    rows = [(i, 1, float(i)) for i in range(1, 101)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    r = sketches.quantile_sketch_prices(li, k=1024).collect()[0]
+    # fewer rows than k → the sample IS the data → estimates equal exact
+    assert (r.est_p25, r.est_p50, r.est_p75) == (
+        r.exact_p25,
+        r.exact_p50,
+        r.exact_p75,
+    )
+
+
+# --- corpus pipeline ------------------------------------------------------
+
+
+def test_corpus_pipeline_gate_precedence_and_dedup(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over a lazy dog and then it "
+                "runs to the old mill by the river where you can see that "
+                "one tall tree in the field"),              # kept
+            (2, "the quick brown fox jumps over a lazy dog and then it "
+                "runs to the old mill by the river where you can see that "
+                "one tall tree in the field"),              # exact dup of 1
+            (3, "zz zz zz zz zz zz zz zz zz zz"),           # repetitive
+            (4, "@@@@ #### $$$$ %%%%"),                     # low quality
+        ],
+    )
+    rows = {r.doc_id: r for r in corpus.corpus_pipeline(docs).collect()}
+    assert rows[1].kept and rows[1].reason == "kept"
+    assert not rows[2].kept and rows[2].reason == "exact_dup"
+    assert rows[2].is_dup
+    assert not rows[3].kept and rows[3].reason == "repetitive"
+    assert not rows[4].kept and rows[4].reason == "low_quality"
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+def test_corpus_pipeline_matches_component_operators(spark, sf_dir):
+    """The composed plan must agree with its standalone components."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pipe = {r.doc_id: r for r in corpus.corpus_pipeline(docs).collect()}
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert all(pipe[d].quality == q[d] for d in pipe)
+
+
 # --- range join -----------------------------------------------------------
 
 
