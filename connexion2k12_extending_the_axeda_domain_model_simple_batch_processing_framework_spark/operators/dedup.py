@@ -194,7 +194,9 @@ def minhash_lsh_pairs(
     tokenize+shingle would run three times per invocation.
     """
     sh = cut_lineage(shingle_table(documents, n))
-    bands_df = minhash_band_table(sh, bands, rows)
+    # materialize the band table: the self-join below evaluates BOTH sides,
+    # and without the cut the signature aggregation runs once per side
+    bands_df = cut_lineage(minhash_band_table(sh, bands, rows))
 
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
@@ -395,13 +397,19 @@ def keep_canonical(
 def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     """Min-label propagation over an undirected edge list (doc_a, doc_b):
     output (doc_id, cluster_id) where cluster_id = min node id reachable."""
-    # undirected edge list, both directions. Materialized once (checkpoint):
-    # every propagation round joins against it, and without the cut each
-    # round would re-run the whole upstream pair-generation pipeline.
-    edges = cut_lineage(
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # undirected edge list, both directions — via ONE explode rather than
+    # a union of two selects: union legs don't share subplans, so the
+    # union form ran the whole upstream pair-generation pipeline twice.
+    # Materialized once (checkpoint): every propagation round joins
+    # against it, and without the cut each round would re-run it.
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")),
+            F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
         )
+    )
+    edges = cut_lineage(
+        pairs.select(both_dirs.alias("e")).select("e.doc_a", "e.doc_b")
     )
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
