@@ -319,22 +319,16 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     band — full recall, no global cross join, per-band fan-out bounded by
     band-bucket sizes (2^5..2^6 buckets over the corpus)."""
     assert max_hamming < len(SIMHASH_BANDS), "bands must outnumber differing bits"
-    # one signature computation shared by all bands and both join sides
+    # one signature computation shared by all bands and both join sides;
+    # a single posexplode emits every band row in one pass over it
     sig = cut_lineage(simhash_signatures(documents))
-    parts = [
-        sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(idx).alias("band"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("band_val"),
-        )
-        for idx, (off, width) in enumerate(SIMHASH_BANDS)
+    band_vals = [
+        F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in SIMHASH_BANDS
     ]
-    banded = parts[0]
-    for extra in parts[1:]:
-        banded = banded.unionAll(extra)
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "band_val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -1964,3 +1964,34 @@ FROM est CROSS JOIN exact
 
 QUERIES["price_quantile_sketch"] = q_price_quantile_sketch
 ORACLE["price_quantile_sketch"] = SQL_PRICE_QUANTILE_SKETCH
+
+
+def q_heavy_users_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume through the skew-proof two-phase
+    aggregation (functions.skew.two_phase_count): partial counts on
+    (user, salt) cap any reducer's share of a hot user at 1/n_salts, the
+    final sum moves n_salts rows per user, and the top-k is a TakeOrdered
+    (per-partition heaps) — no global sort. Result is identical to the
+    plain groupBy the oracle runs; what changes at 100 TB is that no
+    single reducer ever owns a celebrity key."""
+    from .functions.skew import two_phase_count
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = two_phase_count(ev, "user_id", salt_source="event_id")
+    return (
+        counts.orderBy(F.col("count").desc(), F.col("user_id").asc())
+        .limit(20)
+        .select("user_id", F.col("count").cast("long").alias("n_events"))
+    )
+
+
+SQL_HEAVY_USERS_TOPK = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+"""
+
+QUERIES["heavy_users_topk"] = q_heavy_users_topk
+ORACLE["heavy_users_topk"] = SQL_HEAVY_USERS_TOPK

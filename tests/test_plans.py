@@ -181,3 +181,78 @@ def test_text_normalize_zero_shuffle_scan_speed(dfs):
     assert checks.count_shuffle_exchanges(df) == 0
     assert not checks.uses_python_eval(df)
     assert checks.codegen_stage_count(df) >= 1
+
+
+# --- r3 operators ---------------------------------------------------------
+
+
+def test_range_join_is_equi_join_not_cross(dfs):
+    """The bucketed range join must plan as a hash equi-join on
+    (user, bucket) — a BroadcastNestedLoopJoin here means the time
+    predicate fell back to a per-user cross join."""
+    df = dfs["range_join_follow"]
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert not checks.uses_python_eval(df)
+
+
+def test_cms_sketch_is_broadcast_side(dfs):
+    # the depth x width sketch is the summary: it must broadcast into the
+    # probe join, never shuffle the probes against it
+    df = dfs["cms_counts"]
+    assert checks.count_broadcast_joins(df) >= 1
+    assert not checks.uses_python_eval(df)
+
+
+def test_boilerplate_drop_is_broadcast_anti_join(dfs):
+    df = dfs["boilerplate_scrub"]
+    plan = checks.plan_string(df)
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan[:2000]
+    assert not checks.uses_python_eval(df)
+
+
+def test_contamination_bloom_prefilter_is_semi_join(dfs):
+    df = dfs["contamination_bloom"]
+    plan = checks.plan_string(df)
+    assert "LeftSemi" in plan
+    assert not checks.uses_python_eval(df)
+
+
+def test_sketch_queries_stay_jvm_side(dfs):
+    for name in ("distinct_kmv", "cms_counts", "price_quantile_sketch",
+                 "unigram_logprob", "heavy_users_topk", "corpus_pipeline"):
+        assert not checks.uses_python_eval(dfs[name]), name
+
+
+def test_kmv_two_phase_no_single_partition_rank(dfs):
+    # the per-source min-k must rank within (source, salt) slices first —
+    # no SinglePartition exchange anywhere in the executed plan
+    df = dfs["distinct_kmv"]
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_assignment_uses_arrow_not_join(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        similarity,
+    )
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = similarity.ivf_centroids(emb, nlist=8, iters=1)
+    raw_assign = similarity._assign(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("cv")),
+        cent,
+    )
+    # vectorized Arrow path, no join: the plan is scan -> MapInPandas
+    assert checks.uses_arrow_eval(raw_assign)
+    assert checks.count_broadcast_joins(raw_assign) == 0
+    assert checks.count_shuffle_exchanges(raw_assign) == 0
+    cent2, assign = similarity.ivf_build(emb, nlist=8, iters=1)
+    probe = similarity.ivf_probe(cent2, assign, emb.limit(5))
+    assert not checks.uses_python_eval(probe)
