@@ -521,6 +521,28 @@ def ivf_topk(
     return ivf_probe(centroids, assignments, queries, k, nprobe, id_col, vec_col)
 
 
+def ivf_add(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a batch of new vectors to an existing inverted file WITHOUT
+    retraining — the daily-ingest shape of ANN index maintenance (faiss
+    ``add`` after ``train``): assign only the new batch against the frozen
+    centroids (one Arrow pass over the batch, nothing touches the stored
+    corpus) and union it with the existing file. Returns the extended
+    assignments; persist with ``ivf_save`` (appending only the new
+    centroid_id partitions). Retrain (``ivf_build``) only when drift makes
+    probe recall sag — the centroids, not the file, go stale.
+    """
+    batch = new_vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")
+    )
+    return assignments.unionByName(_assign(batch, centroids))
+
+
 def ivf_save(centroids: DataFrame, assignments: DataFrame, path: str) -> None:
     """Persist a built IVF index: tiny centroid table + the inverted file
     PARTITIONED BY centroid_id — a probe with nprobe=4 over nlist=1024

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import POLY_MOD, hex_hash64
+from ..functions.partitioning import spread
 from ..functions.textfns import punct_count, token_count_col, tokens
 
 # Stopword profiles for the n-gram/stopword language heuristic. Order fixes
@@ -105,6 +106,36 @@ def token_count(documents: DataFrame) -> DataFrame:
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
         F.length(F.col("text")).cast("long").alias("n_chars_measured"),
+    )
+
+
+#: GPT-2-style pretokenizer, lookahead-free so the identical pattern runs
+#: under Java regex (Spark) and RE2 (DuckDB oracle): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_token_count(documents: DataFrame) -> DataFrame:
+    """Subword-style (BPE pretokenizer) token counts next to whitespace
+    word counts — the tokens-per-word ratio a training pipeline uses to
+    budget compute (token counts, not word counts, bound sequence length).
+
+    Pure per-row regex projection — scan speed at any corpus size, no
+    shuffle, no UDF. The pattern is the GPT-2 pretokenize alternation
+    minus its trailing-space lookahead (RE2 has no lookahead; leftmost-
+    first alternation semantics agree between engines, so counts are
+    oracle-identical).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
+    n_bpe = F.size(toks).cast("long")
+    n_ws = token_count_col(F.col("text"))
+    return spread(documents).select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0, F.round(n_bpe / n_ws, 6))
+        .otherwise(F.lit(0.0))
+        .alias("tokens_per_word"),
     )
 
 

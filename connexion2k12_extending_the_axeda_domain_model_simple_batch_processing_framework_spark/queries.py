@@ -1995,3 +1995,63 @@ LIMIT 20
 
 QUERIES["heavy_users_topk"] = q_heavy_users_topk
 ORACLE["heavy_users_topk"] = SQL_HEAVY_USERS_TOPK
+
+
+#: GetBatch.groovy's request is a single batch id; orderkey 7 exists at
+#: every TPC-H scale factor
+GET_BATCH_ID = 7
+
+
+def q_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetBatch single-batch point lookup (GetBatch.groovy): the id filter
+    lands on BOTH parquet scans as a pushed filter, so at 100 TB this is a
+    partition/row-group-pruned point read on each side of the join, not a
+    scan + post-filter (asserted in tests/test_plans.py)."""
+    b = _batches(spark, sf_dir).filter(F.col("batch_id") == GET_BATCH_ID)
+    t = _task_results(spark, sf_dir).filter(F.col("batch_id") == GET_BATCH_ID)
+    return lifecycle.batch_status(b, t).select(
+        "batch_id", "state", "completed_count", "success_count", "error_count"
+    )
+
+
+SQL_GET_BATCH = f"""
+SELECT o.o_orderkey::BIGINT AS batch_id,
+       {_STATE_SQL} AS state,
+       count(l.l_orderkey)::BIGINT AS completed_count,
+       coalesce(sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END), 0)::BIGINT AS success_count,
+       coalesce(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 0)::BIGINT AS error_count
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey = {GET_BATCH_ID}
+GROUP BY 1, 2
+"""
+
+QUERIES["get_batch"] = q_get_batch
+ORACLE["get_batch"] = SQL_GET_BATCH
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting (operators.text.bpe_token_count)."""
+    return text.bpe_token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle() -> str:
+    pat = text.BPE_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{pat}')) AS n_bpe,
+         len({_TOKS}) AS n_ws
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       n_bpe::BIGINT AS n_bpe_tokens,
+       n_ws::BIGINT AS n_ws_tokens,
+       CASE WHEN n_ws > 0 THEN round(n_bpe / n_ws, 6) ELSE 0.0 END AS tokens_per_word
+FROM t
+"""
+
+
+SQL_BPE_TOKEN_COUNT = _bpe_oracle()
+
+QUERIES["bpe_token_count"] = q_bpe_token_count
+ORACLE["bpe_token_count"] = SQL_BPE_TOKEN_COUNT

@@ -256,3 +256,11 @@ def test_ivf_assignment_uses_arrow_not_join(spark):
     cent2, assign = similarity.ivf_build(emb, nlist=8, iters=1)
     probe = similarity.ivf_probe(cent2, assign, emb.limit(5))
     assert not checks.uses_python_eval(probe)
+
+
+def test_get_batch_point_lookup_pushes_key_to_both_scans(dfs):
+    df = dfs["get_batch"]
+    pushed = checks.pushed_filters(df)
+    assert any("o_orderkey" in p and "7" in p for p in pushed), pushed
+    assert any("l_orderkey" in p and "7" in p for p in pushed), pushed
+    assert not checks.uses_python_eval(df)

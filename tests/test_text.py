@@ -128,3 +128,25 @@ def test_quality_score_keep_threads_columns(spark):
     r = text.quality_score(docs, keep=("source",)).collect()[0]
     assert r.source == "srcA"
     assert r.quality > 0
+
+
+def test_bpe_token_count_contractions_and_punct(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "it's well-known"), (2, "hello world"), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_token_count(docs).collect()}
+    # "it's well-known" -> it | 's | ' well' | '-' | 'known' = 5 subword
+    # tokens but 3 whitespace-ish words (it, s, well, known -> 4 by the
+    # [a-z0-9] tokenizer)
+    assert rows[1].n_bpe_tokens == 5
+    assert rows[1].n_ws_tokens == 4
+    assert rows[2].n_bpe_tokens == 2
+    assert rows[2].tokens_per_word == 1.0
+    # pure punctuation: one punct run, zero words, ratio guarded to 0
+    assert rows[3].n_ws_tokens == 0
+    assert rows[3].tokens_per_word == 0.0
