@@ -264,3 +264,46 @@ def value_histogram(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+ANOMALY_Z = 3.0
+
+
+def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFrame:
+    """Per-user z-score outliers: events whose value deviates more than
+    ``z_threshold`` standard deviations from that user's mean — the basic
+    telemetry anomaly screen (the reference's task stream has no numeric
+    QA at all; this is the distributed version of "flag weird readings").
+
+    Two-pass shape: pass 1 reduces each user to three EXACT numbers
+    (count, sum, sum of squares — value is a 2-decimal reading, so both
+    sums run in DECIMAL: order-independent, bit-identical across
+    partitionings and engines, unlike a double sum); pass 2 re-joins the
+    per-user stats (AQE broadcasts the small side) and flags rows. Sample
+    standard deviation (n-1); single-event users have no std and are
+    never anomalous. Shuffles: one groupBy on user_id + the stats join —
+    both on the same key, co-partitioned.
+    """
+    d = F.col("value").cast("decimal(18,2)")
+    stats = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__ss"),
+    )
+    n, s, ss = F.col("__n"), F.col("__s").cast("double"), F.col("__ss").cast("double")
+    mean = s / n
+    var = F.when(n > 1, (ss - s * s / n) / (n - 1)).otherwise(F.lit(None))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("value") - mean) / std)
+    return (
+        events.select("event_id", "user_id", "value")
+        .join(stats, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(mean, 6).alias("user_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+    )

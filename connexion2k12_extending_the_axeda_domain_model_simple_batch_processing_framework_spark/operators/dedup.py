@@ -331,6 +331,27 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+
+    # first-matching-band dedup: a pair colliding in several bands is kept
+    # only where the band index equals its FIRST agreeing band (all earlier
+    # bands must differ) — cheap bit predicates on the signatures already
+    # in the row, replacing a distinct() that shuffled every candidate
+    # pair (~corpus²/bucket_count rows) a second time.
+    def band_val(col: F.Column, j: int) -> F.Column:
+        off, width = SIMHASH_BANDS[j]
+        return F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1))
+
+    first_match = F.lit(False)
+    for idx in range(len(SIMHASH_BANDS)):
+        earlier_differ = F.lit(True)
+        for j in range(idx):
+            earlier_differ = earlier_differ & (
+                band_val(F.col("a.simhash"), j) != band_val(F.col("b.simhash"), j)
+            )
+        first_match = F.when(F.col("a.band") == idx, earlier_differ).otherwise(
+            first_match
+        )
+
     return (
         a.join(
             b,
@@ -338,13 +359,13 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -112,6 +112,10 @@ def quantile_sketch_prices(lineitem: DataFrame, k: int = QSK_K) -> DataFrame:
     oracle-checked accuracy reference (cf. analytics.price_quantiles'
     approx_percentile swap note).
     """
+    # the hash rides only on the sample leg — the exact leg reads price
+    # alone (no per-row md5), and each leg computes all three quartiles
+    # through ONE percentile buffer (array percentage), not three
+    quartiles = F.percentile("price", F.lit([0.25, 0.50, 0.75]))
     keyed = spread(lineitem).select(
         F.col("l_extendedprice").cast("double").alias("price"),
         hex_hash64(
@@ -119,15 +123,20 @@ def quantile_sketch_prices(lineitem: DataFrame, k: int = QSK_K) -> DataFrame:
         ).alias("h"),
     )
     sample = keyed.orderBy("h", "price").limit(k)
-    est = sample.agg(
-        F.round(F.percentile("price", 0.25), 4).alias("est_p25"),
-        F.round(F.percentile("price", 0.50), 4).alias("est_p50"),
-        F.round(F.percentile("price", 0.75), 4).alias("est_p75"),
+    est = sample.agg(quartiles.alias("q")).select(
+        F.round(F.col("q")[0], 4).alias("est_p25"),
+        F.round(F.col("q")[1], 4).alias("est_p50"),
+        F.round(F.col("q")[2], 4).alias("est_p75"),
     )
-    exact = keyed.agg(
-        F.round(F.percentile("price", 0.25), 4).alias("exact_p25"),
-        F.round(F.percentile("price", 0.50), 4).alias("exact_p50"),
-        F.round(F.percentile("price", 0.75), 4).alias("exact_p75"),
+    exact = (
+        spread(lineitem)
+        .select(F.col("l_extendedprice").cast("double").alias("price"))
+        .agg(quartiles.alias("q"))
+        .select(
+            F.round(F.col("q")[0], 4).alias("exact_p25"),
+            F.round(F.col("q")[1], 4).alias("exact_p50"),
+            F.round(F.col("q")[2], 4).alias("exact_p75"),
+        )
     )
     return est.crossJoin(F.broadcast(exact))
 

@@ -2055,3 +2055,34 @@ SQL_BPE_TOKEN_COUNT = _bpe_oracle()
 
 QUERIES["bpe_token_count"] = q_bpe_token_count
 ORACLE["bpe_token_count"] = SQL_BPE_TOKEN_COUNT
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (operators.analytics.value_anomalies)."""
+    return analytics.value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_ANOMALIES = f"""
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+         sum(value::DECIMAL(18,2)) AS s,
+         sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS ss
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT e.event_id, e.user_id, e.value,
+         round(s::DOUBLE / n, 6) AS user_mean,
+         CASE WHEN n > 1 AND sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)) > 0
+              THEN round((e.value - s::DOUBLE / n)
+                         / sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)), 6)
+         END AS zscore
+  FROM events e JOIN stats USING (user_id)
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       value::DOUBLE AS value, user_mean, zscore
+FROM scored
+WHERE abs(zscore) > {analytics.ANOMALY_Z}
+"""
+
+QUERIES["value_anomalies"] = q_value_anomalies
+ORACLE["value_anomalies"] = SQL_VALUE_ANOMALIES

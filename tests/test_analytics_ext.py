@@ -52,3 +52,26 @@ def test_price_quantiles_exact(spark):
     assert r.p50 == 50.5
     assert r.p75 == 75.25
     assert r.p95 == 95.05
+
+
+def test_value_anomalies_flags_outlier_only(spark):
+    import datetime
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.analytics import (
+        value_anomalies,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: 20 values at ~10 plus one wild 1000 → only the 1000 flags;
+    # user 2: constant values → zero variance, never anomalous
+    rows = [(i, base, 1, "view", 10.0 + (i % 3) * 0.5, "{}") for i in range(20)]
+    rows.append((99, base, 1, "view", 1000.0, "{}"))
+    rows += [(200 + i, base, 2, "view", 5.0, "{}") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = value_anomalies(ev).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3
