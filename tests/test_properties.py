@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): distributed plans vs brute-force
+Python references on random inputs. These catch boundary semantics the
+example-based tests and the DuckDB oracle (which shares some formula
+choices) could both miss — tie-breaking, window-edge inclusivity, bucket
+straddling.
+
+Sized for the shared local session: small generated frames, few examples,
+deadline disabled (Spark job latency dominates)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    temporal,
+)
+
+_EVENT_SETS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # user_id
+        st.integers(min_value=0, max_value=3600),   # seconds offset
+        st.sampled_from(["view", "error", "click"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_BASE = datetime.datetime(2024, 1, 1)
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_events(spark, rows):
+    data = [
+        (i, _BASE + datetime.timedelta(seconds=s), u, et, 1.0, "{}")
+        for i, (u, s, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@given(rows=_EVENT_SETS)
+@settings(**_SETTINGS)
+def test_range_join_follow_matches_bruteforce(spark, rows):
+    ev = _to_events(spark, rows)
+    got = {
+        r.error_event_id: r.n_follow
+        for r in temporal.range_join_follow(ev, window_us=300 * 1_000_000).collect()
+    }
+    want = {}
+    for i, (u, s, et) in enumerate(rows):
+        if et != "error":
+            continue
+        want[i] = sum(
+            1
+            for j, (u2, s2, _) in enumerate(rows)
+            if u2 == u and s < s2 <= s + 300
+        )
+    assert got == want
+
+
+@given(rows=_EVENT_SETS, gap=st.sampled_from([60, 300, 900]))
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    ev = _to_events(spark, rows)
+    got = sorted(
+        (r.user_id, int(r.session_idx), r.n_events)
+        for r in temporal.sessionize(ev, gap_us=gap * 1_000_000).collect()
+    )
+    # brute force: per user, sort by (ts, event_id), split on gap > gap_us
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s, _) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[int] = []
+        prev = None
+        for s, _ in evs:
+            if prev is None or (s - prev) > gap:
+                sessions.append(0)
+            sessions[-1] += 1
+            prev = s
+        want.extend((u, idx + 1, n) for idx, n in enumerate(sessions))
+    assert got == sorted(want)
+
+
+@given(rows=_EVENT_SETS)
+@settings(**_SETTINGS)
+def test_asof_attribution_matches_bruteforce(spark, rows):
+    ev = _to_events(spark, rows)
+    got = {
+        r.purchase_id: r.click_id
+        for r in temporal.asof_attribute(ev, "view", "click").collect()
+    }
+    want = {}
+    for i, (u, s, et) in enumerate(rows):
+        if et != "click":
+            continue
+        # most recent view at-or-before; ties: latest ts wins, then the
+        # largest event_id among views at that ts (last carried forward)
+        cands = [
+            (s2, j)
+            for j, (u2, s2, et2) in enumerate(rows)
+            if u2 == u and et2 == "view" and s2 <= s
+        ]
+        if cands:
+            want[i] = max(cands)[1]
+    assert got == want
