@@ -369,6 +369,65 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
+def deletion_variants(col: F.Column) -> F.Column:
+    """The string plus every single-character deletion of it — the
+    SymSpell blocking neighborhood for edit distance <= 1."""
+    one_deleted = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1), col.substr(i + 1, F.length(col))
+        ),
+    )
+    return F.array_union(F.array(col), one_deleted)
+
+
+def fuzzy_name_pairs(
+    entities: DataFrame,
+    name_col: str = "c_name",
+    id_col: str = "c_custkey",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Pairs of entities whose names are within Levenshtein distance
+    ``max_distance`` (= 1) — the typo-clustering / entity-resolution join
+    (duplicate serials with one mistyped character, near-identical URLs
+    or titles in a crawl).
+
+    A naive fuzzy join is all-pairs × an O(len²) distance — the classic
+    quadratic blowup. The scale shape is **deletion-neighborhood
+    blocking** (SymSpell): every string explodes to itself plus its
+    single-character deletions (length+1 variants, a bounded fan-out);
+    two strings within edit distance 1 — substitution, insertion, or
+    deletion — MUST share a variant, so candidates come from an EQUI-join
+    on the variant string, and the exact ``levenshtein`` runs only on
+    candidates. Recall is exactly 1 for distance <= 1. A shared-variant
+    pair can collide on several variants; the distinct runs on the
+    (tiny) matched pair set, not the candidate stream.
+    """
+    named = spread(entities).select(
+        F.col(id_col).alias("ent_id"), F.col(name_col).alias("name")
+    )
+    ex = named.select(
+        "ent_id", "name", F.explode(deletion_variants(F.col("name"))).alias("v")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.ent_id") < F.col("b.ent_id")),
+        )
+        .filter(lev <= max_distance)
+        .select(
+            F.col("a.ent_id").alias("id_a"),
+            F.col("b.ent_id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.cast("int").alias("distance"),
+        )
+        .distinct()
+    )
+
+
 def dup_clusters(
     documents: DataFrame, max_iterations: int = 10, **lsh_kwargs
 ) -> DataFrame:

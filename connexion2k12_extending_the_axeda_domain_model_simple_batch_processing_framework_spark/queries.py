@@ -2086,3 +2086,29 @@ WHERE abs(zscore) > {analytics.ANOMALY_Z}
 
 QUERIES["value_anomalies"] = q_value_anomalies
 ORACLE["value_anomalies"] = SQL_VALUE_ANOMALIES
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 name pairs via SymSpell deletion-neighborhood
+    blocking (operators.dedup.fuzzy_name_pairs)."""
+    return dedup.fuzzy_name_pairs(load_table(spark, sf_dir, "customer"))
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH named AS (SELECT c_custkey AS ent_id, c_name AS name FROM customer),
+ex AS (
+  SELECT ent_id, name, unnest(list_append(
+    list_transform(range(1, length(name) + 1),
+                   i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+    name)) AS v
+  FROM named
+)
+SELECT DISTINCT a.ent_id::BIGINT AS id_a, b.ent_id::BIGINT AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::INT AS distance
+FROM ex a JOIN ex b ON a.v = b.v AND a.ent_id < b.ent_id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+ORACLE["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS

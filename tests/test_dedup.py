@@ -199,3 +199,30 @@ def test_keep_canonical_one_survivor_per_cluster(spark):
     # output keeps the full document schema, not just ids
     cols = dedup.keep_canonical(docs).columns
     assert cols == ["doc_id", "text"]
+
+
+def test_fuzzy_name_pairs_blocking_recall(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            (1, "serial-100"),
+            (2, "serial-101"),   # substitution of 1
+            (3, "serial-1001"),  # insertion into 1
+            (4, "serial-10"),    # deletion from 1
+            (5, "serial-999"),   # distance 2 from 1 — excluded
+            (6, "serial-100"),   # identical to 1 (distance 0)
+        ],
+        "c_custkey long, c_name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_name_pairs(ents).collect()
+    }
+    assert pairs[(1, 2)] == 1   # substitution
+    assert pairs[(1, 3)] == 1   # insertion
+    assert pairs[(1, 4)] == 1   # deletion
+    assert pairs[(1, 6)] == 0   # exact dup
+    assert (1, 5) not in pairs  # beyond max_distance
