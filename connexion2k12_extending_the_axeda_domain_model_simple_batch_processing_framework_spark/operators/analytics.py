@@ -307,3 +307,41 @@ def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFr
         )
         .filter(F.abs(F.col("zscore")) > z_threshold)
     )
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data profiling — the first query anyone runs on 100 TB of new
+    data: per column, row count, null count, exact distinct count, and
+    the native min/max rendered as strings (one schema for all types).
+
+    ONE aggregation pass computes every column's stats (Spark plans the
+    multi-distinct via a single Expand + shuffle — column-count×, not
+    pass-count×); the per-column output rows come from inlining a
+    struct array over the 1-row aggregate, not from re-scanning. At
+    100 TB swap countDistinct for approx_count_distinct (HLL) per the
+    engine's documented cardinality policy; exact here for the oracle.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__null_{c}").cast("long").alias("n_null"),
+                F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.inline(entries))

@@ -2112,3 +2112,86 @@ WHERE levenshtein(a.name, b.name) <= 1
 
 QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 ORACLE["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall of the LSH path against the
+    exact brute-force top-k on the same query set — the metric a team
+    tuning planes/probes watches. Both result sets are deterministic
+    (md5-seeded hyperplanes), so even the RECALL itself is oracle-checked
+    — the DuckDB twin recomputes both sides and must land on the exact
+    same fraction. One row: (n_queries, n_exact_pairs, n_matched,
+    recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = similarity.brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.lsh_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    matched = brute.join(lsh, ["query_id", "neighbor_id"], "inner")
+    n_q = queries_df.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_b = brute.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_q.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_m))
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round(F.col("n_matched") / F.col("n_exact_pairs"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH brute AS ({SQL_ANN_TOPK}),
+lsh AS ({SQL_ANN_LSH_TOPK}),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM (SELECT query_id, neighbor_id FROM brute) b
+  JOIN (SELECT query_id, neighbor_id FROM lsh) l USING (query_id, neighbor_id)
+),
+nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id % 50 = 0),
+nb AS (SELECT count(*) AS n_exact_pairs FROM brute)
+SELECT n_queries::BIGINT AS n_queries,
+       n_exact_pairs::BIGINT AS n_exact_pairs,
+       n_matched::BIGINT AS n_matched,
+       round(n_matched / n_exact_pairs, 6) AS recall
+FROM nq CROSS JOIN nb CROSS JOIN m
+"""
+
+QUERIES["ann_recall"] = q_ann_recall
+ORACLE["ann_recall"] = SQL_ANN_RECALL
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the events table
+    (operators.analytics.table_profile)."""
+    return analytics.table_profile(
+        load_table(spark, sf_dir, "events"), _PROFILE_COLS
+    )
+
+
+def _profile_oracle() -> str:
+    legs = []
+    for c in _PROFILE_COLS:
+        legs.append(
+            f"""SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM events"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+SQL_EVENTS_PROFILE = _profile_oracle()
+
+QUERIES["events_profile"] = q_events_profile
+ORACLE["events_profile"] = SQL_EVENTS_PROFILE

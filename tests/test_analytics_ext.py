@@ -75,3 +75,20 @@ def test_value_anomalies_flags_outlier_only(spark):
     out = value_anomalies(ev).collect()
     assert [r.event_id for r in out] == [99]
     assert out[0].zscore > 3
+
+
+def test_table_profile_stats(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.analytics import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, tag string"
+    )
+    rows = {r.column: r for r in table_profile(df).collect()}
+    assert rows["id"].n_rows == 3 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 3
+    assert (rows["id"].min_value, rows["id"].max_value) == ("1", "3")
+    assert rows["tag"].n_null == 1
+    assert rows["tag"].n_distinct == 1  # nulls don't count as a value
+    assert rows["tag"].max_value == "a"
