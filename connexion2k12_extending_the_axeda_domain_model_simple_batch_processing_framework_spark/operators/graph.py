@@ -1,0 +1,85 @@
+"""Graph analytics over candidate-pair edge lists: PageRank.
+
+Complements ``dedup.connected_components`` (which labels near-dup
+clusters) with an influence score over the same graph — e.g. rank the
+most-duplicated documents, the hub assets in a fleet graph.
+
+Determinism design: floating-point PageRank is NOT reproducible across
+partitionings (neighbor contributions sum in shuffle order), so every
+quantity here is integer pico-units (1e-12): contributions divide with
+integer ``div``, the damping factor applies as 17/20, and the per-node
+sum of longs is exact — bit-identical across engines, partition counts,
+and retries, which is what lets the DuckDB oracle check 5 iterations of
+an iterative algorithm to the last digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.checkpoint import cut_lineage
+
+SCALE = 1_000_000_000_000  # pico-units
+PR_ITERS = 5
+#: damping 0.85 = 17/20, applied in integer arithmetic
+
+
+def pagerank(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over an undirected pair list (doc_a, doc_b), ``iters``
+    synchronous iterations from a uniform start.
+
+    Per iteration: one join (ranks onto edge sources) + one groupBy on
+    the destination — both shuffles on the node key, map-side combined;
+    the rank table is lineage-cut per round so plan depth stays constant
+    (same shape as connected_components). Degrees are computed once.
+    Every node of the pair graph appears in the output; rank mass is
+    conserved up to integer-division remainders (bounded by N pico-units
+    per iteration).
+
+    Returns (doc_id, rank_q pico-units, rank double).
+    """
+    both = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )
+    )
+    edges = cut_lineage(pairs.select(both.alias("e")).select("e.src", "e.dst"))
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = degs.agg(F.count(F.lit(1)).alias("__n"))
+
+    # integer constants derived from N: uniform start SCALE div N and the
+    # teleport term (1-d) * SCALE / N = (3 * SCALE) div (20 * N)
+    ranks = degs.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("doc_id"),
+        F.expr(f"{SCALE} div __n").alias("rank_q"),
+        "deg",
+        "__n",
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select("doc_id", "rank_q", "deg"),
+                edges.src == F.col("doc_id"),
+            )
+            .select("dst", F.expr("rank_q div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("__s"))
+        )
+        ranks = cut_lineage(
+            ranks.join(contrib, ranks.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"(3 * {SCALE}) div (20 * __n) + (17 * coalesce(__s, 0)) div 20"
+                ).alias("rank_q"),
+                "deg",
+                "__n",
+            )
+        )
+    return ranks.select(
+        "doc_id",
+        "rank_q",
+        F.round(F.col("rank_q") / F.lit(float(SCALE)), 9).alias("rank"),
+    )

@@ -2195,3 +2195,51 @@ SQL_EVENTS_PROFILE = _profile_oracle()
 
 QUERIES["events_profile"] = q_events_profile
 ORACLE["events_profile"] = SQL_EVENTS_PROFILE
+
+
+from .operators import graph  # noqa: E402
+
+
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph
+    (operators.graph.pagerank) — ranks the most-duplicated documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return graph.pagerank(pairs)
+
+
+def _pagerank_oracle(iters: int = graph.PR_ITERS) -> str:
+    """Iterated-CTE twin of graph.pagerank: the same integer pico-unit
+    arithmetic unrolled, one CTE pair per iteration."""
+    s = graph.SCALE
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH}) mh)",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "degs AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM degs)",
+        f"r0 AS (SELECT doc_id, ({s} // n) AS rq, deg, n FROM degs CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS doc_id, sum(r.rq // r.deg) AS s"
+            f" FROM edges e JOIN r{t} r ON e.src = r.doc_id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{t + 1} AS (SELECT r.doc_id,"
+            f" (3 * {s}) // (20 * r.n) + (17 * coalesce(c.s, 0)) // 20 AS rq,"
+            f" r.deg, r.n"
+            f" FROM r{t} r LEFT JOIN c{t} c USING (doc_id))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id::BIGINT AS doc_id, rq::BIGINT AS rank_q,
+       round(rq / {s}.0, 9) AS rank
+FROM r{iters}"""
+    )
+
+
+SQL_DOC_PAGERANK = _pagerank_oracle()
+
+QUERIES["doc_pagerank"] = q_doc_pagerank
+ORACLE["doc_pagerank"] = SQL_DOC_PAGERANK
