@@ -1,0 +1,76 @@
+"""Streaming z-score anomaly detector: Welford state across micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+    anomaly,
+)
+
+SCHEMA = "user_id long, event_id long, value double, event_time timestamp"
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(user, eid, value, ts):
+    return {"user_id": user, "event_id": eid, "value": value, "event_time": ts}
+
+
+def _run(spark, src, tmp_path, name, one_file_per_batch=False):
+    reader = spark.readStream.schema(SCHEMA)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.json(str(src))
+    q = (
+        anomaly.value_anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_anomaly_stream_flags_outlier_after_baseline(spark, tmp_path):
+    src = tmp_path / "ev1"
+    src.mkdir()
+    base = "2026-01-01T10:00:{:02d}"
+    rows = [
+        _ev(1, i, 10.0 + (i % 3) * 0.5, base.format(i)) for i in range(10)
+    ]
+    rows.append(_ev(1, 99, 500.0, base.format(50)))  # wild outlier, arrives last
+    rows.append(_ev(1, 100, 10.5, base.format(51)))  # normal after the spike
+    _write(src / "f0.json", rows)
+    out = _run(spark, src, tmp_path, "anom1")
+    flagged = {r.event_id for r in out}
+    assert 99 in flagged
+    # early rows can't be flagged (no baseline yet), normal rows never
+    assert all(e == 99 for e in flagged)
+    z = [r.zscore for r in out if r.event_id == 99][0]
+    assert z > anomaly.ANOMALY_Z
+
+
+def test_anomaly_stream_state_survives_micro_batches(spark, tmp_path):
+    """Baseline built in batch 1 must flag an outlier arriving in batch 2 —
+    proving the Welford moments persist in the state store."""
+    src = tmp_path / "ev2"
+    src.mkdir()
+    _write(
+        src / "f0.json",
+        [_ev(2, i, 5.0 + (i % 2) * 0.25, f"2026-01-01T11:00:{i:02d}") for i in range(8)],
+    )
+    _write(src / "f1.json", [_ev(2, 50, -300.0, "2026-01-01T11:01:00")])
+    # maxFilesPerTrigger=1 → the baseline file and the outlier file are
+    # separate micro-batches; flagging event 50 requires the Welford
+    # moments from batch 1 to come back out of the state store
+    out = _run(spark, src, tmp_path, "anom2", one_file_per_batch=True)
+    assert {r.event_id for r in out} == {50}
+    assert [r.zscore for r in out][0] < -anomaly.ANOMALY_Z
