@@ -50,9 +50,11 @@ def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None)
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # the events table carries TIMESTAMP(NANOS) parquet columns, which
-        # Spark only reads as raw longs; sources/catalog.py converts to
-        # microsecond timestamps (truncating, matching DuckDB/Arrow).
+        # the events table carries TIMESTAMP(NANOS) parquet columns. On
+        # Spark <= 4.0 this conf surfaces them as raw longs (unreadable
+        # otherwise); on 4.1+ it is inert and the native read returns
+        # TIMESTAMP_NTZ. sources/catalog.py normalizes either form to
+        # TIMESTAMP under the UTC session timezone below.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
