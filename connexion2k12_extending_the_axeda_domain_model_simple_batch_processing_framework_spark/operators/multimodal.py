@@ -73,3 +73,74 @@ def decode_stub(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FRAME_STRIDE = 2  # sample every 2nd frame (video keyframe-style sampling)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame sampling: explode each payload into every ``stride``-th
+    fixed-size frame — the video-pipeline step that turns one blob row
+    into N frame rows for per-frame featurization.
+
+    Pure binary column math (binary length + binary substr over an
+    exploded offset sequence): pipelines off the scan with NO shuffle and
+    no Python; at 100 TB each task turns its blob rows into frame rows
+    locally. The last frame may be short. Frame indices count SAMPLED
+    frames (0,1,2…), ``frame_offset`` is the byte position in the blob.
+    """
+    n_bytes = F.length("payload")
+    starts = F.sequence(
+        F.lit(0), n_bytes - 1, F.lit(frame_bytes * stride)
+    )
+    ex = media.select(
+        "doc_id", "payload", F.posexplode(starts).alias("frame_idx", "frame_offset")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("payload").substr(
+            F.col("frame_offset") + 1, F.lit(frame_bytes)
+        ).alias("frame_bytes"),
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx long, frame_len long, mean_byte double, max_byte long"
+)
+
+
+def frame_byte_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame byte statistics — the featurization stage (mean/max pixel
+    value, in production a real embedding model) as Arrow-batched numpy
+    over the raw frame bytes: ``np.frombuffer`` per frame, integer sums
+    (exact, order-independent) divided once at the end, so the stats are
+    bit-identical to the oracle's character-code arithmetic."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lens, means, maxes = [], [], []
+            for buf in pdf["frame_bytes"]:
+                a = np.frombuffer(bytes(buf), dtype=np.uint8)
+                lens.append(len(a))
+                means.append(round(int(a.sum()) / len(a), 6) if len(a) else 0.0)
+                maxes.append(int(a.max()) if len(a) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_len": lens,
+                    "mean_byte": means,
+                    "max_byte": maxes,
+                }
+            )
+
+    return frames.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)

@@ -2243,3 +2243,50 @@ SQL_DOC_PAGERANK = _pagerank_oracle()
 
 QUERIES["doc_pagerank"] = q_doc_pagerank
 ORACLE["doc_pagerank"] = SQL_DOC_PAGERANK
+
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 2
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media frame sampling + per-frame featurization
+    (operators.multimodal.sample_frames / frame_byte_stats): binary
+    slicing on the Spark side; the oracle reproduces it through text
+    character codes (the payload is the utf-8 of ascii text)."""
+    from .operators.multimodal import (
+        frame_byte_stats,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE)
+    return frame_byte_stats(frames)
+
+
+_FRAME_STEP = _FRAME_BYTES * _FRAME_STRIDE
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+s AS (SELECT doc_id, text, unnest(range(0, nb, {_FRAME_STEP})) AS off FROM m),
+f AS (
+  SELECT doc_id, (off // {_FRAME_STEP})::BIGINT AS frame_idx,
+         substring(text, off + 1, {_FRAME_BYTES}) AS ft
+  FROM s
+),
+codes AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(1, length(ft) + 1),
+                        i -> ascii(substring(ft, i, 1))) AS cs
+  FROM f
+)
+SELECT doc_id::BIGINT AS doc_id, frame_idx,
+       len(cs)::BIGINT AS frame_len,
+       round(list_sum(cs) / len(cs), 6) AS mean_byte,
+       list_max(cs)::BIGINT AS max_byte
+FROM codes
+"""
+
+QUERIES["multimodal_frames"] = q_multimodal_frames
+ORACLE["multimodal_frames"] = SQL_MULTIMODAL_FRAMES

@@ -272,3 +272,32 @@ def test_contamination_bloom_equals_exact(spark, sf_dir):
     bloom = corpus.contamination_check(docs, bloom_prefilter=True).collect()
     key = lambda r: r.doc_id  # noqa: E731
     assert sorted(exact, key=key) == sorted(bloom, key=key)
+
+
+# --- multimodal frames ----------------------------------------------------
+
+
+def test_sample_frames_offsets_and_tail(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.multimodal import (
+        frame_byte_stats,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    text = "a" * 10 + "b" * 10 + "c" * 5  # 25 bytes
+    docs = spark.createDataFrame([(1, text, "s0")], "doc_id long, text string, source string")
+    media = with_binary_payload(docs)
+    frames = sample_frames(media, frame_bytes=10, stride=2).collect()
+    # offsets 0 and 20 (stride skips offset 10)
+    assert [(r.frame_idx, r.frame_offset) for r in frames] == [(0, 0), (1, 20)]
+    assert bytes(frames[0].frame_bytes) == b"a" * 10
+    assert bytes(frames[1].frame_bytes) == b"c" * 5  # short tail frame
+    stats = {
+        r.frame_idx: r
+        for r in frame_byte_stats(
+            sample_frames(media, frame_bytes=10, stride=2)
+        ).collect()
+    }
+    assert stats[0].frame_len == 10 and stats[0].max_byte == ord("a")
+    assert stats[0].mean_byte == float(ord("a"))
+    assert stats[1].frame_len == 5 and stats[1].max_byte == ord("c")
