@@ -441,15 +441,19 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
     and Catalyst collapses the projection legs into shared scans. No leg
     ever shuffles more than one row per document.
     """
+    from .dedup import exact_dedup
     from .sampling import train_val_test_split
     from .text import quality_score
 
     q = quality_score(documents).select("doc_id", "quality")
     rep = repetition_score(documents).select("doc_id", "rep_ratio")
-    hashes = documents.select("doc_id", F.md5("text").alias("__h"))
-    canon = hashes.groupBy("__h").agg(F.min("doc_id").alias("__canonical"))
-    dup = hashes.join(canon, "__h").select(
-        "doc_id", (F.col("doc_id") != F.col("__canonical")).alias("is_dup")
+    # one canonical policy: reuse exact_dedup's (content_hash ->
+    # canonical_id) aggregation rather than restating the min-id rule
+    canon = exact_dedup(documents).select("content_hash", "canonical_id")
+    dup = (
+        documents.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(canon, "content_hash")
+        .select("doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"))
     )
     split = train_val_test_split(documents).select("doc_id", "split")
     reason = (

@@ -97,7 +97,9 @@ def sample_frames(
     starts = F.sequence(
         F.lit(0), n_bytes - 1, F.lit(frame_bytes * stride)
     )
-    ex = media.select(
+    # zero-byte payloads produce no frames (F.sequence(0, -1) would throw,
+    # not return empty — same guard shape as corpus.boilerplate_scrub)
+    ex = media.filter(n_bytes > 0).select(
         "doc_id", "payload", F.posexplode(starts).alias("frame_idx", "frame_offset")
     )
     return ex.select(
@@ -131,7 +133,11 @@ def frame_byte_stats(frames: DataFrame) -> DataFrame:
             for buf in pdf["frame_bytes"]:
                 a = np.frombuffer(bytes(buf), dtype=np.uint8)
                 lens.append(len(a))
-                means.append(round(int(a.sum()) / len(a), 6) if len(a) else 0.0)
+                # round half away from zero (like F.round/DuckDB round);
+                # python round() is half-to-even and diverges on exact
+                # dyadic midpoints such as k/128
+                mean = int(a.sum()) / len(a) if len(a) else 0.0
+                means.append(np.floor(mean * 1e6 + 0.5) / 1e6)
                 maxes.append(int(a.max()) if len(a) else 0)
             yield pd.DataFrame(
                 {

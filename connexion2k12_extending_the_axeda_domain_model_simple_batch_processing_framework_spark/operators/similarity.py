@@ -150,10 +150,13 @@ def signature_table(
             acc = np.zeros((len(V), len(S)))
             for i in range(V.shape[1]):
                 acc += V[:, i, None] * S.T[None, i, :]
+            # ~(acc < 0), not acc >= 0: Spark SQL (and the oracle) treat
+            # NaN as greater than any value, so a NaN sum sets the bit —
+            # numpy's NaN >= 0 is False and would flip it
             yield pd.DataFrame(
                 {
                     id_out: pdf[id_col],
-                    "bucket": (acc >= 0).astype(np.int64) @ pows,
+                    "bucket": (~(acc < 0)).astype(np.int64) @ pows,
                     vec_out: pdf[vec_col],
                 }
             )
@@ -236,6 +239,14 @@ def embedding_near_dup_pairs(
     )
 
 
+def _round_half_away(a: "np.ndarray", decimals: int) -> "np.ndarray":
+    """Round half away from zero — the rounding F.round (BigDecimal
+    HALF_UP) and DuckDB round() use. np.round is half-to-even, which
+    disagrees on exactly-representable dyadic midpoints (e.g. 1/128)."""
+    scale = 10.0**decimals
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     """All-pairs dot products accumulated dimension-by-dimension in index
     order — each pair's sum is the same IEEE left-fold chain
@@ -271,6 +282,10 @@ def _exact_pairs_arrow(
     could score them — measured 8-10 s at sf0.1 vs ~1 s for this scan.
     """
     rows = embeddings.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus → empty pairs, not a shape error
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
     m_norms = _seq_norms(M)
@@ -281,7 +296,7 @@ def _exact_pairs_arrow(
                 continue
             A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             a_ids = pdf[id_col].to_numpy()
-            cos = np.round(
+            cos = _round_half_away(
                 _seq_dot(A, M) / np.outer(_seq_norms(A), m_norms), 6
             )
             ai, bi = np.nonzero(
@@ -347,6 +362,10 @@ def ivf_centroids(
         .limit(train_cap)
         .collect()
     )
+    if not rows:  # empty corpus → empty centroid table, not an AxisError
+        return corpus.sparkSession.createDataFrame(
+            [], "centroid_id long, centroid array<double>"
+        )
     V = np.array([r.v for r in rows], dtype=np.float64)
     n_seed = min(nlist, len(V))
     C = V[:n_seed].copy()

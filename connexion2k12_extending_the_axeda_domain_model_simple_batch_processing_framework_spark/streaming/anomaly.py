@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-ANOMALY_Z = 3.0
+from ..operators.analytics import ANOMALY_Z  # one threshold, batch + stream
+
 MIN_HISTORY = 5  # don't flag until the baseline has this many values
 
 ANOMALY_SCHEMA = T.StructType(

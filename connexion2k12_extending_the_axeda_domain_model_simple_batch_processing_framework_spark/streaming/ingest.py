@@ -102,8 +102,8 @@ def _row_min_hash(sh_col: F.Column, seed: int) -> F.Column:
 
 def ingest_pipeline_stream(
     docs: DataFrame,
-    min_quality: float = 0.3,
-    max_rep_ratio: float = 0.5,
+    min_quality: float | None = None,
+    max_rep_ratio: float | None = None,
     watermark: str = "1 hour",
     text_col: str = "text",
     time_col: str = "event_time",
@@ -115,8 +115,15 @@ def ingest_pipeline_stream(
     3. exact dedup-at-ingest (md5, first wins within the watermark),
     4. near dedup-at-ingest (full-minhash-signature match, first wins).
 
-    Output carries the scored, redacted, surviving documents.
+    Output carries the scored, redacted, surviving documents. The gate
+    thresholds default to the BATCH curation pipeline's constants
+    (operators.corpus.PIPE_MIN_QUALITY / PIPE_MAX_REP) — one definition,
+    so batch backfill and live ingest agree on what survives.
     """
+    from ..operators.corpus import PIPE_MAX_REP, PIPE_MIN_QUALITY
+
+    min_quality = PIPE_MIN_QUALITY if min_quality is None else min_quality
+    max_rep_ratio = PIPE_MAX_REP if max_rep_ratio is None else max_rep_ratio
     scored = redact_and_score_stream(docs, text_col)
     gated = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("rep_ratio") <= max_rep_ratio)

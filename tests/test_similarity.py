@@ -162,3 +162,17 @@ def test_ivf_save_load_probe_equivalence(spark, tmp_path):
     # partitioned layout exists (one dir per centroid bucket)
     dirs = [p.name for p in (tmp_path / "ivf" / "assignments").iterdir() if p.is_dir()]
     assert any(d.startswith("centroid_id=") for d in dirs)
+
+
+def test_empty_corpus_paths_return_empty(spark):
+    from pyspark.sql import functions as F
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        similarity,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert (
+        similarity.embedding_near_dup_pairs(empty, exact=True).count() == 0
+    )
+    assert similarity.ivf_centroids(empty).count() == 0

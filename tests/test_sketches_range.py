@@ -301,3 +301,17 @@ def test_sample_frames_offsets_and_tail(spark):
     assert stats[0].frame_len == 10 and stats[0].max_byte == ord("a")
     assert stats[0].mean_byte == float(ord("a"))
     assert stats[1].frame_len == 5 and stats[1].max_byte == ord("c")
+
+
+def test_sample_frames_empty_payload_yields_no_frames(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "s0"), (2, "some text", "s0")],
+        "doc_id long, text string, source string",
+    )
+    rows = sample_frames(with_binary_payload(docs), frame_bytes=4).collect()
+    assert {r.doc_id for r in rows} == {2}
