@@ -422,6 +422,63 @@ def boilerplate_scrub(
     )
 
 
+def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Distribution drift between two corpus snapshots: KL divergence of
+    their Laplace-smoothed unigram distributions, both directions — the
+    monitoring number a training pipeline tracks when a new crawl lands
+    (did the token mixture move?).
+
+    Plan shape: each side reduces to its unigram table (one shuffle on
+    token, map-side combined), a full-outer join on token aligns the
+    vocabularies, totals ride in as 1-row broadcasts, and the final
+    reduce is a single row. Smoothing ``(tf + 1) / (total + V)`` over the
+    UNION vocabulary keeps every log finite. Determinism: each token's
+    KL contribution quantizes to integer pico-nats before the sum (a
+    double sum over shuffled rows is order-dependent), mirroring
+    ``unigram_logprob``'s micro-nat trick.
+    """
+    def unigrams(d: DataFrame, side: str) -> DataFrame:
+        ex = spread(d).select(F.explode(tokens(F.col("text"))).alias("t"))
+        return ex.groupBy("t").agg(F.count(F.lit(1)).alias(f"tf_{side}"))
+
+    ua, ub = unigrams(docs_a, "a"), unigrams(docs_b, "b")
+    joined = ua.join(ub, "t", "full_outer").select(
+        "t",
+        F.coalesce("tf_a", F.lit(0)).alias("tf_a"),
+        F.coalesce("tf_b", F.lit(0)).alias("tf_b"),
+    )
+    totals = joined.agg(
+        F.sum("tf_a").alias("tot_a"),
+        F.sum("tf_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("tf_a") > 0).cast("long")).alias("n_vocab_a"),
+        F.sum((F.col("tf_b") > 0).cast("long")).alias("n_vocab_b"),
+    )
+    pa = (F.col("tf_a") + 1.0) / (F.col("tot_a") + F.col("v"))
+    pb = (F.col("tf_b") + 1.0) / (F.col("tot_b") + F.col("v"))
+    pico = 1_000_000_000_000
+    term_ab = F.round(pa * F.log(pa / pb) * pico, 0).cast("long")
+    term_ba = F.round(pb * F.log(pb / pa) * pico, 0).cast("long")
+    sums = (
+        joined.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(term_ab).alias("s_ab"),
+            F.sum(term_ba).alias("s_ba"),
+            F.first("v").alias("n_vocab_union"),
+            F.first("n_vocab_a").alias("n_vocab_a"),
+            F.first("n_vocab_b").alias("n_vocab_b"),
+        )
+    )
+    return sums.select(
+        F.col("n_vocab_a").cast("long").alias("n_vocab_a"),
+        F.col("n_vocab_b").cast("long").alias("n_vocab_b"),
+        F.col("n_vocab_union").cast("long").alias("n_vocab_union"),
+        F.round(F.col("s_ab") / float(pico), 6).alias("kl_ab"),
+        F.round(F.col("s_ba") / float(pico), 6).alias("kl_ba"),
+        F.round((F.col("s_ab") + F.col("s_ba")) / float(pico), 6).alias("kl_sym"),
+    )
+
+
 PIPE_MIN_QUALITY = 0.3
 PIPE_MAX_REP = 0.5
 

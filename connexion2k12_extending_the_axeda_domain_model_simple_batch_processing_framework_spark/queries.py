@@ -2290,3 +2290,49 @@ FROM codes
 
 QUERIES["multimodal_frames"] = q_multimodal_frames
 ORACLE["multimodal_frames"] = SQL_MULTIMODAL_FRAMES
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between the even- and odd-id halves of
+    the corpus (operators.corpus.corpus_drift) — stand-ins for an old
+    snapshot and a new crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+SQL_CORPUS_DRIFT = f"""
+WITH ea AS (SELECT unnest({_TOKS}) AS t FROM documents WHERE doc_id % 2 = 0),
+eb AS (SELECT unnest({_TOKS}) AS t FROM documents WHERE doc_id % 2 = 1),
+ua AS (SELECT t, count(*) AS tf_a FROM ea GROUP BY t),
+ub AS (SELECT t, count(*) AS tf_b FROM eb GROUP BY t),
+j AS (
+  SELECT coalesce(ua.t, ub.t) AS t,
+         coalesce(tf_a, 0) AS tf_a, coalesce(tf_b, 0) AS tf_b
+  FROM ua FULL OUTER JOIN ub ON ua.t = ub.t
+),
+tot AS (
+  SELECT sum(tf_a) AS tot_a, sum(tf_b) AS tot_b, count(*) AS v,
+         sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS n_vocab_a,
+         sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS n_vocab_b
+  FROM j
+),
+terms AS (
+  SELECT round((tf_a + 1.0) / (tot_a + v) * ln(((tf_a + 1.0) / (tot_a + v)) / ((tf_b + 1.0) / (tot_b + v))) * 1000000000000, 0)::BIGINT AS t_ab,
+         round((tf_b + 1.0) / (tot_b + v) * ln(((tf_b + 1.0) / (tot_b + v)) / ((tf_a + 1.0) / (tot_a + v))) * 1000000000000, 0)::BIGINT AS t_ba,
+         v, n_vocab_a, n_vocab_b
+  FROM j CROSS JOIN tot
+)
+SELECT min(n_vocab_a)::BIGINT AS n_vocab_a,
+       min(n_vocab_b)::BIGINT AS n_vocab_b,
+       min(v)::BIGINT AS n_vocab_union,
+       round(sum(t_ab) / 1000000000000.0, 6) AS kl_ab,
+       round(sum(t_ba) / 1000000000000.0, 6) AS kl_ba,
+       round((sum(t_ab) + sum(t_ba)) / 1000000000000.0, 6) AS kl_sym
+FROM terms
+"""
+
+QUERIES["corpus_drift"] = q_corpus_drift
+ORACLE["corpus_drift"] = SQL_CORPUS_DRIFT

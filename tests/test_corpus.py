@@ -285,3 +285,15 @@ def test_source_cap_two_phase_equals_single_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_corpus_drift_zero_for_identical_and_positive_for_shifted(spark):
+    same = _docs(spark, ["alpha beta gamma", "delta epsilon zeta"])
+    r = corpus.corpus_drift(same, same).collect()[0]
+    assert r.kl_ab == 0.0 and r.kl_ba == 0.0 and r.kl_sym == 0.0
+    assert r.n_vocab_a == r.n_vocab_union
+
+    shifted = _docs(spark, ["alpha alpha alpha beta", "omega psi chi phi"])
+    d = corpus.corpus_drift(same, shifted).collect()[0]
+    assert d.kl_ab > 0 and d.kl_ba > 0
+    assert d.n_vocab_union > d.n_vocab_a  # disjoint words widen the union
