@@ -74,3 +74,35 @@ def test_anomaly_stream_state_survives_micro_batches(spark, tmp_path):
     out = _run(spark, src, tmp_path, "anom2", one_file_per_batch=True)
     assert {r.event_id for r in out} == {50}
     assert [r.zscore for r in out][0] < -anomaly.ANOMALY_Z
+
+
+def test_distinct_users_stream_kmv_matches_small_exact(spark, tmp_path):
+    """Fewer distinct users than k → the sketch is exact; the estimate
+    must keep absorbing new users across micro-batches (merge path)."""
+    src = tmp_path / "ev3"
+    src.mkdir()
+    _write(
+        src / "f0.json",
+        [_ev(u, u, 1.0, "2026-01-01T10:00:00") for u in range(1, 11)],
+    )
+    _write(
+        src / "f1.json",
+        [_ev(u, u + 100, 1.0, "2026-01-01T10:30:00") for u in range(5, 21)],
+    )
+    reader = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+    stream = reader.json(str(src))
+    q = (
+        anomaly.distinct_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmvwin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmvwin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM kmvwin ORDER BY n_seen"
+    ).collect()
+    # final refresh of the window covers users 1..20 = 20 distinct
+    assert rows[-1].distinct_estimate == 20.0
