@@ -94,3 +94,45 @@ def send_email(notifications: DataFrame) -> None:
         "email transport is deployment-specific; consume "
         "finalization_notifications() with foreachPartition + an SMTP client"
     )
+
+
+EXPORT_SHARDS = 16
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "doc_id",
+    n_shards: int = EXPORT_SHARDS,
+    mode: str = "overwrite",
+) -> None:
+    """Export the finished training corpus as sharded JSONL — the format
+    most training loaders consume (one JSON object per line, directory
+    per shard).
+
+    Shard assignment is the deterministic md5 of ``shard_col`` (the same
+    reproducible-placement rule as corpus_shuffle — a retried job writes
+    byte-identical shards; ``rand()`` would not). One shuffle on the
+    shard key; each output directory is one shard:
+    ``{path}/shard=NN/part-*.txt``. ``n_shards`` plays the role of a
+    target file size at 100 TB (shards ≈ data / loader-chunk-size); at
+    that scale this writer and ``write_compacted`` compose: compact, then
+    export.
+    """
+    from ..functions.hashing import hex_hash64
+
+    shard = (hex_hash64(F.col(shard_col).cast("string")) % n_shards).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .select("shard", F.to_json(F.struct(*df.columns)).alias("line"))
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .text(path)
+    )
+
+
+def read_jsonl_export(spark, path: str) -> DataFrame:
+    """Read a corpus export back (schema inferred from the JSON lines;
+    the shard partition column rides along)."""
+    return spark.read.json(path)

@@ -102,3 +102,33 @@ def test_two_phase_count_matches_group_count(spark):
     )
     got = {r.k: r["count"] for r in skew.two_phase_count(df, "k", salt_source="payload").collect()}
     assert got == {1: 50, 2: 2, 3: 1}
+
+
+def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.sinks import (
+        export_jsonl,
+        read_jsonl_export,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    p1, p2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+    export_jsonl(docs, p1, n_shards=4)
+    export_jsonl(docs.repartition(13), p2, n_shards=4)
+
+    back = read_jsonl_export(spark, p1)
+    assert back.count() == docs.count()
+    # full fidelity: every (doc_id, text, source) row survives the trip
+    orig = {(r.doc_id, r.text, r.source) for r in docs.collect()}
+    got = {(r.doc_id, r.text, r.source) for r in back.collect()}
+    assert got == orig
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= set(range(4))
+
+    # deterministic placement: same rows land in the same shard no matter
+    # the input partitioning
+    s1 = {(r.doc_id, r.shard) for r in read_jsonl_export(spark, p1).select("doc_id", "shard").collect()}
+    s2 = {(r.doc_id, r.shard) for r in read_jsonl_export(spark, p2).select("doc_id", "shard").collect()}
+    assert s1 == s2
