@@ -441,11 +441,18 @@ def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
         ex = spread(d).select(F.explode(tokens(F.col("text"))).alias("t"))
         return ex.groupBy("t").agg(F.count(F.lit(1)).alias(f"tf_{side}"))
 
+    from ..functions.checkpoint import cut_lineage
+
     ua, ub = unigrams(docs_a, "a"), unigrams(docs_b, "b")
-    joined = ua.join(ub, "t", "full_outer").select(
-        "t",
-        F.coalesce("tf_a", F.lit(0)).alias("tf_a"),
-        F.coalesce("tf_b", F.lit(0)).alias("tf_b"),
+    # materialize the aligned vocabulary once: BOTH the totals reduce and
+    # the final sum consume it, and without the cut each consumer re-runs
+    # the two explode+groupBy legs and the full-outer join
+    joined = cut_lineage(
+        ua.join(ub, "t", "full_outer").select(
+            "t",
+            F.coalesce("tf_a", F.lit(0)).alias("tf_a"),
+            F.coalesce("tf_b", F.lit(0)).alias("tf_b"),
+        )
     )
     totals = joined.agg(
         F.sum("tf_a").alias("tot_a"),

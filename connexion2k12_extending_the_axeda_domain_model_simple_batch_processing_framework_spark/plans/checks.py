@@ -47,8 +47,10 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def read_schemas(df: DataFrame) -> list[str]:
-    """ReadSchema of each scan — the column-pruning evidence."""
-    return re.findall(r"ReadSchema: struct<([^>]*)>", plan_string(df))
+    """ReadSchema of each scan — the column-pruning evidence. Greedy to
+    the line's last '>' so nested types (map/array/struct) don't truncate
+    the capture at their inner closing bracket."""
+    return re.findall(r"ReadSchema: struct<(.*)>", plan_string(df))
 
 
 def uses_python_eval(df: DataFrame) -> bool:

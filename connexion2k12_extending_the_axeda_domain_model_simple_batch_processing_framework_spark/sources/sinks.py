@@ -110,24 +110,32 @@ def export_jsonl(
     most training loaders consume (one JSON object per line, directory
     per shard).
 
-    Shard assignment is the deterministic md5 of ``shard_col`` (the same
-    reproducible-placement rule as corpus_shuffle — a retried job writes
-    byte-identical shards; ``rand()`` would not). One shuffle on the
-    shard key; each output directory is one shard:
-    ``{path}/shard=NN/part-*.txt``. ``n_shards`` plays the role of a
+    Shard assignment is the deterministic md5 of ``shard_col``
+    (``sampling.hash_bucket`` — one placement rule engine-wide), and rows
+    sort by ``shard_col`` within each shard, so a retried job writes
+    byte-identical shards (membership AND order; shuffle-fetch order
+    alone is run-dependent). One shuffle on the shard key; each output
+    directory is one shard: ``{path}/export_shard=NN/part-*.txt`` (a
+    name no input column uses — and not underscore-prefixed, which
+    readers would skip as metadata). Null fields serialize explicitly so
+    the roundtrip schema is lossless. ``n_shards`` plays the role of a
     target file size at 100 TB (shards ≈ data / loader-chunk-size); at
-    that scale this writer and ``write_compacted`` compose: compact, then
-    export.
+    that scale this writer and ``write_compacted`` compose: compact,
+    then export.
     """
-    from ..functions.hashing import hex_hash64
+    from ..operators.sampling import hash_bucket
 
-    shard = (hex_hash64(F.col(shard_col).cast("string")) % n_shards).cast("int")
+    line = F.to_json(
+        F.struct(*df.columns), {"ignoreNullFields": "false"}
+    ).alias("line")
+    shard = hash_bucket(F.col(shard_col), n_shards).cast("int").alias("export_shard")
     (
-        df.withColumn("shard", shard)
-        .select("shard", F.to_json(F.struct(*df.columns)).alias("line"))
-        .repartition(n_shards, "shard")
+        df.select(shard, F.col(shard_col).alias("__order"), line)
+        .repartition(n_shards, "export_shard")
+        .sortWithinPartitions("export_shard", "__order")
+        .drop("__order")
         .write.mode(mode)
-        .partitionBy("shard")
+        .partitionBy("export_shard")
         .text(path)
     )
 

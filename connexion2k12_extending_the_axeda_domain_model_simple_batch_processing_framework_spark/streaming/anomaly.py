@@ -115,15 +115,25 @@ def _kmv_group(
     what makes KMV (like HLL) safe for out-of-order, multi-batch
     accumulation."""
     (window_start,) = key
+    if state.hasTimedOut:
+        # the window closed long ago — evict its sketch
+        state.remove()
+        return
     mins = list(state.get[0]) if state.exists else []
     n_seen = 0
     for pdf in pdfs:
         if pdf.empty:
             continue
-        n_seen += len(pdf)
-        merged = sorted(set(mins) | set(int(h) for h in pdf["h"]))
+        # null user_id hashes to null → NaN through Arrow; a summary
+        # can't count it, and int(NaN) would kill the whole query
+        hs = pdf["h"].dropna()
+        n_seen += len(hs)
+        merged = sorted(set(mins) | set(int(h) for h in hs))
         mins = merged[:KMV_K]
     state.update((mins,))
+    # windows close: evict the sketch if no event arrives for a day
+    # (state would otherwise grow by one entry per window forever)
+    state.setTimeoutDuration(24 * 3600 * 1000)
     if len(mins) < KMV_K:
         est = float(len(mins))
     else:
@@ -154,5 +164,5 @@ def distinct_users_stream(events: DataFrame) -> DataFrame:
         outputStructType=KMV_OUT_SCHEMA,
         stateStructType=KMV_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -125,10 +125,22 @@ def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path, sf_dir):
     orig = {(r.doc_id, r.text, r.source) for r in docs.collect()}
     got = {(r.doc_id, r.text, r.source) for r in back.collect()}
     assert got == orig
-    assert set(back.select("shard").distinct().toPandas()["shard"]) <= set(range(4))
+    assert set(back.select("export_shard").distinct().toPandas()["export_shard"]) <= set(range(4))
 
     # deterministic placement: same rows land in the same shard no matter
     # the input partitioning
-    s1 = {(r.doc_id, r.shard) for r in read_jsonl_export(spark, p1).select("doc_id", "shard").collect()}
-    s2 = {(r.doc_id, r.shard) for r in read_jsonl_export(spark, p2).select("doc_id", "shard").collect()}
+    s1 = {(r.doc_id, r.export_shard) for r in read_jsonl_export(spark, p1).select("doc_id", "export_shard").collect()}
+    s2 = {(r.doc_id, r.export_shard) for r in read_jsonl_export(spark, p2).select("doc_id", "export_shard").collect()}
     assert s1 == s2
+
+    # byte-identical shards: same content AND same in-file order
+    import glob
+
+    def shard_bytes(base):
+        out = {}
+        for d in glob.glob(f"{base}/export_shard=*"):
+            blobs = [open(f, "rb").read() for f in sorted(glob.glob(f"{d}/part-*"))]
+            out[d.rsplit("=", 1)[1]] = b"".join(blobs)
+        return out
+
+    assert shard_bytes(p1) == shard_bytes(p2)
