@@ -345,3 +345,38 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return row.select(F.inline(entries))
+
+
+def q10_returned_items(tables: dict, date_from: str, date_to: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items
+    in a quarter — the reference's error-anchor reporting
+    (GetBatchErrors.groovy) generalized to a revenue ranking.
+
+    Plan: the orders date filter pushes to the scan; orders ⋈ lineitem
+    shuffles on the key (the two fact tables); customer joins the
+    aggregated result and nation broadcasts. Decimal-exact revenue; the
+    top-k is a TakeOrdered, not a global sort.
+    """
+    d = "decimal(18,2)"
+    li = tables["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = tables["orders"].filter(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    )
+    rev = (F.col("l_extendedprice").cast(d) * (1 - F.col("l_discount").cast(d))).alias(
+        "rev"
+    )
+    per_cust = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), rev)
+        .groupBy("c_custkey")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    cust = tables["customer"].select("c_custkey", "c_name", "c_nationkey")
+    nat = tables["nation"].select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, "c_custkey")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )

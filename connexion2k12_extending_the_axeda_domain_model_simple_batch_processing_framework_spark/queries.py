@@ -2336,3 +2336,32 @@ FROM terms
 
 QUERIES["corpus_drift"] = q_corpus_drift
 ORACLE["corpus_drift"] = SQL_CORPUS_DRIFT
+
+
+_Q10_FROM, _Q10_TO = "1996-01-01", "1996-04-01"
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by returned-item revenue, TPC-H Q10 shape
+    (operators.analytics.q10_returned_items)."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["customer", "orders", "lineitem", "nation"]
+    }
+    return analytics.q10_returned_items(tables, _Q10_FROM, _Q10_TO)
+
+
+SQL_Q10_RETURNED_ITEMS = f"""
+SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '{_Q10_FROM}' AND o_orderdate < DATE '{_Q10_TO}'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES["q10_returned_items"] = q_q10_returned_items
+ORACLE["q10_returned_items"] = SQL_Q10_RETURNED_ITEMS

@@ -144,3 +144,16 @@ def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path, sf_dir):
         return out
 
     assert shard_bytes(p1) == shard_bytes(p2)
+
+
+def test_write_compacted_orc_roundtrip(spark, tmp_path):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.sinks import (
+        write_compacted,
+    )
+
+    df = spark.range(0, 5000).selectExpr("id", "id * 2 AS metric")
+    n = write_compacted(df, str(tmp_path / "orc_out"), target_mb=256, fmt="orc")
+    assert n >= 1
+    back = spark.read.orc(str(tmp_path / "orc_out"))
+    assert back.count() == 5000
+    assert {r.id for r in back.limit(5).collect()} <= set(range(5000))
