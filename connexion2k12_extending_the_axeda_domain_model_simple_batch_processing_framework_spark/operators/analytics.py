@@ -380,3 +380,42 @@ def q10_returned_items(tables: dict, date_from: str, date_to: str, k: int = 20) 
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
     )
+
+
+Q18_MIN_QTY = 300
+
+
+def q18_large_volume_orders(tables: dict, min_qty: int = Q18_MIN_QTY, k: int = 50) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer detail — the HAVING-on-aggregate +
+    semi-join-back pattern.
+
+    The qualifying-order set comes from ONE aggregation of lineitem
+    (map-side combined, decimal-exact), and both fact tables join it by
+    key; the order spine never re-aggregates. Customer is the broadcast
+    side at dimension scale. Top-k is a TakeOrdered on (qty desc, key).
+    """
+    d = "decimal(18,2)"
+    li = tables["lineitem"].select(
+        "l_orderkey", F.col("l_quantity").cast(d).alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    c = tables["customer"].select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )

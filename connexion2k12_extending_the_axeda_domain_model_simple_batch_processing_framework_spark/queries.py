@@ -2365,3 +2365,31 @@ LIMIT 20
 
 QUERIES["q10_returned_items"] = q_q10_returned_items
 ORACLE["q10_returned_items"] = SQL_Q10_RETURNED_ITEMS
+
+
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders with customer detail, TPC-H Q18 shape
+    (operators.analytics.q18_large_volume_orders)."""
+    tables = {
+        n: load_table(spark, sf_dir, n) for n in ["customer", "orders", "lineitem"]
+    }
+    return analytics.q18_large_volume_orders(tables)
+
+
+SQL_Q18_LARGE_VOLUME = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > {analytics.Q18_MIN_QTY}
+)
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       o.o_orderkey::BIGINT AS o_orderkey, o.o_orderdate,
+       big.total_qty::DOUBLE AS total_qty
+FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+QUERIES["q18_large_volume"] = q_q18_large_volume
+ORACLE["q18_large_volume"] = SQL_Q18_LARGE_VOLUME
