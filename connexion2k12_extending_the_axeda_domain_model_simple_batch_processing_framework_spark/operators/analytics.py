@@ -392,8 +392,17 @@ def q18_large_volume_orders(tables: dict, min_qty: int = Q18_MIN_QTY, k: int = 5
 
     The qualifying-order set comes from ONE aggregation of lineitem
     (map-side combined, decimal-exact), and both fact tables join it by
-    key; the order spine never re-aggregates. Customer is the broadcast
-    side at dimension scale. Top-k is a TakeOrdered on (qty desc, key).
+    key; the order spine never re-aggregates. Top-k is a TakeOrdered on
+    (qty desc, key).
+
+    Join strategy: NO static broadcast hint on customer — customer grows
+    with the fact tables (TPC-H: 150k × SF rows), so a pinned broadcast
+    OOMs executors at 100×. AQE picks the build side at runtime from
+    actual sizes: the qualifying-order set (a >min_qty HAVING over the
+    order population — tiny at every SF by selectivity) broadcasts into
+    the customer join, and customer degrades to a shuffle join the moment
+    it exceeds spark.sql.autoBroadcastJoinThreshold. Both regimes are
+    pinned by tests/test_plans.py.
     """
     d = "decimal(18,2)"
     li = tables["lineitem"].select(
@@ -408,7 +417,7 @@ def q18_large_volume_orders(tables: dict, min_qty: int = Q18_MIN_QTY, k: int = 5
     c = tables["customer"].select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").cast("long").alias("c_custkey"),
             "c_name",

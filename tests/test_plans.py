@@ -264,3 +264,23 @@ def test_get_batch_point_lookup_pushes_key_to_both_scans(dfs):
     assert any("o_orderkey" in p and "7" in p for p in pushed), pushed
     assert any("l_orderkey" in p and "7" in p for p in pushed), pushed
     assert not checks.uses_python_eval(df)
+
+
+def test_q18_customer_join_degrades_to_shuffle_when_dim_large(spark):
+    """Q18's customer join must NOT pin a static broadcast: customer grows
+    with the fact tables, so the plan has to degrade to a shuffle join the
+    moment the dim side exceeds autoBroadcastJoinThreshold (at 100x a
+    pinned broadcast OOMs every executor). Both regimes are exercised by
+    moving the threshold; only the planner's size estimate changes."""
+    # small regime: customer under the 10 MB default -> broadcast join
+    df_small = q.QUERIES["q18_large_volume"](spark, SF_DIR)
+    assert checks.count_broadcast_joins(df_small) >= 1, checks.plan_string(df_small)
+    # large regime: threshold off simulates customer outgrowing it ->
+    # the join must degrade to a shuffle join (no static hint pins it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_large = q.QUERIES["q18_large_volume"](spark, SF_DIR)
+        assert checks.count_broadcast_joins(df_large) == 0, checks.plan_string(df_large)
+        assert checks.count_shuffle_exchanges(df_large) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
