@@ -28,4 +28,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(q.ORACLE)
+    """Static oracle strings plus data-dependent twins (e.g. ann_ivf_topk's
+    centroid literals) built for the gate's sf_dir — the driver runs at
+    sf0.01, which is the default; override with $SPARK_GRAFT_ORACLE_SF_DIR
+    when gating a different scale (tools/parity.py does)."""
+    return q.finalize_oracles()

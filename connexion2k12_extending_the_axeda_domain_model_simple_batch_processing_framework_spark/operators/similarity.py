@@ -367,6 +367,23 @@ def ivf_centroids(
             [], "centroid_id long, centroid array<double>"
         )
     V = np.array([r.v for r in rows], dtype=np.float64)
+    ids, C = _lloyd(V, nlist, iters)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(ids, C)],
+        "centroid_id long, centroid array<double>",
+    )
+
+
+def _lloyd(V: "np.ndarray", nlist: int, iters: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """The numpy Lloyd core of ``ivf_centroids``, on an already-ordered
+    sample matrix. Factored out so the DuckDB oracle builder
+    (queries._ivf_oracle_sql) can train the identical centroids from the
+    identically-ordered parquet sample and fold them into the SQL twin as
+    literals — the same shared-constant pattern as ``_plane_sign`` for the
+    LSH oracle. Deterministic: seeds are the first ``nlist`` sample rows,
+    argmax ties break to the lowest centroid index, empty clusters drop.
+    """
     n_seed = min(nlist, len(V))
     C = V[:n_seed].copy()
     ids = np.arange(1, n_seed + 1, dtype=np.int64)
@@ -380,11 +397,7 @@ def ivf_centroids(
                 new_c.append(members.mean(axis=0))
         C = np.array(new_c)
         ids = ids[keep]
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in zip(ids, C)],
-        "centroid_id long, centroid array<double>",
-    )
+    return ids, C
 
 
 def _nearest_idx(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
@@ -400,19 +413,25 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
     Arrow-batched ``mapInPandas``: the centroid matrix (nlist × dim, a few
     KB) ships in the task closure and each batch computes all corpus ×
-    centroid cosines as ONE BLAS matmul + argmax — no join, no row
-    replication, no shuffle; assignment streams off the scan at any corpus
-    size. This is the textbook case for dropping to a vectorized Pandas
-    path: the pure-expression alternatives each lose — a broadcast join
-    replicates every row nlist× through an argmax aggregation (one full
-    shuffle), and a literal-inlined nearest-centroid projection at
-    nlist×dim = 16×64 blows janino's 64 KB method limit and falls back to
-    interpreted eval (measured 2× slower than even the join plan at r1).
+    centroid cosines vectorized — no join, no row replication, no shuffle;
+    assignment streams off the scan at any corpus size. This is the
+    textbook case for dropping to a vectorized Pandas path: the
+    pure-expression alternatives each lose — a broadcast join replicates
+    every row nlist× through an argmax aggregation (one full shuffle), and
+    a literal-inlined nearest-centroid projection at nlist×dim = 16×64
+    blows janino's 64 KB method limit and falls back to interpreted eval
+    (measured 2× slower than even the join plan at r1).
+
+    Cosines use the sequential dimension-order folds (``_seq_dot`` /
+    ``_seq_norms``), NOT a BLAS matmul: the fold chain is bit-identical to
+    the SQL left-assoc + chain, so the DuckDB oracle's cross-join argmax
+    over the folded centroid literals reproduces the exact same
+    assignment (queries._ivf_oracle_sql).
     """
     cent = centroids.orderBy("centroid_id").collect()
     ids = np.array([r.centroid_id for r in cent], dtype=np.int64)
     C = np.array([r.centroid for r in cent], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    c_norms = _seq_norms(C)
 
     fields = {f.name: f for f in corpus.schema.fields}
     out_schema = StructType(
@@ -424,11 +443,11 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             V = np.array(pdf["cv"].tolist(), dtype=np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            cos = _seq_dot(V, C) / np.outer(_seq_norms(V), c_norms)
             yield pd.DataFrame(
                 {
                     "vid": pdf["vid"],
-                    "centroid_id": ids[(Vn @ Cn.T).argmax(axis=1)],
+                    "centroid_id": ids[cos.argmax(axis=1)],
                     "cv": pdf["cv"],
                 }
             )

@@ -672,13 +672,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 #: sequential-order double cosine, the DuckDB twin of functions/vectors.py
-_COS_SQL = (
-    "round("
-    "list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y) / "
+#: unrounded cosine — the exact left-assoc fold chain dot_expr/l2_norm_expr
+#: emit; used raw where Spark ranks on the unrounded value (IVF probe
+#: selection / centroid assignment) and wrapped in round(…, 6) for output.
+_COS_RAW = (
+    "(list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y) / "
     "(sqrt(list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y)) * "
-    "sqrt(list_reduce(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)))"
-    ", 6)"
+    "sqrt(list_reduce(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y))))"
 )
+_COS_SQL = "round(" + _COS_RAW + ", 6)"
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,15 +1146,118 @@ ORACLE.update(
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via IVF index — no SQL oracle (k-means is iterative,
-    not SQL-expressible); recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Approximate ANN via IVF index. The coarse quantizer is deterministic
+    end to end (hash-ordered sample, fixed seeds, lowest-id ties), so the
+    DuckDB twin trains the identical centroids at oracle-build time and
+    folds them in as literals (``_ivf_oracle_sql``) — the same trick
+    ``ann_lsh_topk`` uses for hyperplane signs. Recall vs brute force is
+    additionally asserted in tests/test_similarity.py."""
     corpus = load_table(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(corpus, queries, k=5)
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
+def _ivf_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_ivf_topk``, built per sf_dir because the
+    trained centroids are corpus-dependent (unlike the data-independent
+    LSH plane signs).
+
+    Build step mirrors ``similarity.ivf_centroids`` exactly: pull the
+    ``IVF_TRAIN_CAP`` vectors with the smallest md5-derived id hashes in
+    (hash, vec_id) order — DuckDB's ORDER BY reproduces Spark's
+    TakeOrdered — and run the identical numpy Lloyd (`similarity._lloyd`)
+    on the float64 matrix, giving bit-identical centroids. The SQL then
+    re-derives everything the *cluster* computes — nearest-centroid
+    assignment (cross-join argmax over the centroid literals), probe
+    selection, and in-bucket ranking — with the same left-assoc fold
+    chains as dot_expr/_seq_dot, so ranks match bit for bit.
+    """
+    import duckdb
+
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id "
+            f"LIMIT {similarity.IVF_TRAIN_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return (
+            "SELECT vec_id::BIGINT AS query_id, vec_id::BIGINT AS neighbor_id, "
+            "0.0 AS cosine, 0::BIGINT AS rk FROM embeddings WHERE FALSE"
+        )
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            int(i), ", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in zip(ids, C)
+    )
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+#: oracle entries whose SQL depends on the data (trained constants folded
+#: in as literals); materialized by finalize_oracles() for a concrete
+#: sf_dir. Everything else in ORACLE is a static string.
+DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
+    "ann_ivf_topk": _ivf_oracle_sql,
+}
+
+
+def finalize_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """The full oracle dict with data-dependent twins built for ``sf_dir``
+    (default: $SPARK_GRAFT_ORACLE_SF_DIR, else the driver's sf0.01)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    for name, build in DATA_DEP_ORACLES.items():
+        ORACLE[name] = build(sf_dir)
+    return dict(ORACLE)
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ Usage: python tools/parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -66,6 +67,9 @@ def _first_diff(a: pd.DataFrame, b: pd.DataFrame) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
+    # data-dependent oracles (centroid-literal folding) must be built for
+    # the same sf_dir the queries run against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
