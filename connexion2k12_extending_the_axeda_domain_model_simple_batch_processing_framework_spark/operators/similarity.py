@@ -31,6 +31,11 @@ from ..functions.vectors import dot_expr, l2_norm_expr
 
 EMBEDDING_DIM = 64
 LSH_PLANES = 8
+#: hard cap on the exact all-pairs anchor (collects the corpus to the
+#: driver): 200k × 64 float64 ≈ 100 MB — comfortably driver-sized. Beyond
+#: it the anchor is the wrong tool and the call fails loudly instead of
+#: OOMing the driver.
+EXACT_PAIRS_MAX_ROWS = 200_000
 
 
 def brute_force_topk(
@@ -281,6 +286,16 @@ def _exact_pairs_arrow(
     candidate pair row (~n² × 0.5 KB of row traffic) before the projection
     could score them — measured 8-10 s at sf0.1 vs ~1 s for this scan.
     """
+    n = embeddings.count()
+    if n > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"exact=True all-pairs anchor refused: corpus has {n} rows "
+            f"(cap {EXACT_PAIRS_MAX_ROWS}). The anchor collects the corpus "
+            "to the driver and is only for dimension-table-sized inputs or "
+            "recall measurement — use the LSH-bucketed default "
+            "(embedding_near_dup_pairs(exact=False) / dedup_embedding_lsh) "
+            "at corpus scale."
+        )
     rows = embeddings.select(id_col, vec_col).collect()
     if not rows:  # empty corpus → empty pairs, not a shape error
         return embeddings.sparkSession.createDataFrame(

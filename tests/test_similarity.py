@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.vectors import (
@@ -176,3 +177,19 @@ def test_empty_corpus_paths_return_empty(spark):
         similarity.embedding_near_dup_pairs(empty, exact=True).count() == 0
     )
     assert similarity.ivf_centroids(empty).count() == 0
+
+
+def test_exact_pairs_anchor_refuses_oversized_corpus(spark, monkeypatch):
+    """The exact=True all-pairs anchor collects the corpus to the driver;
+    above the cap it must fail loudly (naming the LSH scale path) instead
+    of OOMing. Cap lowered via monkeypatch so the test stays tiny."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * similarity.EMBEDDING_DIM) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        similarity.embedding_near_dup_pairs(emb, threshold=0.9, exact=True)
+    # within the cap the anchor still runs
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 200_000)
+    assert similarity.embedding_near_dup_pairs(emb, threshold=0.9, exact=True).count() > 0
