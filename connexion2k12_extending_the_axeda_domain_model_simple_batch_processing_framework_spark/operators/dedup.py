@@ -526,3 +526,108 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
             stacklevel=2,
         )
     return labels
+
+
+#: exact-substring dedup window (tokens). The published threshold for
+#: pretraining corpora is 50 tokens ("Deduplicating Training Data Makes
+#: Language Models Better", Lee et al. 2021); the registered query uses a
+#: smaller window sized to the synthetic corpus' 10-99-token documents.
+SUBSTR_GRAM = 20
+
+
+def substring_dedup(
+    documents: DataFrame,
+    gram_len: int = SUBSTR_GRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup: remove every maximal token span that appears
+    verbatim (as a ``gram_len``-token window) in two or more documents —
+    the cross-document verbatim-overlap cut (CCNet / RefinedWeb pipelines'
+    ExactSubstr pass) that MinHash document-level dedup cannot express.
+    Suffix arrays (the single-node tool of choice) don't distribute; the
+    Spark-native equivalent is fixed-width rolling fingerprints:
+
+    1. every overlapping ``gram_len``-token window emits one md5-derived
+       fingerprint row off the scan (~n_tokens rows per doc, linear);
+    2. ONE shuffle on fingerprint finds windows shared across >= 2 distinct
+       documents (map-side combined count-distinct);
+    3. duplicated window starts merge into maximal spans per document with
+       the gaps-and-islands window pattern (single shuffle on doc_id,
+       adjacent/overlapping windows coalesce — so any shared substring of
+       length >= gram_len is removed in full);
+    4. surviving tokens reassemble in order (same contract as
+       corpus.boilerplate_scrub: every input doc comes back, possibly
+       empty).
+
+    Spans are removed from ALL copies (the published ExactSubstr
+    semantics), so the operator is idempotent and order-independent —
+    deterministic output at any partitioning, hash-verified by the DuckDB
+    twin. Output: (doc_id, n_tokens, n_dup_spans, n_dup_tokens,
+    clean_text).
+    """
+    from pyspark.sql import Window
+
+    toked = spread(documents).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    ex = toked.filter(F.size("__toks") >= gram_len).select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.size("__toks") - gram_len)).alias("s"),
+    )
+    grams = ex.select(
+        "doc_id",
+        "s",
+        hex_hash64(
+            F.concat_ws(" ", F.slice("__toks", F.col("s") + 1, gram_len))
+        ).alias("fp"),
+    )
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    dup_starts = grams.join(dup_fps, "fp").select("doc_id", "s")
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + gram_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup_starts.withColumn(
+            "ni", (F.col("s") > F.coalesce(prev_end, F.lit(-1))).cast("long")
+        )
+        .withColumn("iid", F.sum("ni").over(w))
+        .groupBy("doc_id", "iid")
+        .agg(F.min("s").alias("ds"), (F.max("s") + gram_len).alias("de"))
+    )
+    spans = islands.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("ds", "de"))).alias("spans"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("de") - F.col("ds")).alias("n_dup_tokens"),
+    )
+    indexed = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(i.alias("idx"), t.alias("tok"))
+    )
+    covered = lambda s: F.exists(  # noqa: E731
+        F.col("spans"), lambda sp: (s["idx"] >= sp["ds"]) & (s["idx"] < sp["de"])
+    )
+    return (
+        toked.join(spans, "doc_id", "left")
+        .withColumn("spans", F.coalesce(F.col("spans"), F.array()))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.array_join(
+                F.transform(
+                    F.filter(indexed, lambda st: ~covered(st)),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

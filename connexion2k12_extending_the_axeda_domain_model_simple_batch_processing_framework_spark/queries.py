@@ -2498,3 +2498,66 @@ LIMIT 50
 
 QUERIES["q18_large_volume"] = q_q18_large_volume
 ORACLE["q18_large_volume"] = SQL_Q18_LARGE_VOLUME
+
+
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: exact substring dedup
+# ---------------------------------------------------------------------------
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring removal (rolling-fingerprint
+    ExactSubstr; operators.dedup.substring_dedup)."""
+    return dedup.substring_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _substring_dedup_oracle(W: int) -> str:
+    gram = f"array_to_string(t[s : s + {W} - 1], ' ')"
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {W} + 2)) AS s
+  FROM d WHERE len(t) >= {W}
+),
+fps AS (SELECT doc_id, s - 1 AS s0, {_HEX64.format(expr=gram)} AS fp FROM g),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+dstart AS (SELECT doc_id, s0 FROM fps WHERE fp IN (SELECT fp FROM dup)),
+isl0 AS (
+  SELECT doc_id, s0,
+         max(s0 + {W}) OVER (PARTITION BY doc_id ORDER BY s0
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dstart
+),
+isl1 AS (
+  SELECT doc_id, s0,
+         sum(CASE WHEN prev_end IS NULL OR s0 > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s0) AS iid
+  FROM isl0
+),
+islands AS (
+  SELECT doc_id, iid, min(s0) AS ds, max(s0) + {W} AS de
+  FROM isl1 GROUP BY doc_id, iid
+),
+spans AS (
+  SELECT doc_id, list([ds, de]) AS sp,
+         count(*) AS n_dup_spans, sum(de - ds) AS n_dup_tokens
+  FROM islands GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       len(t)::BIGINT AS n_tokens,
+       coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t) + 1),
+             i -> sp IS NULL OR len(list_filter(sp, x -> (i - 1) >= x[1] AND (i - 1) < x[2])) = 0),
+           i -> t[i]),
+         ' '), '') AS clean_text
+FROM d LEFT JOIN spans USING (doc_id)
+"""
+
+
+SQL_SUBSTRING_DEDUP = _substring_dedup_oracle(dedup.SUBSTR_GRAM)
+
+QUERIES["substring_dedup"] = q_substring_dedup
+ORACLE["substring_dedup"] = SQL_SUBSTRING_DEDUP

@@ -226,3 +226,49 @@ def test_fuzzy_name_pairs_blocking_recall(spark):
     assert pairs[(1, 4)] == 1   # deletion
     assert pairs[(1, 6)] == 0   # exact dup
     assert (1, 5) not in pairs  # beyond max_distance
+
+
+def test_substring_dedup_cuts_planted_overlap(spark):
+    """Two documents share a verbatim 60-token run (> the 50-token window);
+    the shared span must be cut from both, per-token, while the distinct
+    prefix/suffix text survives. A third document with no 50-gram overlap
+    passes through untouched."""
+    shared = " ".join(f"shared{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "delta " + shared),
+            (3, "totally unrelated text " + " ".join(f"u{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(docs, gram_len=50).collect()
+    }
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["n_dup_tokens"] == 60
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta"
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["clean_text"].startswith("totally unrelated text")
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    """Adjacent/overlapping duplicated windows coalesce into ONE maximal
+    span (gaps-and-islands), so n_dup_spans counts maximal runs."""
+    run_a = " ".join(f"a{i}" for i in range(12))
+    run_b = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, run_a + " bridge1 middlex " + run_b),
+            (2, run_a + " bridge2 middley " + run_b),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_dedup(docs, gram_len=10).collect()}
+    # each doc: two maximal duplicated runs of 12 tokens, bridge survives
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["n_dup_tokens"] == 24
+    assert out[1]["clean_text"] == "bridge1 middlex"
+    assert out[2]["clean_text"] == "bridge2 middley"
