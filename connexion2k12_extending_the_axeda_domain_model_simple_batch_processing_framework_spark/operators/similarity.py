@@ -614,3 +614,81 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assignments"),
     )
+
+
+#: semantic-dedup pair threshold for the registered query. Production
+#: SemDeDup prunes at tight cosine (≥0.9) on real embedding spaces; the
+#: synthetic test corpus has no pairs above 0.5, so the registered query
+#: uses the same 0.35 the embedding near-dup family uses. The operator
+#: takes the threshold as a parameter either way.
+SEMANTIC_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_THRESHOLD,
+    nlist: int = IVF_NLIST,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Semantic (embedding-cluster) dedup, SemDeDup-shaped (Abbas et al.
+    2023): bucket the corpus by the IVF coarse quantizer's nearest
+    centroid, compute cosine pairs ONLY within each bucket, connect the
+    pair graph, and keep one survivor (the lowest id) per semantic
+    cluster.
+
+    The 100 TB shape: candidate volume is Σ bucket² instead of corpus² —
+    the same inverted-file pruning the ANN probe uses, reused as a dedup
+    blocker; everything downstream of assignment is equi-join + the
+    bounded label-propagation loop of ``dedup.connected_components``.
+    Output is a disposition for EVERY input vector: (vec_id, cluster_id,
+    keep) with cluster_id = smallest reachable id (own id when unpaired).
+
+    Oracle-checkable end to end because the quantizer is deterministic:
+    the DuckDB twin folds the trained centroids in as literals (the
+    ``ann_ivf_topk`` trick) and replays assignment, in-bucket pairing,
+    and min-label closure (recursive CTE).
+    """
+    from .dedup import connected_components
+
+    emb = spread(embeddings)
+    centroids = ivf_centroids(emb, nlist, iters, id_col, vec_col)
+    assigned = cut_lineage(
+        _assign(
+            emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")),
+            centroids,
+        )
+    )
+    a = assigned.select(
+        F.col("centroid_id").alias("cid_a"),
+        F.col("vid").alias("vec_a"),
+        F.col("cv").alias("va"),
+    ).withColumn("na", l2_norm_expr("va", EMBEDDING_DIM))
+    b = assigned.select(
+        F.col("centroid_id").alias("cid_b"),
+        F.col("vid").alias("vec_b"),
+        F.col("cv").alias("vb"),
+    ).withColumn("nb", l2_norm_expr("vb", EMBEDDING_DIM))
+    cos = F.round(
+        dot_expr("va", "vb", EMBEDDING_DIM) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(pairs, max_iterations).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).cast("long").alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+    )

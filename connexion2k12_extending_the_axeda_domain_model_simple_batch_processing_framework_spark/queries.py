@@ -1160,20 +1160,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 
 
-def _ivf_oracle_sql(sf_dir: str) -> str:
-    """DuckDB twin of ``q_ann_ivf_topk``, built per sf_dir because the
-    trained centroids are corpus-dependent (unlike the data-independent
-    LSH plane signs).
+def _ivf_centroid_values(sf_dir: str) -> str | None:
+    """Train the IVF coarse quantizer for ``sf_dir`` and render the
+    centroids as a SQL VALUES body (None for an empty corpus).
 
-    Build step mirrors ``similarity.ivf_centroids`` exactly: pull the
+    Mirrors ``similarity.ivf_centroids`` exactly: pull the
     ``IVF_TRAIN_CAP`` vectors with the smallest md5-derived id hashes in
     (hash, vec_id) order — DuckDB's ORDER BY reproduces Spark's
     TakeOrdered — and run the identical numpy Lloyd (`similarity._lloyd`)
-    on the float64 matrix, giving bit-identical centroids. The SQL then
-    re-derives everything the *cluster* computes — nearest-centroid
-    assignment (cross-join argmax over the centroid literals), probe
-    selection, and in-bucket ranking — with the same left-assoc fold
-    chains as dot_expr/_seq_dot, so ranks match bit for bit.
+    on the float64 matrix, giving bit-identical centroids. Literals are
+    rendered with ``repr`` (shortest round-trip form), which DuckDB
+    parses back to the identical double.
     """
     import duckdb
 
@@ -1189,18 +1186,32 @@ def _ivf_oracle_sql(sf_dir: str) -> str:
     finally:
         con.close()
     if not rows:
-        return (
-            "SELECT vec_id::BIGINT AS query_id, vec_id::BIGINT AS neighbor_id, "
-            "0.0 AS cosine, 0::BIGINT AS rk FROM embeddings WHERE FALSE"
-        )
+        return None
     V = np.array([r[0] for r in rows], dtype=np.float64)
     ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
-    cent_rows = ",\n    ".join(
+    return ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(
             int(i), ", ".join(repr(float(x)) for x in c)
         )
         for i, c in zip(ids, C)
     )
+
+
+def _ivf_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_ivf_topk``, built per sf_dir because the
+    trained centroids are corpus-dependent (unlike the data-independent
+    LSH plane signs). The SQL re-derives everything the *cluster*
+    computes — nearest-centroid assignment (cross-join argmax over the
+    centroid literals), probe selection, and in-bucket ranking — with the
+    same left-assoc fold chains as dot_expr/_seq_dot, so ranks match bit
+    for bit.
+    """
+    cent_rows = _ivf_centroid_values(sf_dir)
+    if cent_rows is None:
+        return (
+            "SELECT vec_id::BIGINT AS query_id, vec_id::BIGINT AS neighbor_id, "
+            "0.0 AS cosine, 0::BIGINT AS rk FROM embeddings WHERE FALSE"
+        )
     return f"""
 WITH cent(centroid_id, ctr) AS (VALUES
     {cent_rows}
@@ -2561,3 +2572,67 @@ SQL_SUBSTRING_DEDUP = _substring_dedup_oracle(dedup.SUBSTR_GRAM)
 
 QUERIES["substring_dedup"] = q_substring_dedup
 ORACLE["substring_dedup"] = SQL_SUBSTRING_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: semantic (embedding-cluster) dedup
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: IVF-centroid blocking → in-bucket
+    cosine pairs → connected components → keep lowest id per cluster
+    (operators.similarity.semantic_dedup)."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _semantic_dedup_oracle(sf_dir: str) -> str:
+    """DuckDB twin of ``q_semantic_dedup``: replays centroid assignment
+    (folded literals, same fold chains), in-bucket pairing, and min-label
+    closure as a recursive CTE. The recursive closure computes the TRUE
+    transitive min label; Spark's bounded label propagation matches it
+    whenever the loop converges (it warns if not), which the gate
+    verifies."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    if cent_rows is None:
+        return (
+            "SELECT vec_id::BIGINT AS vec_id, vec_id::BIGINT AS cluster_id, "
+            "TRUE AS keep FROM embeddings WHERE FALSE"
+        )
+    return f"""
+WITH RECURSIVE cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {similarity.SEMANTIC_THRESHOLD}
+),
+edges AS (SELECT va AS src, vb AS dst FROM pairs UNION ALL SELECT vb, va FROM pairs),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.dst, rc.r FROM reach rc JOIN edges e ON e.src = rc.v
+),
+labels AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT e.vec_id::BIGINT AS vec_id,
+       coalesce(l.cluster_id, e.vec_id)::BIGINT AS cluster_id,
+       (coalesce(l.cluster_id, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN labels l USING (vec_id)
+"""
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+DATA_DEP_ORACLES["semantic_dedup"] = _semantic_dedup_oracle

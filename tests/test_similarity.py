@@ -193,3 +193,72 @@ def test_exact_pairs_anchor_refuses_oversized_corpus(spark, monkeypatch):
     # within the cap the anchor still runs
     monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 200_000)
     assert similarity.embedding_near_dup_pairs(emb, threshold=0.9, exact=True).count() > 0
+
+
+def test_semantic_dedup_keeps_one_per_planted_cluster(spark):
+    """Three tight semantic clusters (orthogonal base directions, tiny
+    deterministic jitter) plus two singletons: exactly one survivor per
+    cluster (the lowest id), singletons pass through. nlist=1 puts
+    everything in one bucket so the test isolates pair-graph/survivor
+    semantics; blocking recall is covered separately below."""
+    import numpy as np
+
+    rng = []
+    base = np.zeros((3, similarity.EMBEDDING_DIM))
+    base[0, 0] = 1.0
+    base[1, 7] = 1.0
+    base[2, 19] = 1.0
+    vid = 0
+    expected_cluster = {}
+    for c in range(3):
+        for m in range(4):
+            v = base[c].copy()
+            v[40 + c] = 0.01 * (m + 1)  # tiny member-specific jitter
+            rng.append((vid, [float(x) for x in v]))
+            expected_cluster[vid] = c * 4  # lowest id in the cluster
+            vid += 1
+    # singletons, far from every cluster
+    for s in range(2):
+        v = np.zeros(similarity.EMBEDDING_DIM)
+        v[30 + s] = 1.0
+        rng.append((vid, [float(x) for x in v]))
+        expected_cluster[vid] = vid
+        vid += 1
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(emb, threshold=0.9, nlist=1).collect()}
+    assert len(out) == 14
+    kept = sorted(v for v, r in out.items() if r["keep"])
+    assert kept == [0, 4, 8, 12, 13]
+    for v, r in out.items():
+        assert r["cluster_id"] == expected_cluster[v], (v, r)
+
+
+def test_semantic_dedup_recall_vs_exact_pairs(spark, sf_dir):
+    """In-bucket blocking loses only pairs split across centroids: on the
+    real corpus every surviving vector pair with cosine >= threshold in
+    the SAME bucket is connected, and the survivor set is never larger
+    than what exact all-pairs clustering would keep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb)
+    n_total = emb.count()
+    n_kept = out.filter("keep").count()
+    # exact all-pairs graph at the same threshold (anchor path)
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.dedup import (
+        connected_components,
+    )
+
+    exact_pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=similarity.SEMANTIC_THRESHOLD, exact=True
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    exact_labels = connected_components(exact_pairs)
+    n_exact_kept = n_total - exact_labels.filter("doc_id != cluster_id").count()
+    assert n_kept >= n_exact_kept  # blocking can only split clusters
+    # and the blocked pass still finds the vast majority of them
+    n_dropped = n_total - n_kept
+    n_exact_dropped = n_total - n_exact_kept
+    assert n_exact_dropped > 0
+    # 0.35 is far below the tight thresholds production SemDeDup runs at
+    # (≥0.9, where near-identical vectors share a centroid and recall is
+    # near 1); at this loose threshold pairs legitimately span buckets,
+    # so the floor just pins that blocking finds a substantial fraction
+    assert n_dropped / n_exact_dropped >= 0.25
