@@ -672,3 +672,77 @@ def source_cap(
         .filter(F.col("rk") <= cap)
         .select("doc_id", "source", "quality", "rk")
     )
+
+
+#: interpolation weight on the bigram ML estimate; 0.25 falls back to the
+#: unigram. 0.75/0.25 are binary-exact doubles, so both engines compute
+#: the identical mixture.
+BIGRAM_LAMBDA = 0.75
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    language model — the CCNet-style perplexity filter, one order up from
+    ``unigram_logprob``: token i scores ``ln(λ·p(tᵢ|tᵢ₋₁) + (1-λ)·p(tᵢ))``
+    (the first token scores its unigram), which separates fluent prose
+    from shuffled-word gibberish that a unigram model (a bag of words)
+    cannot tell apart.
+
+    Plan shape: ONE explode yields (doc_id, token, prev_token) — the
+    predecessor comes from an array-side ``transform`` before the explode,
+    so no window shuffle; the corpus reduces to its unigram and bigram
+    tables (two map-side-combined shuffles; both Zipf-small relative to
+    the corpus, so AQE broadcasts them into the rejoin); occurrences
+    rejoin their frequencies and aggregate per document.
+
+    Determinism: identical to ``unigram_logprob`` — each position's ln p
+    quantizes to integer micro-nats first (round half-up, same in
+    DuckDB), per-doc sums run on exact longs, only the final mean
+    divides back to double.
+    """
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__t")
+    )
+    pairs = F.transform(
+        F.col("__t"),
+        lambda x, i: F.struct(
+            x.alias("t"), F.get(F.col("__t"), i - 1).alias("prev")
+        ),
+    )
+    ex = toked.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.t").alias("t"), F.col("p.prev").alias("prev")
+    )
+    uni = ex.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = uni.agg(F.sum("tf").alias("total"))
+    bi = (
+        ex.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "t")
+        .agg(F.count(F.lit(1)).alias("bf"))
+    )
+    prev_uni = uni.select(
+        F.col("t").alias("prev"), F.col("tf").alias("tf_prev")
+    )
+    lam = BIGRAM_LAMBDA
+    p_uni = F.col("tf").cast("double") / F.col("total").cast("double")
+    p_bi = F.col("bf").cast("double") / F.col("tf_prev").cast("double")
+    lp_raw = F.when(F.col("prev").isNull(), F.log(p_uni)).otherwise(
+        F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    )
+    lp_micro = F.round(lp_raw * LP_SCALE, 0).cast("long")
+    scored = (
+        ex.join(uni, "t")
+        .join(prev_uni, "prev", "left")
+        .join(bi, ["prev", "t"], "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp_micro.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum")
+    )
+    return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.col("lp_sum") / (F.col("n_tokens") * F.lit(float(LP_SCALE))), 6
+        ).alias("avg_logprob"),
+    )

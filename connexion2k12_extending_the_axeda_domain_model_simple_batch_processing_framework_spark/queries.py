@@ -2636,3 +2636,53 @@ FROM embeddings e LEFT JOIN labels l USING (vec_id)
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
 DATA_DEP_ORACLES["semantic_dedup"] = _semantic_dedup_oracle
+
+
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: bigram LM quality filter
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity proxy
+    (operators.corpus.bigram_logprob)."""
+    return corpus.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (
+  SELECT doc_id, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] END AS prev
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM d)
+),
+uni AS (SELECT tok, count(*) AS tf FROM ex GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM uni),
+bi AS (
+  SELECT prev, tok, count(*) AS bf FROM ex WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+scored AS (
+  SELECT ex.doc_id,
+         round(CASE WHEN ex.prev IS NULL
+               THEN ln(u.tf::DOUBLE / tot.total::DOUBLE)
+               ELSE ln({corpus.BIGRAM_LAMBDA} * (bi.bf::DOUBLE / up.tf::DOUBLE)
+                       + {1.0 - corpus.BIGRAM_LAMBDA} * (u.tf::DOUBLE / tot.total::DOUBLE))
+               END * {corpus.LP_SCALE}, 0)::BIGINT AS lp
+  FROM ex
+  JOIN uni u ON ex.tok = u.tok
+  LEFT JOIN uni up ON ex.prev = up.tok
+  LEFT JOIN bi ON ex.prev = bi.prev AND ex.tok = bi.tok
+  CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lp) AS lp_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT d2.doc_id::BIGINT AS doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       round(per.lp_sum / (per.n_tokens * {corpus.LP_SCALE}.0), 6) AS avg_logprob
+FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+"""
+
+QUERIES["bigram_logprob"] = q_bigram_logprob
+ORACLE["bigram_logprob"] = SQL_BIGRAM_LOGPROB

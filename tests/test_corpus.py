@@ -297,3 +297,33 @@ def test_corpus_drift_zero_for_identical_and_positive_for_shifted(spark):
     d = corpus.corpus_drift(same, shifted).collect()[0]
     assert d.kl_ab > 0 and d.kl_ba > 0
     assert d.n_vocab_union > d.n_vocab_a  # disjoint words widen the union
+
+
+def test_bigram_logprob_ranks_shuffled_gibberish_below_prose(spark):
+    """A document with the SAME bag of words but shuffled order breaks the
+    corpus' dominant bigrams: the bigram model must rank it strictly below
+    the fluent original, while the unigram model (bag of words) scores the
+    two identically — the separation that justifies the higher-order
+    model."""
+    sent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on cat dog sat the and rug the on sat the"
+    assert sorted(sent.split()) == sorted(shuffled.split())
+    rows = [(i, sent) for i in range(1, 9)]  # corpus dominated by the pattern
+    rows.append((9, shuffled))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bi = {r["doc_id"]: r["avg_logprob"] for r in corpus.bigram_logprob(docs).collect()}
+    uni = {r["doc_id"]: r["avg_logprob"] for r in corpus.unigram_logprob(docs).collect()}
+    assert bi[9] < bi[1], (bi[9], bi[1])
+    assert uni[9] == uni[1], (uni[9], uni[1])
+
+
+def test_bigram_logprob_empty_and_single_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "hello hello")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.bigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 1
+    assert out[2]["n_tokens"] == 0 and out[2]["avg_logprob"] is None
+    assert out[3]["n_tokens"] == 2
