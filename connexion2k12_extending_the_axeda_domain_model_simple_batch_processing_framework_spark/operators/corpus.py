@@ -746,3 +746,53 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             F.col("lp_sum") / (F.col("n_tokens") * F.lit(float(LP_SCALE))), 6
         ).alias("avg_logprob"),
     )
+
+
+DOMAIN_CAP = 15
+
+
+def domain_cap(
+    documents: DataFrame,
+    url_col: str = "url",
+    cap: int = DOMAIN_CAP,
+    salt_buckets: int = CAP_SALT_BUCKETS,
+) -> DataFrame:
+    """Per-REGISTRABLE-DOMAIN document cap — ``source_cap`` generalized to
+    the hierarchical key real pipelines cap on: one registrable domain
+    serves from many hosts (www./cdn./blog. subdomains), and capping per
+    source label or per host lets a single domain dominate the mixture
+    through its subdomains.
+
+    Key derivation is pure JVM regex off the scan: host = the authority
+    part of the URL, registrable domain = the last two labels of the host
+    (the simplified rule; production swaps in a Public Suffix List table —
+    same plan, the extraction becomes a broadcast join against the PSL).
+
+    Scale shape: identical to ``source_cap``'s two-phase salted top-N —
+    phase 1 ranks within (domain, salt) slices so no single task sees a
+    whole domain (the skew story: one giant domain over 100 TB), phase 2
+    ranks the salt_buckets × cap survivors. Exact by the same argument.
+    Deterministic total order: quality desc, doc_id asc.
+    """
+    from .text import quality_score
+
+    q = quality_score(documents, keep=(url_col,)).select(
+        "doc_id", url_col, "quality"
+    )
+    host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    dom = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    keyed = q.select(
+        "doc_id", host.alias("host"), dom.alias("domain"), "quality"
+    )
+    salt = F.pmod(F.col("doc_id"), F.lit(salt_buckets))
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        keyed.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= cap)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "domain", "host", "quality", "rk")
+    )

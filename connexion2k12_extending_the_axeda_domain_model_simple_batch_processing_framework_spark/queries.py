@@ -2686,3 +2686,56 @@ FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
 
 QUERIES["bigram_logprob"] = q_bigram_logprob
 ORACLE["bigram_logprob"] = SQL_BIGRAM_LOGPROB
+
+
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: per-domain cap over a hierarchical URL key
+# ---------------------------------------------------------------------------
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain cap (operators.corpus.domain_cap). The
+    synthetic corpus has no URL column, so the query derives a
+    deterministic one from the real (source, doc_id) columns — three
+    subdomains per source-derived domain — exercising the host →
+    registrable-domain collapse the operator exists for."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("www"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("cdn"))
+        .otherwise(F.lit("blog"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+    )
+    return corpus.domain_cap(docs.withColumn("url", url))
+
+
+SQL_DOMAIN_CAP = f"""
+WITH qx AS ({{quality}}),
+u AS (
+  SELECT d.doc_id,
+         'https://' || (CASE d.doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn' ELSE 'blog' END)
+           || '.' || d.source || '.com/p/' || d.doc_id AS url,
+         qx.quality
+  FROM documents d JOIN qx USING (doc_id)
+),
+k AS (
+  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, quality FROM u
+),
+k2 AS (
+  SELECT doc_id, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, quality FROM k
+),
+r AS (
+  SELECT doc_id, domain, host, quality,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM k2
+)
+SELECT doc_id::BIGINT AS doc_id, domain, host, quality, rk::BIGINT AS rk
+FROM r WHERE rk <= {corpus.DOMAIN_CAP}
+"""
+
+QUERIES["domain_cap"] = q_domain_cap
+ORACLE["domain_cap"] = SQL_DOMAIN_CAP.format(quality=SQL_QUALITY_SCORE)

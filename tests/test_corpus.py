@@ -327,3 +327,23 @@ def test_bigram_logprob_empty_and_single_token_docs(spark):
     assert out[1]["n_tokens"] == 1
     assert out[2]["n_tokens"] == 0 and out[2]["avg_logprob"] is None
     assert out[3]["n_tokens"] == 2
+
+
+def test_domain_cap_collapses_subdomains(spark):
+    """Hosts www./cdn./blog.example.com share ONE registrable-domain
+    budget; an unrelated domain keeps its own. Order is quality desc then
+    doc_id, so the lowest-quality overflow docs drop first."""
+    rows = []
+    # 6 docs across 3 subdomains of example.com — identical text so
+    # quality ties and doc_id breaks the order deterministically
+    for i in range(6):
+        sub = ["www", "cdn", "blog"][i % 3]
+        rows.append((i, "plain text body " * 5, f"https://{sub}.example.com/{i}"))
+    rows.append((100, "other corpus text " * 5, "https://solo.other.org/x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = corpus.domain_cap(docs, cap=4)
+    by_domain = {}
+    for r in out.collect():
+        by_domain.setdefault(r["domain"], []).append(r["doc_id"])
+    assert sorted(by_domain["example.com"]) == [0, 1, 2, 3]  # cap=4, ids win ties
+    assert by_domain["other.org"] == [100]

@@ -284,3 +284,13 @@ def test_q18_customer_join_degrades_to_shuffle_when_dim_large(spark):
         assert checks.count_shuffle_exchanges(df_large) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_domain_cap_salted_no_single_task_domain(dfs):
+    # same two-phase salted top-N contract as source_cap, keyed on the
+    # registrable domain extracted from the URL
+    df = dfs["domain_cap"]
+    assert checks.count_shuffle_exchanges(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert not checks.uses_python_eval(df)
