@@ -10,6 +10,9 @@ from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_fram
     interleave_bits,
     write_zordered,
 )
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+    load_table,
+)
 from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
     similarity,
 )
@@ -96,3 +99,59 @@ def test_ivf_add_probe_finds_new_vectors(spark, sf_dir):
     got = {r.query_id - 100000: (r.neighbor_id, r.cosine) for r in hits}
     for i in [r.vec_id for r in new.select("vec_id").collect()]:
         assert got[i][0] == i and got[i][1] == 1.0, got
+
+
+def test_ivf_stream_maintenance_matches_batch_ivf_add(spark, sf_dir, tmp_path):
+    """foreachBatch IVF maintenance: after streaming new vectors in two
+    micro-batches, the persisted index probes IDENTICALLY to the batch
+    ivf_add path over the same vectors (same frozen centroids, same
+    assignment math), and the new vectors are findable."""
+    import json
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+        ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cent, base_assign = similarity.ivf_build(base, nlist=8, iters=2)
+    idx = tmp_path / "ivf"
+    similarity.ivf_save(cent, base_assign, str(idx))
+
+    new_rows = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in emb.filter(F.col("vec_id") >= 400).collect()
+    ]
+    assert new_rows, "need new vectors beyond the base corpus"
+    src = tmp_path / "vecsrc"
+    src.mkdir()
+    half = len(new_rows) // 2
+    for i, chunk in enumerate([new_rows[:half], new_rows[half:]]):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        ann_index.ivf_stream_writer(stream, str(idx), str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cent2, assign2 = similarity.ivf_load(spark, str(idx))
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    streamed = similarity.ivf_probe(cent2, assign2, queries, k=5).collect()
+
+    new_df = emb.filter(F.col("vec_id") >= 400)
+    batch_assign = similarity.ivf_add(cent, base_assign, new_df)
+    batch = similarity.ivf_probe(cent, batch_assign, queries, k=5).collect()
+
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(streamed, key=key) == sorted(batch, key=key)
+    # the maintained file actually contains the streamed vectors
+    assert assign2.filter(F.col("vid") >= 400).count() == len(new_rows)
