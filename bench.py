@@ -101,17 +101,21 @@ def main() -> None:
     times["ann_ivf_probe_only"] = min(probe_secs)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    print(payload)
+    # also durable on disk: the driver's stdout tail-grab truncated the r3
+    # line (BENCH_r03 parsed: null); a file read can't.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 
