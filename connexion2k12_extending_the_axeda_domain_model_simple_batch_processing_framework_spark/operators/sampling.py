@@ -81,3 +81,61 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return documents.withColumn("split", split)
+
+
+#: micro-rate resolution for data-derived sampling rates (1e-6); the
+#: percentage buckets of ``stratified_sample`` are too coarse for computed
+#: rates like 0.036111.
+MIX_BUCKETS = 1_000_000
+
+
+def mixture_sample(
+    documents: DataFrame,
+    target_shares: dict[str, float] | None = None,
+    default_share: float = 0.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance the corpus to TARGET per-stratum shares — the mixture
+    step after the mix report (``corpus.source_mix_report``): given target
+    share ``s`` for a stratum currently holding ``n_s`` of ``N`` docs, the
+    keep rate is ``min(1, s·N / n_s)`` (downsample the over-represented;
+    under-represented strata keep everything — upsampling is a repeat
+    factor downstream, not a sampling decision). ``target_shares=None``
+    rebalances to uniform across observed strata.
+
+    Two-pass plan: pass 1 reduces the corpus to its stratum counts (one
+    map-side-combined shuffle, stratum-sized output); the rate table
+    broadcasts into pass 2, a single scan where the deterministic salted
+    hash-bucket predicate (cf. ``stratified_sample`` — idempotent, engine
+    replayable, no rand()) drops rows in place. Rates quantize to integer
+    micro-rates so the filter compares longs.
+    """
+    counts = documents.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    totals = counts.agg(
+        F.sum("n_s").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    if target_shares is None:
+        share = F.lit(1.0) / F.col("__k")
+    else:
+        share = F.lit(default_share)
+        for stratum, s in target_shares.items():
+            share = F.when(F.col(strata_col) == stratum, F.lit(s)).otherwise(share)
+    rate_micro = F.floor(
+        F.least(F.lit(1.0), share * F.col("__n") / F.col("n_s"))
+        * MIX_BUCKETS
+    ).cast("long")
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        strata_col, F.col("n_s").cast("long").alias("n_s"), rate_micro.alias("rate_micro")
+    )
+    bucket = F.pmod(
+        hex_hash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(MIX_BUCKETS)
+    )
+    return (
+        documents.select(id_col, strata_col)
+        .join(F.broadcast(rates), strata_col)
+        .withColumn("bucket", bucket.cast("long"))
+        .filter(F.col("bucket") < F.col("rate_micro"))
+        .select(id_col, strata_col, "n_s", "rate_micro", "bucket")
+    )

@@ -692,3 +692,56 @@ def semantic_dedup(
             (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+def embedding_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage-scale path for billion-vector ANN corpora (4× smaller
+    than float32, 8× smaller than float64; faiss SQ8 shape): per vector,
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` ∈ [-127,127],
+    plus the per-vector reconstruction MSE so a pipeline can gate on
+    quantization loss.
+
+    Scan-only plan: higher-order array expressions, no shuffle, no
+    Python. Deterministic — max is order-independent, the quotient and
+    HALF_UP rounding are identical in DuckDB, so the oracle reproduces
+    every q_i exactly. A zero vector quantizes to zeros (scale 0 guard).
+
+    Output: (id, scale double, qvec array<int>, mse double) — raw
+    precision; the registered query rounds for the gate.
+    """
+    d = "double"
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast(d)))
+    )
+    df = embeddings.select(
+        F.col(id_col), F.col(vec_col), (absmax / F.lit(127.0)).alias("__sc")
+    )
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(
+            F.col("__sc") > 0, F.round(x.cast(d) / F.col("__sc"), 0)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    qdf = df.select(id_col, vec_col, "__sc", qvec.alias("qvec"))
+    err = F.zip_with(
+        F.col(vec_col),
+        F.col("qvec"),
+        lambda x, qv: (x.cast(d) - qv.cast(d) * F.col("__sc"))
+        * (x.cast(d) - qv.cast(d) * F.col("__sc")),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, v: a + v) / F.size(
+        F.col(vec_col)
+    )
+    return qdf.select(
+        id_col,
+        F.col("__sc").alias("scale"),
+        "qvec",
+        mse.alias("mse"),
+    )

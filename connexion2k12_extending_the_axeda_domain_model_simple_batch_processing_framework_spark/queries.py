@@ -2739,6 +2739,92 @@ FROM r WHERE rk <= {corpus.DOMAIN_CAP}
 
 QUERIES["domain_cap"] = q_domain_cap
 ORACLE["domain_cap"] = SQL_DOMAIN_CAP.format(quality=SQL_QUALITY_SCORE)
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: mixture rebalancing + embedding quantization
+# ---------------------------------------------------------------------------
+
+#: the registered mixture: upsample-cap two named sources, spread the rest
+MIX_TARGETS = {"src0": 0.2, "src1": 0.15}
+MIX_DEFAULT_SHARE = (1.0 - 0.2 - 0.15) / 18.0
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-share mixture rebalancer (operators.sampling.mixture_sample):
+    src0→20%, src1→15%, remaining 18 sources split the rest evenly."""
+    return sampling.mixture_sample(
+        load_table(spark, sf_dir, "documents"),
+        target_shares=MIX_TARGETS,
+        default_share=MIX_DEFAULT_SHARE,
+    )
+
+
+def _mix_share_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {v!r}" for s, v in MIX_TARGETS.items()
+    )
+    return f"(CASE source {branches} ELSE {MIX_DEFAULT_SHARE!r} END)"
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT sum(n_s) AS n FROM c),
+r AS (
+  SELECT source, n_s::BIGINT AS n_s,
+         floor(least(1.0, {_mix_share_sql()} * t.n / n_s) * 1000000)::BIGINT AS rate_micro
+  FROM c CROSS JOIN t
+),
+k AS (
+  SELECT d.doc_id, d.source, r.n_s, r.rate_micro,
+         (('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT % 1000000) AS bucket
+  FROM documents d JOIN r USING (source)
+)
+SELECT doc_id::BIGINT AS doc_id, source, n_s, rate_micro, bucket
+FROM k WHERE bucket < rate_micro
+"""
+
+QUERIES["mixture_sample"] = q_mixture_sample
+ORACLE["mixture_sample"] = SQL_MIXTURE_SAMPLE
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators.similarity.embedding_quantize).
+    The array column serializes to CSV for the gate (cross-engine array
+    renderings differ); scale/mse round to 9."""
+    out = similarity.embedding_quantize(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        F.round("mse", 9).alias("mse"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, embedding, sc,
+         list_transform(embedding, x ->
+           CASE WHEN sc > 0 THEN round(x::DOUBLE / sc, 0)::INTEGER ELSE 0 END) AS qvec
+  FROM m
+)
+SELECT vec_id::BIGINT AS vec_id,
+       round(sc, 9) AS scale,
+       array_to_string(qvec, ',') AS qvec_csv,
+       round(
+         list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+             i -> (embedding[i]::DOUBLE - qvec[i]::DOUBLE * sc)
+                  * (embedding[i]::DOUBLE - qvec[i]::DOUBLE * sc)),
+           (a, b) -> a + b) / len(embedding), 9) AS mse
+FROM qv
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLE["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
 
 
 # ---------------------------------------------------------------------------
@@ -2754,6 +2840,8 @@ _GATE_PRIORITY = [
     "semantic_dedup",
     "bigram_logprob",
     "domain_cap",
+    "mixture_sample",
+    "embedding_quantize",
     "q18_large_volume",
     "q10_returned_items",
 ]

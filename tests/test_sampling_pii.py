@@ -154,3 +154,38 @@ def test_split_decorrelated_from_sample_bucket(spark):
     low = [r for r in rows if r.samp_bucket < 50]
     train_low = sum(1 for r in low if r.split == "train")
     assert 0.3 < train_low / len(low) < 0.7
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Over-represented stratum downsamples toward its target share;
+    under-represented strata keep everything (rate_micro = 1e6)."""
+    rows = [(i, "big") for i in range(800)] + [(i, "small") for i in range(800, 1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mixture_sample(
+        docs, target_shares={"big": 0.5, "small": 0.5}, strata_col="source"
+    )
+    rates = {r["source"]: r["rate_micro"] for r in out.select("source", "rate_micro").distinct().collect()}
+    # big: 0.5 * 1000 / 800 = 0.625 -> 625000; small: capped at 1.0
+    assert rates == {"big": 625000, "small": 1000000}
+    kept = out.groupBy("source").count().collect()
+    kept = {r["source"]: r["count"] for r in kept}
+    assert kept["small"] == 200  # rate 1.0 keeps all
+    # hash-sampling is approximate: within a loose band of 0.625*800 = 500
+    assert 420 <= kept["big"] <= 580
+    # deterministic: re-running selects the identical rows
+    again = sampling.mixture_sample(
+        docs, target_shares={"big": 0.5, "small": 0.5}, strata_col="source"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_uniform_default(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    out = sampling.mixture_sample(docs)  # uniform across 4 observed strata
+    rates = {r["source"]: r["rate_micro"] for r in out.select("source", "rate_micro").distinct().collect()}
+    assert set(rates.values()) == {1000000}  # already uniform: keep all
+    assert out.count() == 400

@@ -262,3 +262,30 @@ def test_semantic_dedup_recall_vs_exact_pairs(spark, sf_dir):
     # near 1); at this loose threshold pairs legitimately span buckets,
     # so the floor just pins that blocking finds a substantial fraction
     assert n_dropped / n_exact_dropped >= 0.25
+
+
+def test_embedding_quantize_roundtrip_and_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, q all 0
+            (3, [127.0, -127.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.embedding_quantize(emb).collect()}
+    assert out[1]["qvec"] == [127, -64, 32, 0]  # scale = 1/127
+    assert out[1]["mse"] < (out[1]["scale"] / 2) ** 2  # error bounded by half-step
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0] and out[2]["mse"] == 0.0
+    assert out[3]["qvec"] == [127, -127, 1, -1] and out[3]["mse"] == 0.0
+    # every component in the int8 range
+    for r in out.values():
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+
+
+def test_embedding_quantize_reconstruction_error_small_on_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_quantize(emb)
+    # int8 quantization must reconstruct within ~1e-4 MSE on unit-ish vectors
+    assert out.filter(F.col("mse") > 1e-4).count() == 0
+    assert not out.filter(F.col("scale") <= 0).head(1)
