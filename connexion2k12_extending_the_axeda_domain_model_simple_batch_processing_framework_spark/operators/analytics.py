@@ -428,3 +428,58 @@ def q18_large_volume_orders(tables: dict, min_qty: int = Q18_MIN_QTY, k: int = 5
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
+
+
+def q7_nation_volume(
+    tables: dict,
+    nation_a: str,
+    nation_b: str,
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — the two-role dimension pattern: nation joins the fact pipeline
+    TWICE under different roles (supplier's nation, customer's nation),
+    each a broadcast; the pair predicate keeps both directions.
+
+    Plan: the date filter pushes to the lineitem scan; lineitem ⋈ orders
+    shuffles on the order key (fact-fact); supplier and customer join
+    their keys (AQE chooses the side); both nation roles broadcast
+    (constant-size dims). One final groupBy on (supp_nation, cust_nation,
+    year) — decimal-exact revenue, then double for output.
+    """
+    d = "decimal(18,2)"
+    li = tables["lineitem"].filter(
+        (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+    )
+    o = tables["orders"].select("o_orderkey", "o_custkey")
+    c = tables["customer"].select("c_custkey", "c_nationkey")
+    s = tables["supplier"].select("s_suppkey", "s_nationkey")
+    n1 = tables["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tables["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice").cast(d) * (1 - F.col("l_discount").cast(d))).alias(
+        "vol"
+    )
+    pair_ok = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair_ok)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol,
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )

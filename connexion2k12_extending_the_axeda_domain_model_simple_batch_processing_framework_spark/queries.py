@@ -2742,6 +2742,44 @@ ORACLE["domain_cap"] = SQL_DOMAIN_CAP.format(quality=SQL_QUALITY_SCORE)
 # ---------------------------------------------------------------------------
 # §2.3 r4 additions: mixture rebalancing + embedding quantization
 # ---------------------------------------------------------------------------
+# §2.2 r4 additions: TPC-H Q7-shaped bilateral nation volume
+# ---------------------------------------------------------------------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume by year, TPC-H Q7 shape
+    (operators.analytics.q7_nation_volume)."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["lineitem", "orders", "customer", "supplier", "nation"]
+    }
+    return analytics.q7_nation_volume(tables, *Q7_NATIONS)
+
+
+SQL_Q7_NATION_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(l.l_extendedprice::DECIMAL(18,2)
+           * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM read_parquet('{{sf}}/lineitem.parquet') l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= '1995-01-01' AND l.l_shipdate < '1997-01-01'
+  AND ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+    OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q7_nation_volume"] = q_q7_nation_volume
+ORACLE["q7_nation_volume"] = SQL_Q7_NATION_VOLUME.replace("read_parquet('{sf}/lineitem.parquet')", "lineitem")
+
+
+# ---------------------------------------------------------------------------
 
 #: the registered mixture: upsample-cap two named sources, spread the rest
 MIX_TARGETS = {"src0": 0.2, "src1": 0.15}
@@ -2842,6 +2880,7 @@ _GATE_PRIORITY = [
     "domain_cap",
     "mixture_sample",
     "embedding_quantize",
+    "q7_nation_volume",
     "q18_large_volume",
     "q10_returned_items",
 ]

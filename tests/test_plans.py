@@ -294,3 +294,13 @@ def test_domain_cap_salted_no_single_task_domain(dfs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert not checks.uses_python_eval(df)
+
+
+def test_q7_two_nation_roles_broadcast_and_date_pushed(dfs):
+    """Q7's nation dim joins the pipeline twice under different roles —
+    both must be broadcasts — and the shipdate range must reach the
+    lineitem scan."""
+    df = dfs["q7_nation_volume"]
+    assert checks.count_broadcast_joins(df) >= 2, checks.plan_string(df)
+    assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)
+    assert not checks.uses_python_eval(df)
