@@ -483,3 +483,46 @@ def q7_nation_volume(
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("vol").cast("double").alias("revenue"))
     )
+
+
+def q16_supplier_diversity(
+    tables: dict,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (10, 20, 30, 40),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) part class — the NOT-IN + count-distinct pattern.
+    The part-supplier relation comes from observed lineitem pairs (the
+    schema has no partsupp table); "complaint" suppliers (negative account
+    balance) are excluded with an ANTI join.
+
+    Plan: the (partkey, suppkey) distinct is one map-side-combined
+    shuffle of two long columns; the exclusion set is tiny → broadcast
+    anti-join; part attributes join on partkey (AQE picks the side); the
+    count-distinct groups on (brand, type, size). Filters on part push to
+    its scan.
+    """
+    rel = (
+        tables["lineitem"].select(
+            F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
+        )
+        .distinct()
+    )
+    bad = tables["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("s_key")
+    )
+    parts = tables["part"].filter(
+        (F.col("p_brand") != exclude_brand) & (F.col("p_size").isin(*sizes))
+    ).select(F.col("p_partkey").alias("p_key"), "p_brand", "p_type", "p_size")
+    return (
+        rel.join(F.broadcast(bad), "s_key", "left_anti")
+        .join(parts, "p_key")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("s_key")).alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+    )

@@ -2777,6 +2777,36 @@ GROUP BY 1, 2, 3
 
 QUERIES["q7_nation_volume"] = q_q7_nation_volume
 ORACLE["q7_nation_volume"] = SQL_Q7_NATION_VOLUME.replace("read_parquet('{sf}/lineitem.parquet')", "lineitem")
+# ---------------------------------------------------------------------------
+# §2.2 r4 additions: TPC-H Q16-shaped supplier diversity
+# ---------------------------------------------------------------------------
+
+
+def q_q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier count per part class with supplier exclusion,
+    TPC-H Q16 shape (operators.analytics.q16_supplier_diversity)."""
+    tables = {
+        n: load_table(spark, sf_dir, n) for n in ["lineitem", "supplier", "part"]
+    }
+    return analytics.q16_supplier_diversity(tables)
+
+
+SQL_Q16_SUPPLIER_DIVERSITY = """
+WITH rel AS (SELECT DISTINCT l_partkey AS p_key, l_suppkey AS s_key FROM lineitem),
+bad AS (SELECT s_suppkey AS s_key FROM supplier WHERE s_acctbal < 0),
+parts AS (
+  SELECT p_partkey AS p_key, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30, 40)
+)
+SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+       count(DISTINCT r.s_key)::BIGINT AS supplier_cnt
+FROM rel r JOIN parts p USING (p_key)
+WHERE r.s_key NOT IN (SELECT s_key FROM bad)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q16_supplier_diversity"] = q_q16_supplier_diversity
+ORACLE["q16_supplier_diversity"] = SQL_Q16_SUPPLIER_DIVERSITY
 
 
 # ---------------------------------------------------------------------------
@@ -2866,7 +2896,8 @@ ORACLE["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
 
 
 # ---------------------------------------------------------------------------
-# registry ordering
+# registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
+# priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first 50 queries() entries, so
 # insertion order decides which queries get a driver-verified row. Put the
@@ -2881,6 +2912,7 @@ _GATE_PRIORITY = [
     "mixture_sample",
     "embedding_quantize",
     "q7_nation_volume",
+    "q16_supplier_diversity",
     "q18_large_volume",
     "q10_returned_items",
 ]
