@@ -796,3 +796,40 @@ def domain_cap(
         .filter(F.col("rk") <= cap)
         .select("doc_id", "domain", "host", "quality", "rk")
     )
+
+
+def blocklist_filter(
+    documents: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """URL blocklist disposition — the first gate of a crawl-curation
+    pipeline (RefinedWeb-style): a document whose registrable domain is on
+    the blocklist is rejected with a reason; everything else passes. The
+    blocklist (thousands to millions of domains in production) is a table,
+    not a literal: it broadcasts into an equi-join on the extracted
+    domain, one scan, no shuffle of the corpus side.
+
+    Output keeps every input doc: (doc_id, domain, allowed, reason) —
+    disposition rows, same shape as the reference's delete-rejection
+    reporting (DeleteBatch.groovy error rows), so rejects route to an
+    audit sink instead of vanishing.
+    """
+    spark = documents.sparkSession
+    host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    dom = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    block = spark.createDataFrame(
+        [(d,) for d in blocked_domains], "domain string"
+    ).withColumn("__blocked", F.lit(True))
+    return (
+        documents.select("doc_id", dom.alias("domain"))
+        .join(F.broadcast(block), "domain", "left")
+        .select(
+            "doc_id",
+            "domain",
+            F.col("__blocked").isNull().alias("allowed"),
+            F.when(F.col("__blocked").isNotNull(), F.lit("blocked_domain")).alias(
+                "reason"
+            ),
+        )
+    )

@@ -2893,6 +2893,42 @@ FROM qv
 
 QUERIES["embedding_quantize"] = q_embedding_quantize
 ORACLE["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: domain blocklist disposition
+# ---------------------------------------------------------------------------
+
+BLOCKED_DOMAINS = ["src3.com", "src7.com", "src15.com"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate (operators.corpus.blocklist_filter) over the
+    same derived URL as `domain_cap`."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("www"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("cdn"))
+        .otherwise(F.lit("blog"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+    )
+    return corpus.blocklist_filter(docs.withColumn("url", url), BLOCKED_DOMAINS)
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH u AS (
+  SELECT doc_id, source || '.com' AS domain FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, domain,
+       domain NOT IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)}) AS allowed,
+       CASE WHEN domain IN ({", ".join(repr(d) for d in BLOCKED_DOMAINS)})
+            THEN 'blocked_domain' END AS reason
+FROM u
+"""
+
+QUERIES["blocklist_filter"] = q_blocklist_filter
+ORACLE["blocklist_filter"] = SQL_BLOCKLIST_FILTER
 
 
 # ---------------------------------------------------------------------------
@@ -2909,6 +2945,7 @@ _GATE_PRIORITY = [
     "semantic_dedup",
     "bigram_logprob",
     "domain_cap",
+    "blocklist_filter",
     "mixture_sample",
     "embedding_quantize",
     "q7_nation_volume",

@@ -347,3 +347,19 @@ def test_domain_cap_collapses_subdomains(spark):
         by_domain.setdefault(r["domain"], []).append(r["doc_id"])
     assert sorted(by_domain["example.com"]) == [0, 1, 2, 3]  # cap=4, ids win ties
     assert by_domain["other.org"] == [100]
+
+
+def test_blocklist_filter_dispositions(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://cdn.bad.com/y"),   # subdomain of a blocked domain
+            (3, "https://good.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in corpus.blocklist_filter(docs, ["bad.com"]).collect()}
+    assert len(out) == 3  # every doc gets a disposition row
+    assert not out[1]["allowed"] and out[1]["reason"] == "blocked_domain"
+    assert not out[2]["allowed"]  # subdomains collapse to the blocked domain
+    assert out[3]["allowed"] and out[3]["reason"] is None
