@@ -150,3 +150,35 @@ def frame_byte_stats(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
+
+
+def frame_dedup(frames: DataFrame) -> DataFrame:
+    """Cross-document duplicate-frame report — the video-pipeline step
+    that finds re-used intro/outro/static frames across a corpus: md5 over
+    the raw frame bytes, ONE map-side-combined shuffle on the hash.
+    Canonical occurrence = lexicographic min of (doc_id, frame_idx) via a
+    struct-min aggregate (no second pass, no window over the full frame
+    table). Composes downstream of ``sample_frames`` so only sampled
+    frames pay the hash.
+
+    Output per distinct frame hash: (frame_md5, n_copies, n_docs,
+    canon_doc_id, canon_frame_idx).
+    """
+    h = F.md5(F.col("frame_bytes"))
+    canon = F.min(F.struct(F.col("doc_id"), F.col("frame_idx"))).alias("__c")
+    return (
+        frames.select("doc_id", "frame_idx", h.alias("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            canon,
+        )
+        .select(
+            "frame_md5",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("__c.doc_id").cast("long").alias("canon_doc_id"),
+            F.col("__c.frame_idx").cast("long").alias("canon_frame_idx"),
+        )
+    )

@@ -2929,6 +2929,49 @@ FROM u
 
 QUERIES["blocklist_filter"] = q_blocklist_filter
 ORACLE["blocklist_filter"] = SQL_BLOCKLIST_FILTER
+# ---------------------------------------------------------------------------
+# §2.3 r4 additions: cross-document frame dedup
+# ---------------------------------------------------------------------------
+
+
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-frame report over sampled frames
+    (operators.multimodal.frame_dedup after sample_frames)."""
+    from .operators.multimodal import frame_dedup, sample_frames
+
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return frame_dedup(
+        sample_frames(media, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE)
+    )
+
+
+SQL_FRAME_DEDUP = f"""
+WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+s AS (SELECT doc_id, text, unnest(range(0, nb, {{step}})) AS off FROM m),
+f AS (
+  SELECT doc_id, (off // {{step}})::BIGINT AS frame_idx,
+         substring(text, off + 1, {{fb}}) AS ft
+  FROM s
+),
+h AS (SELECT doc_id, frame_idx, md5(ft) AS frame_md5 FROM f),
+agg AS (
+  SELECT frame_md5, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+         min(doc_id) AS canon_doc_id
+  FROM h GROUP BY 1
+),
+canon AS (
+  SELECT h.frame_md5, min(h.frame_idx) AS canon_frame_idx
+  FROM h JOIN agg USING (frame_md5)
+  WHERE h.doc_id = agg.canon_doc_id
+  GROUP BY 1
+)
+SELECT agg.frame_md5, n_copies::BIGINT AS n_copies, n_docs::BIGINT AS n_docs,
+       canon_doc_id::BIGINT AS canon_doc_id, canon_frame_idx::BIGINT AS canon_frame_idx
+FROM agg JOIN canon USING (frame_md5)
+"""
+
+QUERIES["frame_dedup"] = q_frame_dedup
+ORACLE["frame_dedup"] = SQL_FRAME_DEDUP.format(step=_FRAME_STEP, fb=_FRAME_BYTES)
 
 
 # ---------------------------------------------------------------------------
@@ -2946,6 +2989,7 @@ _GATE_PRIORITY = [
     "bigram_logprob",
     "domain_cap",
     "blocklist_filter",
+    "frame_dedup",
     "mixture_sample",
     "embedding_quantize",
     "q7_nation_volume",
