@@ -646,3 +646,59 @@ def substring_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def dedup_funnel(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """The dedup TREATMENT FUNNEL — the three families applied in the
+    order a production curation pipeline runs them, each stage consuming
+    the previous stage's survivors, with per-stage attrition accounting:
+
+    1. ``exact``    — md5 content groups, keep the lowest doc_id;
+    2. ``minhash``  — LSH band-collision graph over the survivors,
+                      keep each connected component's canonical;
+    3. ``semantic`` — SemDeDup over the survivors' embeddings
+                      (IVF-centroid blocking, in-bucket cosine pairs,
+                      component canonical; similarity.semantic_dedup).
+
+    Output is the funnel report (stage_idx, stage, n_in, n_dropped,
+    n_out) — 3 rows, the numbers a curation dashboard tracks per crawl.
+    Stages are sequential, so each stage's pair generation runs only on
+    what survived the previous one (the at-scale motivation: exact dedup
+    is the cheapest and shrinks the expensive stages' input). Survivor
+    sets are lineage-cut between stages; at 100 TB each would be a
+    persisted table between jobs.
+    """
+    from .similarity import semantic_dedup
+
+    docs0 = spread(documents).select("doc_id", "text")
+    canon1 = (
+        docs0.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv1 = cut_lineage(docs0.join(canon1, "doc_id", "left_semi"))
+    labels2 = dup_clusters(surv1)
+    drop2 = labels2.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    surv2 = cut_lineage(surv1.join(drop2, "doc_id", "left_anti").select("doc_id"))
+    emb2 = embeddings.join(
+        surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = semantic_dedup(emb2)
+    surv3 = sem.filter(F.col("keep")).select(F.col("vec_id").alias("doc_id"))
+
+    def stage_row(idx: int, name: str, df_in: DataFrame, df_out: DataFrame) -> DataFrame:
+        a = df_in.agg(F.count(F.lit(1)).alias("n_in"))
+        b = df_out.agg(F.count(F.lit(1)).alias("n_out"))
+        return a.crossJoin(b).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_in").cast("long").alias("n_in"),
+            (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+            F.col("n_out").cast("long").alias("n_out"),
+        )
+
+    return (
+        stage_row(1, "exact", docs0, surv1)
+        .unionByName(stage_row(2, "minhash", surv1, surv2))
+        .unionByName(stage_row(3, "semantic", surv2, surv3))
+    )

@@ -2975,6 +2975,141 @@ ORACLE["frame_dedup"] = SQL_FRAME_DEDUP.format(step=_FRAME_STEP, fb=_FRAME_BYTES
 
 
 # ---------------------------------------------------------------------------
+# §2.3 r4 additions: sequential dedup funnel (exact → minhash → semantic)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report of the sequential dedup treatment
+    (operators.dedup.dedup_funnel)."""
+    return dedup.dedup_funnel(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def _funnel_prefix_sql() -> str:
+    """Shared CTE chain for stages 1-2 (exact survivors, minhash-component
+    survivors) — used both at oracle-build time (to train the stage-3
+    centroids on the actual stage-2 survivor embeddings, mirroring
+    Spark's restricted ivf_centroids sample) and inside the final twin."""
+    mh_on_s1 = SQL_DEDUP_MINHASH_LSH.replace("FROM documents", "FROM s1docs")
+    return f"""
+WITH RECURSIVE
+s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s1docs AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+mh_pairs AS (SELECT doc_a, doc_b FROM ({mh_on_s1}) mh),
+mh_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+),
+mh_nodes AS (SELECT DISTINCT a AS doc_id FROM mh_edges),
+mh_reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM mh_nodes
+  UNION
+  SELECT e.a, r.label FROM mh_edges e JOIN mh_reach r ON r.doc_id = e.b
+),
+mh_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(label) AS cl FROM mh_reach GROUP BY doc_id
+  ) WHERE cl <> doc_id
+),
+s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM mh_drop)),
+s2emb AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN s2 ON e.vec_id = s2.doc_id)"""
+
+
+def _dedup_funnel_oracle(sf_dir: str) -> str:
+    """DuckDB twin of the funnel: stages 1-2 are pure SQL reusing the
+    minhash fragment; stage 3 folds centroids trained (same numpy Lloyd,
+    same hash order) on the stage-2 survivor embeddings — computed here by
+    executing the stage-1/2 SQL, exactly what Spark's restricted
+    semantic_dedup trains on."""
+    import duckdb
+
+    import numpy as np
+
+    prefix = _funnel_prefix_sql()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        rows = con.execute(
+            prefix
+            + f"""
+SELECT embedding FROM s2emb
+ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+LIMIT {similarity.IVF_TRAIN_CAP}"""
+        ).fetchall()
+    finally:
+        con.close()
+    counts = """
+SELECT 1::BIGINT AS stage_idx, 'exact' AS stage,
+       (SELECT count(*) FROM documents)::BIGINT AS n_in,
+       ((SELECT count(*) FROM documents) - (SELECT count(*) FROM s1))::BIGINT AS n_dropped,
+       (SELECT count(*) FROM s1)::BIGINT AS n_out
+UNION ALL
+SELECT 2, 'minhash', (SELECT count(*) FROM s1),
+       (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2),
+       (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'semantic', (SELECT count(*) FROM s2),
+       (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
+       (SELECT count(*) FROM s3)
+"""
+    if not rows:
+        return prefix + ",\ns3 AS (SELECT doc_id FROM s2)" + counts
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(int(i), ", ".join(repr(float(x)) for x in c))
+        for i, c in zip(ids, C)
+    )
+    return prefix + f""",
+cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM s2emb e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+sem_pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {similarity.SEMANTIC_THRESHOLD}
+),
+sem_edges AS (
+  SELECT va AS src, vb AS dst FROM sem_pairs
+  UNION ALL SELECT vb, va FROM sem_pairs
+),
+sem_nodes AS (SELECT DISTINCT src AS v FROM sem_edges),
+sem_reach(v, r) AS (
+  SELECT v, v FROM sem_nodes
+  UNION
+  SELECT e.dst, rc.r FROM sem_reach rc JOIN sem_edges e ON e.src = rc.v
+),
+sem_drop AS (
+  SELECT v AS doc_id FROM (SELECT v, min(r) AS cl FROM sem_reach GROUP BY v)
+  WHERE cl <> v
+),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop))""" + counts
+
+
+QUERIES["dedup_funnel"] = q_dedup_funnel
+DATA_DEP_ORACLES["dedup_funnel"] = _dedup_funnel_oracle
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -2990,6 +3125,7 @@ _GATE_PRIORITY = [
     "domain_cap",
     "blocklist_filter",
     "frame_dedup",
+    "dedup_funnel",
     "mixture_sample",
     "embedding_quantize",
     "q7_nation_volume",

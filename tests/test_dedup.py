@@ -272,3 +272,38 @@ def test_substring_dedup_merges_overlapping_windows(spark):
     assert out[1]["n_dup_tokens"] == 24
     assert out[1]["clean_text"] == "bridge1 middlex"
     assert out[2]["clean_text"] == "bridge2 middley"
+
+
+def test_dedup_funnel_attrition_stages(spark):
+    """Planted corpus: 2 exact copies, a near-dup pair (shared shingles),
+    and semantically-identical embeddings — each caught by its own stage,
+    and each stage only sees the previous stage's survivors."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    near = base + "iota"
+    docs = spark.createDataFrame(
+        [
+            (0, base),            # canonical of the exact pair
+            (1, base),            # exact copy -> dropped at stage 1
+            (2, near),            # near-dup of 0 -> dropped at stage 2
+            (3, "completely different text about other topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        similarity,
+    )
+
+    dim = similarity.EMBEDDING_DIM
+    v_a = [1.0] + [0.0] * (dim - 1)
+    v_b = [0.0] * (dim - 1) + [1.0]
+    emb = spark.createDataFrame(
+        [(0, v_a), (1, v_a), (2, v_b), (3, v_a)],
+        "vec_id long, embedding array<float>",
+    )
+    # doc 3's embedding equals doc 0's -> dropped at stage 3 (it survived
+    # stages 1-2 because its TEXT is unique)
+    out = {r["stage"]: r for r in dedup.dedup_funnel(docs, emb).collect()}
+    assert out["exact"]["n_in"] == 4 and out["exact"]["n_dropped"] == 1
+    assert out["minhash"]["n_in"] == 3 and out["minhash"]["n_dropped"] == 1
+    assert out["semantic"]["n_in"] == 2 and out["semantic"]["n_dropped"] == 1
+    assert out["semantic"]["n_out"] == 1
