@@ -235,3 +235,36 @@ def corpus_ngram_topk(documents: DataFrame, n: int = 3, k: int = 20) -> DataFram
         .orderBy(F.col("df").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def lang_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility per detected language — BPE-pretokens per
+    whitespace word, the number a multilingual pipeline uses to budget
+    per-language compute (languages that fragment into more subwords eat
+    more sequence length per word; token counts, not word counts, bound
+    training cost).
+
+    Composition of two scan-speed operators: ``lang_id`` (pred_lang) ⋈
+    ``bpe_token_count`` on doc_id, then ONE groupBy on the handful of
+    languages. Fertility is the ratio of per-language SUMS (two exact
+    longs — deterministic at any partitioning), not a mean of per-doc
+    ratios.
+    """
+    li = lang_id(documents).select("doc_id", "pred_lang")
+    bp = bpe_token_count(documents).select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens"
+    )
+    sum_bpe = F.sum("n_bpe_tokens")
+    sum_ws = F.sum("n_ws_tokens")
+    return (
+        li.join(bp, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            sum_bpe.cast("long").alias("sum_bpe_tokens"),
+            sum_ws.cast("long").alias("sum_ws_tokens"),
+            F.when(
+                sum_ws > 0, F.round(sum_bpe / sum_ws, 6)
+            ).alias("fertility"),
+        )
+    )

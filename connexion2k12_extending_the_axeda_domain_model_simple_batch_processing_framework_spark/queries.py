@@ -3110,6 +3110,33 @@ DATA_DEP_ORACLES["dedup_funnel"] = _dedup_funnel_oracle
 
 
 # ---------------------------------------------------------------------------
+# §2.3 r4 additions: per-language tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (operators.text.lang_fertility)."""
+    return text.lang_fertility(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_FERTILITY = f"""
+WITH li AS ({SQL_LANG_ID}),
+bp AS ({SQL_BPE_TOKEN_COUNT})
+SELECT li.pred_lang, count(*)::BIGINT AS n_docs,
+       sum(bp.n_bpe_tokens)::BIGINT AS sum_bpe_tokens,
+       sum(bp.n_ws_tokens)::BIGINT AS sum_ws_tokens,
+       CASE WHEN sum(bp.n_ws_tokens) > 0
+            THEN round(sum(bp.n_bpe_tokens)::DOUBLE / sum(bp.n_ws_tokens)::DOUBLE, 6)
+       END AS fertility
+FROM li JOIN bp USING (doc_id)
+GROUP BY 1
+"""
+
+QUERIES["lang_fertility"] = q_lang_fertility
+ORACLE["lang_fertility"] = SQL_LANG_FERTILITY
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -3126,6 +3153,7 @@ _GATE_PRIORITY = [
     "blocklist_filter",
     "frame_dedup",
     "dedup_funnel",
+    "lang_fertility",
     "mixture_sample",
     "embedding_quantize",
     "q7_nation_volume",

@@ -150,3 +150,20 @@ def test_bpe_token_count_contractions_and_punct(spark):
     # pure punctuation: one punct run, zero words, ratio guarded to 0
     assert rows[3].n_ws_tokens == 0
     assert rows[3].tokens_per_word == 0.0
+
+
+def test_lang_fertility_ratio_of_sums(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the and for are with"),       # en stopwords, 1 bpe token per word
+            (2, "the with don't over-easy"),   # contractions/punct fragment
+            (3, ""),                           # tokenless -> und group
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["pred_lang"]: r for r in text.lang_fertility(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2
+    assert en["sum_bpe_tokens"] > en["sum_ws_tokens"]  # fragmentation > 1
+    assert en["fertility"] == round(en["sum_bpe_tokens"] / en["sum_ws_tokens"], 6)
+    assert out["und"]["fertility"] is None  # zero words -> no ratio
