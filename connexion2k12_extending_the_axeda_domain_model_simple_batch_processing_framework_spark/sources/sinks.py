@@ -144,3 +144,48 @@ def read_jsonl_export(spark, path: str) -> DataFrame:
     """Read a corpus export back (schema inferred from the JSON lines;
     the shard partition column rides along)."""
     return spark.read.json(path)
+
+
+def export_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str = "doc_id",
+    n_shards: int = EXPORT_SHARDS,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ORDERED sharded export — the curriculum/training-order
+    materialization: every row of shard i precedes every row of shard
+    i+1, and rows inside each shard are sorted, so a loader that reads
+    shards in id order streams the corpus in one total order.
+
+    The 100 TB shape: ``repartitionByRange`` builds balanced range bounds
+    by SAMPLING the order column (one skew-aware shuffle), then each
+    partition sorts locally — a total order with no single-task global
+    sort anywhere. Shard boundaries come out of the partition ids of the
+    range exchange, so the manifest invariant (max of shard i ≤ min of
+    shard i+1) holds by construction; the reader verifies it cheaply from
+    parquet footer min/max instead of trusting the writer
+    (tests/test_sinks_skew.py).
+    """
+    out = (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("export_shard", F.spark_partition_id())
+    )
+    out.write.mode(mode).partitionBy("export_shard").parquet(path)
+
+
+def sorted_export_manifest(spark, path: str, order_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest of a ``export_sorted`` directory: (export_shard,
+    n_rows, min_order, max_order) — what a training loader uses to seek
+    into the total order without opening every shard."""
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy("export_shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(order_col).alias("min_order"),
+            F.max(order_col).alias("max_order"),
+        )
+        .orderBy("export_shard")
+    )

@@ -157,3 +157,33 @@ def test_write_compacted_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(str(tmp_path / "orc_out"))
     assert back.count() == 5000
     assert {r.id for r in back.limit(5).collect()} <= set(range(5000))
+
+
+def test_export_sorted_total_order_across_shards(spark, tmp_path, sf_dir):
+    """Range-partitioned export: rows sorted within each shard AND shard
+    ranges non-overlapping in shard-id order — a loader reading shards
+    sequentially sees one global order. No single-partition sort in the
+    plan."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.sinks import (
+        export_sorted,
+        sorted_export_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "sorted")
+    export_sorted(docs, path, order_col="doc_id", n_shards=8)
+
+    manifest = sorted_export_manifest(spark, path).collect()
+    assert sum(m["n_rows"] for m in manifest) == docs.count()
+    ordered = sorted(manifest, key=lambda m: m["export_shard"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_order"] <= b["min_order"], (a, b)
+    # within-shard order: read one shard file directly
+    one = spark.read.parquet(path).filter(
+        F.col("export_shard") == ordered[0]["export_shard"]
+    )
+    ids = [r["doc_id"] for r in one.collect()]
+    assert ids == sorted(ids)
