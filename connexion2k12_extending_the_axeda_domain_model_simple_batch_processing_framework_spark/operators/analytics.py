@@ -526,3 +526,422 @@ def q16_supplier_diversity(
             F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 widening: the remaining TPC-H physical shapes expressible on this
+# schema (no partsupp / commitdate / shipmode / phone columns — each query
+# notes its adaptation). Reference parity: these are the ad-hoc analytics a
+# Connexion2k12 operator would run over task/batch history; the reference
+# itself has no query engine (CreateBatch.groovy:1 onward is per-row service
+# code), so the shapes follow the public TPC-H specification.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.05,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue change from hypothetically eliminating
+    small discounts — a pure scan query, zero joins, zero wide shuffles.
+
+    Plan: ALL four predicates (shipdate range, discount band, quantity
+    cap) push to the parquet scan as PushedFilters; the aggregation is a
+    partial-sum → single-row final. At 100 TB this is the I/O-bound query
+    that proves pushdown works: row-group statistics skip most of the
+    file before a byte of l_extendedprice is decoded.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(D) * F.col("l_discount").cast(D)
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — how many orders per
+    priority had at least one late line item. The schema has no
+    commitdate/receiptdate pair, so "late" is adapted to a line shipped
+    more than ``late_days`` after the order date — preserving the
+    defining feature: an EXISTS whose predicate CORRELATES the two
+    tables' columns (l_shipdate vs o_orderdate), not a pure key match.
+
+    Plan: a LEFT SEMI hash join on the order key with the inequality as
+    a residual join filter — one shuffle, no duplication of orders with
+    many late lines; the date-range filter pushes to the orders scan.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q8_market_share(
+    tables: dict,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    ptype: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by year — the conditional-numerator ratio over a star
+    join (CASE inside sum, single pass, no second scan).
+
+    Plan: part (type filter) and the two nation roles broadcast; the
+    fact chain lineitem ⋈ orders ⋈ customer shuffles on its keys; the
+    share is an exact decimal-sum ratio computed in the final single-row
+    -per-year aggregate. No join or scan is repeated for the numerator.
+    """
+    t = tables
+    vol = (
+        F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+    ).alias("vol")
+    region_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    parts = t["part"].filter(F.col("p_type") == ptype).select("p_partkey")
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= date_from)
+                & (F.col("o_orderdate") < date_to)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), "supp_nation", vol)
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == nation, F.col("vol"))
+                       .otherwise(F.lit(0).cast(D)))
+    return (
+        li.groupBy("o_year")
+        .agg(
+            F.round(
+                (nation_vol.cast("double") / F.sum("vol").cast("double")), 6
+            ).alias("mkt_share"),
+            F.sum("vol").cast("double").alias("total_vol"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(tables: dict, name_like: str = "ol") -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains a substring. The schema has no partsupp, so the
+    profit proxy is discounted revenue (the supplycost term is dropped);
+    the defining features survive: a LIKE '%..%' part filter that cannot
+    push below the join, a 4-table chain, and a (nation, year) rollup.
+
+    Plan: the name-filtered part set broadcasts; supplier→nation
+    broadcasts; the only big shuffle is lineitem ⋈ orders on the order
+    key, then one groupBy on the two small keys.
+    """
+    t = tables
+    vol = (
+        F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+    ).alias("vol")
+    parts = t["part"].filter(F.col("p_name").contains(name_like)).select("p_partkey")
+    nations = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("nation", F.year("o_orderdate").cast("long").alias("o_year"), vol)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("vol").cast("double").alias("sum_profit"))
+    )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed — including the zero-order customers only an OUTER join can
+    see. The spec's o_comment NOT LIKE filter is adapted to an order
+    -priority exclusion (no comment column in this schema).
+
+    Plan: two cascaded aggregations — count per customer (shuffle on
+    custkey, the LEFT join preserves order-less customers), then the
+    tiny count-of-counts (distinct order counts are < 100 even at
+    100 TB, so the second shuffle is trivial).
+    """
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue from promotional
+    parts — conditional numerator over a fact⋈dim join, single output
+    row.
+
+    Plan: the date filter pushes to the lineitem scan; part joins on
+    partkey (AQE sizes the side — part is ~1/30 of lineitem rows and
+    broadcastable until very large SF); numerator and denominator come
+    out of ONE aggregate pass via CASE.
+    """
+    promo = F.when(
+        F.col("p_type") == promo_type,
+        F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D)),
+    ).otherwise(F.lit(0).cast(D))
+    total = F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .join(part.select("p_partkey", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(total).cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.sum(total).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter
+    — the max-of-aggregate pattern (the spec's CREATE VIEW + scalar
+    subquery), kept exact under ties by comparing DECIMAL totals, never
+    doubles.
+
+    Plan: one shuffle aggregates revenue per suppkey; the winners come
+    from a dense_rank window over that AGGREGATE (one row per supplier —
+    a single-partition sort of the small reduced set), NOT from a scalar
+    -max self-join: Spark has no automatic CTE reuse, so joining the
+    aggregate against its own max would scan lineitem TWICE. One narrow
+    window on ~#suppliers rows beats a second 100 TB scan outright.
+    Supplier attributes broadcast onto the ≥1 winners.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+            ).alias("total_rev")
+        )
+    )
+    w = Window.orderBy(F.col("total_rev").desc())
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#4",
+    max_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lines of
+    a brand's parts with quantity below 20% of that part's average. The
+    spec's p_container filter is adapted to p_size < ``max_size``.
+
+    The correlated AVG subquery becomes a per-part aggregate joined back
+    to the lines, and the threshold compare is made INTEGER-EXACT by
+    clearing the division: qty < 0.2 * (sum/cnt)  ⇔  5·qty·cnt < sum,
+    all in decimals — so Spark and any oracle agree bit-for-bit with no
+    float rounding at the boundary.
+
+    Plan: the brand+size part set broadcasts into BOTH the per-part
+    aggregate and the line filter; the only shuffle is the groupBy on
+    partkey (a fraction of lineitem after the broadcast semi-filter).
+    """
+    parts = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") < max_size)
+    ).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(D)).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    small = li.join(per_part, F.col("l_partkey") == F.col("pk")).filter(
+        F.lit(5) * F.col("l_quantity").cast(D) * F.col("qty_cnt")
+        < F.col("qty_sum")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(D)).cast("double") / 7.0, 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+    )
+
+
+#: Q19's OR-of-ANDs branches: (brand, qty_lo, qty_hi, size_hi)
+Q19_BRANCHES: tuple[tuple[str, int, int, int], ...] = (
+    ("Brand#2", 1, 11, 5),
+    ("Brand#8", 10, 20, 10),
+    ("Brand#19", 20, 30, 15),
+)
+
+
+def q19_discount_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/quantity/size
+    baskets — the OR-of-ANDs predicate that tests whether the planner
+    keeps the disjunction as a residual filter on ONE join rather than
+    scanning three times. p_container/l_shipmode are absent from this
+    schema; brand + size + quantity carry the disjunction.
+
+    Plan: single lineitem ⋈ part hash join on partkey; the whole OR
+    evaluates as a residual filter in the join stage; one partial-sum
+    aggregate. The per-branch quantity bounds cannot push to the scan
+    (they differ per branch), but the GLOBAL bounds (min lo, max hi) do.
+    """
+    qty = F.col("l_quantity")
+    branch = None
+    for b, lo, hi, size_hi in Q19_BRANCHES:
+        c = (
+            (F.col("p_brand") == b)
+            & (qty >= lo)
+            & (qty <= hi)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_hi)
+        )
+        branch = c if branch is None else (branch | c)
+    lo_all = min(b[1] for b in Q19_BRANCHES)
+    hi_all = max(b[2] for b in Q19_BRANCHES)
+    return (
+        lineitem.filter((qty >= lo_all) & (qty <= hi_all))
+        .join(
+            part.select("p_partkey", "p_brand", "p_size"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(branch)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q22_dormant_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who stopped ordering — the
+    double-subquery pattern: a scalar AVG threshold plus a NOT EXISTS
+    anti-join. The spec's phone-prefix grouping is adapted to
+    c_mktsegment (no phone column); "stopped" means no order since
+    ``cutoff``.
+
+    The above-average test is made exact by clearing the division:
+    acctbal > sum/cnt  ⇔  acctbal·cnt > sum, in decimals — no float
+    boundary disagreement with the oracle.
+
+    Plan: the scalar (sum, cnt) aggregate broadcasts onto the customer
+    scan; recent orderers are a LEFT ANTI hash join on custkey; the
+    final rollup groups on the handful of segments. No sort anywhere.
+    """
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    thresh = pos.agg(
+        F.sum(F.col("c_acctbal").cast(D)).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
+    )
+    recent = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("rk")
+    ).distinct()
+    return (
+        pos.join(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast(D) * F.col("bal_cnt") > F.col("bal_sum")
+        )
+        .join(recent, F.col("c_custkey") == F.col("rk"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("totacctbal"),
+        )
+    )

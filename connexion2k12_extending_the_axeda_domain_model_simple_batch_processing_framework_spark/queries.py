@@ -3137,6 +3137,271 @@ ORACLE["lang_fertility"] = SQL_LANG_FERTILITY
 
 
 # ---------------------------------------------------------------------------
+# §2.2 r4 widening: the remaining TPC-H shapes this schema can express
+# (Q4, Q6, Q8, Q9, Q13, Q14, Q15, Q17, Q19, Q22 — adaptations noted in
+# operators.analytics docstrings; no partsupp/commitdate/shipmode/phone).
+# ---------------------------------------------------------------------------
+
+_VOL = "l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))"
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-pushdown scan revenue, TPC-H Q6 shape
+    (operators.analytics.q6_forecast_revenue)."""
+    return analytics.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24
+"""
+
+QUERIES["q6_forecast_revenue"] = q_q6_forecast_revenue
+ORACLE["q6_forecast_revenue"] = SQL_Q6_FORECAST_REVENUE
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking via correlated EXISTS, TPC-H Q4 shape
+    (operators.analytics.q4_order_priority)."""
+    return analytics.q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1
+"""
+
+QUERIES["q4_order_priority"] = q_q4_order_priority
+ORACLE["q4_order_priority"] = SQL_Q4_ORDER_PRIORITY
+
+
+_Q8 = {"region": "ASIA", "nation": "NATION_2", "ptype": "ECONOMY"}
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region, TPC-H Q8 shape
+    (operators.analytics.q8_market_share)."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["lineitem", "orders", "customer", "supplier", "nation",
+                  "region", "part"]
+    }
+    return analytics.q8_market_share(tables, **_Q8)
+
+
+SQL_Q8_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year, n2.n_name AS supp_nation,
+         {_VOL} AS vol
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{_Q8["ptype"]}'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = '{_Q8["region"]}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = '{_Q8["nation"]}' THEN vol
+                      ELSE 0::DECIMAL(18,2) END)::DOUBLE
+             / sum(vol)::DOUBLE, 6) AS mkt_share,
+       sum(vol)::DOUBLE AS total_vol
+FROM base GROUP BY 1
+"""
+
+QUERIES["q8_market_share"] = q_q8_market_share
+ORACLE["q8_market_share"] = SQL_Q8_MARKET_SHARE
+
+
+def q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year, TPC-H Q9 shape
+    (operators.analytics.q9_profit_by_nation_year)."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["lineitem", "orders", "supplier", "nation", "part"]
+    }
+    return analytics.q9_profit_by_nation_year(tables)
+
+
+SQL_Q9_PROFIT = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+       sum({_VOL})::DOUBLE AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%ol%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+QUERIES["q9_profit_by_nation"] = q_q9_profit_by_nation
+ORACLE["q9_profit_by_nation"] = SQL_Q9_PROFIT
+
+
+def q_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution, TPC-H Q13 shape
+    (operators.analytics.q13_order_count_distribution)."""
+    return analytics.q13_order_count_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_Q13_ORDER_COUNTS = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist FROM per_cust GROUP BY 1
+"""
+
+QUERIES["q13_order_counts"] = q_q13_order_counts
+ORACLE["q13_order_counts"] = SQL_Q13_ORDER_COUNTS
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share, TPC-H Q14 shape
+    (operators.analytics.q14_promo_revenue)."""
+    return analytics.q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+SQL_Q14_PROMO_REVENUE = f"""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_VOL}
+                              ELSE 0::DECIMAL(18,2) END)::DOUBLE
+             / sum({_VOL})::DOUBLE, 6) AS promo_revenue_pct,
+       sum({_VOL})::DOUBLE AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-02-01'
+"""
+
+QUERIES["q14_promo_revenue"] = q_q14_promo_revenue
+ORACLE["q14_promo_revenue"] = SQL_Q14_PROMO_REVENUE
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-revenue supplier(s), TPC-H Q15 shape
+    (operators.analytics.q15_top_supplier)."""
+    return analytics.q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, sum({_VOL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name,
+       r.total_rev::DOUBLE AS total_revenue
+FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+QUERIES["q15_top_supplier"] = q_q15_top_supplier
+ORACLE["q15_top_supplier"] = SQL_Q15_TOP_SUPPLIER
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue below a per-part average, TPC-H Q17 shape
+    (operators.analytics.q17_small_quantity_revenue)."""
+    return analytics.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+SQL_Q17_SMALL_QUANTITY = """
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p
+    ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#4' AND p.p_size < 15
+),
+per_part AS (
+  SELECT l_partkey AS pk, sum(l_quantity::DECIMAL(18,2)) AS qty_sum,
+         count(*)::BIGINT AS qty_cnt
+  FROM li GROUP BY 1
+)
+SELECT round(sum(li.l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM li JOIN per_part ON li.l_partkey = per_part.pk
+WHERE 5 * li.l_quantity::DECIMAL(18,2) * per_part.qty_cnt < per_part.qty_sum
+"""
+
+QUERIES["q17_small_quantity"] = q_q17_small_quantity
+ORACLE["q17_small_quantity"] = SQL_Q17_SMALL_QUANTITY
+
+
+def q_q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs basket revenue, TPC-H Q19 shape
+    (operators.analytics.q19_discount_revenue)."""
+    return analytics.q19_discount_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+SQL_Q19_DISCOUNT_REVENUE = f"""
+SELECT sum({_VOL})::DOUBLE AS revenue, count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#8' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+"""
+
+QUERIES["q19_discount_revenue"] = q_q19_discount_revenue
+ORACLE["q19_discount_revenue"] = SQL_Q19_DISCOUNT_REVENUE
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no recent orders, TPC-H Q22 shape
+    (operators.analytics.q22_dormant_customers)."""
+    return analytics.q22_dormant_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_Q22_DORMANT_CUSTOMERS = """
+WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0),
+thresh AS (
+  SELECT sum(c_acctbal::DECIMAL(18,2)) AS bal_sum, count(*)::BIGINT AS bal_cnt
+  FROM pos
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01'
+)
+SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
+       sum(c.c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
+FROM pos c CROSS JOIN thresh t
+WHERE c.c_acctbal::DECIMAL(18,2) * t.bal_cnt > t.bal_sum
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+"""
+
+QUERIES["q22_dormant_customers"] = q_q22_dormant_customers
+ORACLE["q22_dormant_customers"] = SQL_Q22_DORMANT_CUSTOMERS
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -3146,6 +3411,16 @@ ORACLE["lang_fertility"] = SQL_LANG_FERTILITY
 # plan) inside that window; the displaced long-stable entries are still
 # verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discount_revenue",
+    "q22_dormant_customers",
     "substring_dedup",
     "semantic_dedup",
     "bigram_logprob",

@@ -304,3 +304,50 @@ def test_q7_two_nation_roles_broadcast_and_date_pushed(dfs):
     assert checks.count_broadcast_joins(df) >= 2, checks.plan_string(df)
     assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)
     assert not checks.uses_python_eval(df)
+
+
+def test_q6_all_four_predicates_push_to_scan(dfs):
+    """Q6 is the pushdown proof: shipdate range, discount band, and the
+    quantity cap must ALL reach the parquet scan, the read schema must
+    carry only the needed columns, and the whole query must stay inside
+    codegen with zero joins."""
+    df = dfs["q6_forecast_revenue"]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert checks.has_pushed_filter(df, col), checks.pushed_filters(df)
+    schemas = [s for s in checks.read_schemas(df) if "l_extendedprice" in s]
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas), schemas
+    assert checks.count_broadcast_joins(df) == 0
+    assert not checks.uses_python_eval(df)
+    assert checks.codegen_stage_count(df) >= 1
+
+
+def test_q15_scans_lineitem_once(dfs):
+    """The max-of-aggregate must reuse the per-supplier aggregate, never
+    rescan lineitem for the scalar max: exactly one lineitem scan in the
+    executed plan."""
+    df = dfs["q15_top_supplier"]
+    plan = checks.plan_string(df)
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 3, plan
+    assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)
+    assert not checks.uses_python_eval(df)
+
+
+def test_q4_is_semi_join_not_inner(dfs):
+    """Q4 must plan a LeftSemi hash join (orders counted once however many
+    late lines exist) with the date range pushed to the orders scan."""
+    df = dfs["q4_order_priority"]
+    plan = checks.plan_string(df)
+    assert "LeftSemi" in plan, plan
+    assert checks.has_pushed_filter(df, "o_orderdate"), checks.pushed_filters(df)
+    assert not checks.uses_python_eval(df)
+
+
+def test_q22_anti_join_and_broadcast_threshold(dfs):
+    """Q22: the recent-orderer exclusion must be an ANTI join and the
+    scalar threshold a broadcast — no sort, no cartesian fallback."""
+    df = dfs["q22_dormant_customers"]
+    plan = checks.plan_string(df)
+    assert "LeftAnti" in plan, plan
+    assert checks.count_broadcast_joins(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not checks.uses_python_eval(df)
