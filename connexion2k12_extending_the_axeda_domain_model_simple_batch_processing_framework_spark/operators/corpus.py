@@ -833,3 +833,69 @@ def blocklist_filter(
             ),
         )
     )
+
+
+#: source-overlap gram length: long enough that shared grams indicate real
+#: content overlap (the contamination default), short enough to keep recall
+OVERLAP_NGRAM = 8
+
+
+def source_overlap(documents: DataFrame, n: int = OVERLAP_NGRAM) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of corpus
+    sources, the exact n-gram Jaccard between their distinct-gram sets —
+    the audit a training pipeline runs before mixing crawls ("is this new
+    dump actually new, or is it 30 % the same pages as the last one?").
+
+    Scale shape: the per-source gram sets are ONE distinct over
+    (source, gram) — map-side combined, shuffled on the pair; the
+    intersection is a self-equi-join on gram whose per-gram fan-out is
+    bounded by the number of SOURCES carrying that gram (sources are
+    dozens, never corpus-scale), so no gram can explode the join; the
+    final pair grid is sources² rows — trivially broadcastable. No
+    all-pairs document comparison anywhere.
+
+    Output: one row per unordered source pair with set sizes,
+    intersection size, and Jaccard.
+    """
+    from .dedup import shingle_table
+
+    src = spread(documents).select("doc_id", "source")
+    sg = (
+        shingle_table(documents, n)
+        .join(src, "doc_id")
+        .select("source", F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    union_sz = F.col("n_a") + F.col("n_b") - n_common
+    return (
+        grid.join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            n_common.cast("long").alias("n_common"),
+            F.round(
+                n_common.cast("double") / union_sz.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

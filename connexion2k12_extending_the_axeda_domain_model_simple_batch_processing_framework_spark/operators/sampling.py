@@ -139,3 +139,48 @@ def mixture_sample(
         .filter(F.col("bucket") < F.col("rate_micro"))
         .select(id_col, strata_col, "n_s", "rate_micro", "bucket")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    train_pct: int = DEFAULT_SPLIT_PCT[0],
+    val_pct: int = DEFAULT_SPLIT_PCT[1],
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the hash bucket is computed on the document's DUP-CLUSTER
+    representative (min doc_id reachable in the MinHash-LSH near-dup
+    graph), not the document itself — so every member of a near-dup
+    cluster lands in the SAME split. A plain per-doc split puts two
+    copies of one page in train and test and silently inflates eval; the
+    published dedup pipelines split after clustering for exactly this
+    reason.
+
+    Composition: ``dedup.dup_clusters`` (distributed label propagation)
+    LEFT-joins onto the corpus — docs outside any dup cluster represent
+    themselves — then the same salted-hash assignment as
+    ``train_val_test_split``. One extra shuffle over the plain split (the
+    cluster join on doc_id); the cluster table is a fraction of the
+    corpus (only docs with a near-dup), so AQE sizes that side down.
+
+    Output: (doc_id, rep_id, split).
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(documents)
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = F.pmod(hex_hash64(rep.cast("string"), F.lit(salt)), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.cast("long").alias("rep_id"),
+            split.alias("split"),
+        )
+    )

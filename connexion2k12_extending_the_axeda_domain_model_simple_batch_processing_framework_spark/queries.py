@@ -3402,6 +3402,72 @@ ORACLE["q22_dormant_customers"] = SQL_Q22_DORMANT_CUSTOMERS
 
 
 # ---------------------------------------------------------------------------
+# §2.3 r4 widening: cross-source overlap matrix + leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair n-gram Jaccard matrix
+    (operators.corpus.source_overlap)."""
+    return corpus.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_grams_sql(corpus.OVERLAP_NGRAM)} AS shingles
+       FROM toks WHERE len(t) >= {corpus.OVERLAP_NGRAM}),
+sg AS (
+  SELECT DISTINCT d.source, unnest(sh.shingles) AS gram
+  FROM sh JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n_grams FROM sg GROUP BY 1),
+common AS (
+  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
+  FROM sg a JOIN sg b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1.source AS source_a, s2.source AS source_b,
+       s1.n_grams AS n_a, s2.n_grams AS n_b,
+       coalesce(c.c, 0)::BIGINT AS n_common,
+       round(coalesce(c.c, 0)::DOUBLE
+             / (s1.n_grams + s2.n_grams - coalesce(c.c, 0))::DOUBLE, 6) AS jaccard
+FROM sizes s1
+JOIN sizes s2 ON s1.source < s2.source
+LEFT JOIN common c ON c.sa = s1.source AND c.sb = s2.source
+"""
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLE["source_overlap"] = SQL_SOURCE_OVERLAP
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster-consistent train/val/test split
+    (operators.sampling.leakage_safe_split)."""
+    return sampling.leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
+_LEAKAGE_BUCKET = _HEX64.format(expr="rep_id::VARCHAR || '#' || 'split'") + " % 100"
+
+SQL_LEAKAGE_SPLIT = f"""
+WITH cl AS ({SQL_DUP_CLUSTERS}),
+rep AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id)::BIGINT AS rep_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+b AS (SELECT doc_id, rep_id, ({_LEAKAGE_BUCKET})::BIGINT AS bkt FROM rep)
+SELECT doc_id::BIGINT AS doc_id, rep_id,
+       CASE WHEN bkt < {sampling.DEFAULT_SPLIT_PCT[0]} THEN 'train'
+            WHEN bkt < {sampling.DEFAULT_SPLIT_PCT[0] + sampling.DEFAULT_SPLIT_PCT[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+QUERIES["leakage_split"] = q_leakage_split
+ORACLE["leakage_split"] = SQL_LEAKAGE_SPLIT
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -3411,6 +3477,8 @@ ORACLE["q22_dormant_customers"] = SQL_Q22_DORMANT_CUSTOMERS
 # plan) inside that window; the displaced long-stable entries are still
 # verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
+    "source_overlap",
+    "leakage_split",
     "q6_forecast_revenue",
     "q4_order_priority",
     "q8_market_share",

@@ -363,3 +363,32 @@ def test_blocklist_filter_dispositions(spark):
     assert not out[1]["allowed"] and out[1]["reason"] == "blocked_domain"
     assert not out[2]["allowed"]  # subdomains collapse to the blocked domain
     assert out[3]["allowed"] and out[3]["reason"] is None
+
+
+def test_source_overlap_exact_jaccard_and_zero_pairs(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        corpus,
+    )
+
+    # 10-token docs, n=8 -> each doc has 3 distinct 8-grams; doc A and B
+    # share a 9-token run (2 common grams); C shares nothing.
+    base = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " x", "src1"),
+            (2, base + " y", "src2"),
+            (3, "p q r s t u v w z0 z1", "src3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in corpus.source_overlap(docs).collect()
+    }
+    assert set(out) == {("src1", "src2"), ("src1", "src3"), ("src2", "src3")}
+    r12 = out[("src1", "src2")]
+    # each source: 3 grams; shared: the two grams fully inside "a..i"
+    assert (r12.n_a, r12.n_b, r12.n_common) == (3, 3, 2)
+    assert r12.jaccard == 0.5  # 2 / (3+3-2)
+    assert out[("src1", "src3")].n_common == 0
+    assert out[("src1", "src3")].jaccard == 0.0

@@ -189,3 +189,28 @@ def test_mixture_sample_uniform_default(spark):
     rates = {r["source"]: r["rate_micro"] for r in out.select("source", "rate_micro").distinct().collect()}
     assert set(rates.values()) == {1000000}  # already uniform: keep all
     assert out.count() == 400
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        sampling,
+    )
+
+    # docs 100 and 7 are identical -> same dup cluster -> same split,
+    # and both use the MIN doc_id (7) as representative. Unique docs
+    # represent themselves.
+    dup_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [(100, dup_text, "en", "s", 1), (7, dup_text, "en", "s", 1)]
+    rows += [
+        (i, f"unique document number {i} " + " ".join(f"w{i}_{j}" for j in range(30)),
+         "en", "s", 1)
+        for i in range(200, 220)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(docs).collect()}
+    assert out[100].rep_id == 7 and out[7].rep_id == 7
+    assert out[100].split == out[7].split
+    for i in range(200, 220):
+        assert out[i].rep_id == i
