@@ -468,11 +468,68 @@ def keep_canonical(
     return documents.join(F.broadcast(dropped), "doc_id", "left_anti")
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+#: edge-count ceiling for the driver-side union-find shortcut. Near-dup
+#: edge lists are a tiny fraction of the corpus (pairs over a tight
+#: threshold), so even very large corpora usually land under it; 2M edges
+#: is ~32 MB on the driver. Above the gate the distributed loop runs.
+CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
+) -> DataFrame:
     """Min-label propagation over an undirected edge list (doc_a, doc_b):
     output (doc_id, cluster_id) where cluster_id = min node id reachable.
-    Each of the ``max_iterations`` rounds propagates TWO hops, so graphs
-    of diameter up to ~2×max_iterations converge."""
+
+    Two physical strategies behind one result:
+
+    - **edge list ≤ ``local_max_edges``** (measured AFTER the one
+      distributed pair-generation pass): path-compressed union-find on
+      the driver. The iterative Spark loop pays ~0.5-1 s of scheduling +
+      checkpoint + convergence-probe per round REGARDLESS of data size —
+      for the sparse graphs near-dup thresholds produce (hundreds to
+      thousands of edges even at sf0.1), that fixed cost was 8+ s of
+      pure overhead for microseconds of actual work. Union-find on a
+      bounded edge set is exact, deterministic, and O(E α(E)).
+    - **larger graphs**: the distributed 2-hops-per-round label
+      propagation below, unchanged — rounds needed ≈ diameter/2, all
+      joins + groupBys, no driver data.
+
+    The union always parents the larger root under the smaller, so each
+    component's root IS its minimum id — identical output to the
+    propagation loop (and the recursive-CTE oracle) by construction.
+    """
+    first_dir = cut_lineage(pairs.select("doc_a", "doc_b"))
+    n_edges = first_dir.count()
+    if n_edges <= local_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect(), not toLocalIterator(): the iterator schedules one
+        # sequential mini-job per partition (32 jobs for a few hundred
+        # edges); the gate already bounds the collected size to ~32 MB.
+        nodes = set()
+        for r in first_dir.collect():
+            a, b = r[0], r[1]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return pairs.sparkSession.createDataFrame(
+            [(int(x), int(find(x))) for x in sorted(nodes)],
+            "doc_id long, cluster_id long",
+        )
     # undirected edge list, both directions — via ONE explode rather than
     # a union of two selects: union legs don't share subplans, so the
     # union form ran the whole upstream pair-generation pipeline twice.
@@ -485,7 +542,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         )
     )
     edges = cut_lineage(
-        pairs.select(both_dirs.alias("e")).select("e.doc_a", "e.doc_b")
+        first_dir.select(both_dirs.alias("e")).select("e.doc_a", "e.doc_b")
     )
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")

@@ -1,0 +1,138 @@
+"""Streaming gap sessionization: per-user session state across micro-batches.
+
+The streaming twin of ``operators.temporal.sessionize``. The batch operator
+sees each user's full history and cuts sessions with one window pass; a
+stream closes sessions incrementally: each user key holds its OPEN session
+(start, last-seen, count, value sum) in the state store, an arriving event
+either extends it or — when the gap since the last event exceeds the
+threshold — emits the closed session and opens a new one, and a state
+timeout flushes sessions for users who simply stop sending. O(1) state per
+user, hash-partitioned across executors; the same
+``applyInPandasWithState`` custom-stateful shape as ``streaming.anomaly``
+(Arrow-batched per key, never row-at-a-time over the stream).
+
+Semantics parity with the batch operator: same 30-minute gap constant, same
+(user, session) grain, same exact DECIMAL(18,2) value sum (carried in state
+as integer cents so state stays fixed-width), and sessions indexed 1..n per
+user in order — a drained stream over a static file yields the same rows
+as ``temporal.sessionize`` up to the open tail session, which only the
+timeout can close.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.temporal import SESSION_GAP_US
+
+#: flush an open session if its user goes quiet for this long (processing
+#: time) — keeps per-user state from living forever
+SESSION_FLUSH_MS = 60 * 60 * 1000
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_idx", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value_cents", T.LongType(), False),
+    ]
+)
+
+#: open-session state: next index to assign, start/last in epoch-micros,
+#: event count, exact value sum in cents
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_cents", T.LongType(), False),
+    ]
+)
+
+
+def _cents(v: float) -> int:
+    """DECIMAL(18,2)-equivalent cents: round half away from zero."""
+    x = v * 100.0
+    return int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        # user went quiet: flush the open session and drop the key's state
+        next_idx, start_us, last_us, n_events, sum_cents = state.get
+        state.remove()
+        if n_events > 0:
+            yield _emit(user_id, next_idx, start_us, last_us, n_events, sum_cents)
+        return
+
+    if state.exists:
+        next_idx, start_us, last_us, n_events, sum_cents = state.get
+    else:
+        next_idx, start_us, last_us, n_events, sum_cents = 1, 0, 0, 0, 0
+
+    closed = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # deterministic replay order within the micro-batch — same
+        # (ts, event_id) order the batch window uses
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        for us, value in zip(ts_us, pdf["value"]):
+            if n_events > 0 and (us - last_us) > SESSION_GAP_US:
+                closed.append(
+                    (user_id, next_idx, start_us, last_us, n_events, sum_cents)
+                )
+                next_idx += 1
+                n_events, sum_cents = 0, 0
+            if n_events == 0:
+                start_us = int(us)
+            last_us = int(us)
+            n_events += 1
+            sum_cents += _cents(float(value))
+
+    state.update((next_idx, start_us, last_us, n_events, sum_cents))
+    state.setTimeoutDuration(SESSION_FLUSH_MS)
+    if closed:
+        yield pd.concat([_emit(*c) for c in closed], ignore_index=True)
+
+
+def _emit(
+    user_id, idx, start_us, last_us, n_events, sum_cents
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_idx": [idx],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n_events],
+            "sum_value_cents": [sum_cents],
+        }
+    )
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessions. Input: a streaming frame with (user_id,
+    event_id, value, ts). Emits one row per CLOSED session — closed by a
+    gap-exceeding event or by the idle timeout."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -140,7 +140,31 @@ def test_connected_components_warns_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, 5)], "doc_a long, doc_b long"
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        dedup.connected_components(edges, max_iterations=2)
+        # local_max_edges=0 forces the distributed propagation loop (the
+        # union-find shortcut has no iteration limit and cannot warn)
+        dedup.connected_components(edges, max_iterations=2, local_max_edges=0)
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    # two chained clusters + a disjoint pair + a duplicate edge: the
+    # driver union-find (default gate) and the distributed propagation
+    # loop (gate 0) must label identically
+    edges = spark.createDataFrame(
+        [(3, 7), (7, 1), (20, 21), (3, 7), (40, 2), (2, 1)],
+        "doc_a long, doc_b long",
+    )
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(edges).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(edges, local_max_edges=0).collect()
+    }
+    assert local == dist
+    assert local == {
+        (1, 1), (2, 1), (3, 1), (7, 1), (40, 1), (20, 20), (21, 20)
+    }
 
 
 def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
