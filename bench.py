@@ -75,7 +75,12 @@ def main() -> None:
     # process, first-touch JIT of a late query) inflates single-pass
     # numbers by up to ~8x run-to-run on a busy host. Skipped when the
     # first pass already spent the wall budget.
-    if time.perf_counter() - wall0 < 240:
+    # budget scales with registry size: the second pass only runs when the
+    # first stayed under ~4s/query, so a noisy host can't double a blown
+    # budget — but a grown registry doesn't silently lose min-of-2 either
+    # (105 queries blew the old fixed 240 s and r4c's numbers inflated
+    # ~30% from single-pass noise).
+    if time.perf_counter() - wall0 < max(240, 4 * len(HEADLINE)):
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(q.QUERIES[name](spark, sf_dir))
