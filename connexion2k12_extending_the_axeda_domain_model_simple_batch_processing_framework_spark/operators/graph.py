@@ -83,3 +83,75 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         "rank_q",
         F.round(F.col("rank_q") / F.lit(float(SCALE)), 9).alias("rank"),
     )
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global + per-node triangle counts over an undirected pair list —
+    the clustering-cohesion metric of the near-dup graph (a dense
+    triangle neighborhood = one heavily-mirrored document family).
+
+    Node-iterator with DEGREE ORDERING, the standard scale trick: orient
+    every edge from the lower-(degree, id) endpoint to the higher, so
+    each triangle is counted exactly once at its lowest-degree corner
+    and the wedge join fans out by min-degree — on skewed (power-law)
+    graphs this bounds the per-key wedge explosion that a naive
+    edge²/node join suffers at hub nodes. Plan: degree groupBy, one
+    self-join of the oriented edge list on its source (wedges), one
+    equi-join of wedges against oriented edges (closure check) — all
+    shuffles on node/edge keys.
+
+    Output: one row per node that participates in ≥1 triangle
+    (doc_id, triangles), plus the graph total under doc_id = -1.
+    """
+    both = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+            F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+        )
+    )
+    edges = cut_lineage(
+        pairs.select(both.alias("e")).select("e.u", "e.v").distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        edges.join(deg.withColumnRenamed("u", "__du"), F.col("u") == F.col("__du"))
+        .withColumnRenamed("deg", "deg_u")
+        .drop("__du")
+        .join(deg.withColumnRenamed("u", "__dv"), F.col("v") == F.col("__dv"))
+        .withColumnRenamed("deg", "deg_v")
+        .drop("__dv")
+    )
+    # orient: keep the edge only in its (degree, id)-ascending direction
+    oriented = cut_lineage(
+        ranked.filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        ).select("u", "v")
+    )
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a2"), F.col("v").alias("c"))
+    wedges = w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))).select(
+        "a", "b", "c"
+    )
+    # closure: (b, c) or (c, b) must be an oriented edge; orientation makes
+    # exactly one direction present, so one equi-join on the normalized key
+    closing = oriented.select(
+        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("b", "c") == F.col("lo")) & (F.greatest("b", "c") == F.col("hi")),
+        "left_semi",
+    )
+    per_corner = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    total = tris.agg(F.count(F.lit(1)).alias("triangles")).select(
+        F.lit(-1).cast("long").alias("doc_id"), "triangles"
+    )
+    return per_corner.unionByName(total).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )

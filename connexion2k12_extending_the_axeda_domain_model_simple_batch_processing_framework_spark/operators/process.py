@@ -73,3 +73,39 @@ def created_assets(tasks: DataFrame) -> DataFrame:
         .filter(F.col("_claim") == 1)
         .select("model_name", "serial_number", "asset_name")
     )
+
+
+def latest_wins_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Snapshot merge with LAST-writer-wins semantics — the CDC-compaction
+    twin of ``process_tasks``' first-wins claim: a base snapshot plus an
+    updates batch collapse to one row per key, the row with the highest
+    (version, is_update) pair. An update at the same version as base wins
+    (updates are the newer feed); within a side the highest version wins.
+
+    This is the MERGE INTO / upsert-compaction every incremental corpus
+    needs when a crawler re-fetches pages: schema-aligned union, one
+    shuffle on the key, max_by per key — no join, so the plan cost is one
+    pass over |base| + |updates| however often it runs. Rows keep a
+    ``src`` marker ('base' | 'update') so audits can count effective
+    overwrites.
+
+    Column contract: both inputs share the same schema (plus key/version);
+    output = that schema + src.
+    """
+    tagged = base.withColumn("src", F.lit("base")).unionByName(
+        updates.withColumn("src", F.lit("update"))
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(),
+        F.when(F.col("src") == "update", 1).otherwise(0).desc(),
+    )
+    return (
+        tagged.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

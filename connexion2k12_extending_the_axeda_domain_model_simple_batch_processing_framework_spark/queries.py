@@ -3468,6 +3468,130 @@ ORACLE["leakage_split"] = SQL_LEAKAGE_SPLIT
 
 
 # ---------------------------------------------------------------------------
+# §2.2/§2.3 r4 widening: rolling active users, triangle counting,
+# latest-wins snapshot merge
+# ---------------------------------------------------------------------------
+
+_AU_DAYS = 7
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users
+    (operators.temporal.active_users_window)."""
+    return temporal.active_users_window(load_table(spark, sf_dir, "events"), _AU_DAYS)
+
+
+SQL_ACTIVE_USERS = f"""
+WITH grid AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM grid),
+dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM grid GROUP BY 1),
+trail AS (
+  SELECT d.day, count(DISTINCT g.user_id)::BIGINT AS trailing_users
+  FROM days d JOIN grid g
+    ON g.day <= d.day AND g.day > d.day - INTERVAL {_AU_DAYS} DAY
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, trail.trailing_users, {_AU_DAYS}::BIGINT AS trailing_days
+FROM dau JOIN trail ON dau.day = trail.day
+"""
+
+QUERIES["active_users"] = q_active_users
+ORACLE["active_users"] = SQL_ACTIVE_USERS
+
+
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the near-dup candidate graph
+    (operators.graph.triangle_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return graph.triangle_count(pairs)
+
+
+SQL_DUP_TRIANGLES = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({SQL_DEDUP_MINHASH_LSH}) mh),
+edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+  )
+),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+oriented AS (
+  SELECT e.u, e.v FROM edges e
+  JOIN deg du ON e.u = du.u
+  JOIN deg dv ON e.v = dv.u
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+),
+wedges AS (
+  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+),
+tris AS (
+  SELECT a, b, c FROM wedges w
+  WHERE EXISTS (
+    SELECT 1 FROM oriented o
+    WHERE least(w.b, w.c) = least(o.u, o.v)
+      AND greatest(w.b, w.c) = greatest(o.u, o.v)
+  )
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tris
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS triangles
+FROM corners GROUP BY 1
+UNION ALL
+SELECT -1::BIGINT, count(*)::BIGINT FROM tris
+"""
+
+QUERIES["dup_triangles"] = q_dup_triangles
+ORACLE["dup_triangles"] = SQL_DUP_TRIANGLES
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot merge (operators.process.latest_wins_merge):
+    base corpus + a deterministic re-crawl batch (every 5th doc; every
+    10th arrives at the SAME version to exercise the update-wins tie)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("version", (F.col("doc_id") % 3).cast("long"))
+    bump = F.when(F.col("doc_id") % 10 == 0, F.lit(0)).otherwise(F.lit(1))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("version", (F.col("doc_id") % 3 + bump).cast("long"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [rev]")))
+    )
+    return process.latest_wins_merge(base, updates)
+
+
+SQL_SNAPSHOT_MERGE = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         (doc_id % 3)::BIGINT AS version, 'base' AS src
+  FROM documents
+),
+upd AS (
+  SELECT doc_id, text || ' [rev]' AS text, lang, source, n_chars,
+         (doc_id % 3 + CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END)::BIGINT AS version,
+         'update' AS src
+  FROM documents WHERE doc_id % 5 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY version DESC, (src = 'update')::INT DESC
+  ) AS rk FROM u
+)
+SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars::BIGINT AS n_chars,
+       version, src
+FROM r WHERE rk = 1
+"""
+
+QUERIES["snapshot_merge"] = q_snapshot_merge
+ORACLE["snapshot_merge"] = SQL_SNAPSHOT_MERGE
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -3477,6 +3601,9 @@ ORACLE["leakage_split"] = SQL_LEAKAGE_SPLIT
 # plan) inside that window; the displaced long-stable entries are still
 # verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
+    "active_users",
+    "dup_triangles",
+    "snapshot_merge",
     "source_overlap",
     "leakage_split",
     "q6_forecast_revenue",

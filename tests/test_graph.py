@@ -42,3 +42,18 @@ def test_pagerank_uniform_on_regular_graph(spark):
         for r in graph.pagerank(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])).collect()
     }
     assert len(set(pr.values())) == 1
+
+
+def test_triangle_count_k4_plus_tail(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        graph,
+    )
+
+    # K4 on {1,2,3,4} -> 4 triangles, each node in 3; tail edge 4-9 adds
+    # none; duplicate edge input must not double-count
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9), (2, 1)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.doc_id: r.triangles for r in graph.triangle_count(pairs).collect()}
+    assert out[-1] == 4
+    assert out[1] == out[2] == out[3] == out[4] == 3
+    assert 9 not in out  # participates in no triangle

@@ -54,3 +54,31 @@ def test_created_assets_is_winner_set(spark):
 def test_distinct_models(spark):
     got = {r.model_name for r in process.distinct_models(_tasks(spark)).collect()}
     assert got == {"M1", "M2"}
+
+
+def test_latest_wins_merge_version_and_tie_semantics(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        process,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "old-a", 3), (2, "old-b", 5), (3, "old-c", 2)],
+        "doc_id long, text string, version long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "new-a", 4),   # higher version -> wins
+            (2, "new-b", 4),   # LOWER version -> base survives
+            (3, "new-c", 2),   # same version -> update wins (newer feed)
+        ],
+        "doc_id long, text string, version long",
+    )
+    out = {
+        r.doc_id: (r.text, r.version, r.src)
+        for r in process.latest_wins_merge(base, updates).collect()
+    }
+    assert out == {
+        1: ("new-a", 4, "update"),
+        2: ("old-b", 5, "base"),
+        3: ("new-c", 2, "update"),
+    }

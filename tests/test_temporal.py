@@ -137,3 +137,34 @@ def test_cohort_retention_offsets(spark):
         for r in temporal.cohort_retention(events).collect()
     }
     assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}
+
+
+def test_active_users_window_sees_through_gap_days(spark):
+    import datetime as dt
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        temporal,
+    )
+
+    def ev(eid, user, day):
+        return (eid, dt.datetime(2026, 1, day, 12, 0), user, "view", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 10, 1), ev(2, 11, 1),          # day 1: users 10, 11
+            ev(3, 10, 2),                         # day 2: user 10 (twice)
+            ev(4, 10, 2),
+            # days 3-5 silent
+            ev(5, 12, 6),                         # day 6: user 12
+            ev(6, 10, 9),                         # day 9: user 10
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.day.day: (r.dau, r.trailing_users)
+        for r in temporal.active_users_window(events, 7).collect()
+    }
+    # trailing-7 (inclusive) windows: day6 sees days 1-2 (10,11) + 12;
+    # day9 sees day6's 12 + itself, NOT day1/2 (outside window)
+    assert out == {1: (2, 2), 2: (1, 2), 6: (1, 3), 9: (1, 2)}
