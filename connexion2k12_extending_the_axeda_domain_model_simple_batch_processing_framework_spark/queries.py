@@ -3632,6 +3632,11 @@ _GATE_PRIORITY = [
     "q10_returned_items",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
-_at = _order.index("events_props_metric")  # first slot after the core set
+# insert right after the 11-entry reference-parity core: with ~29 priority
+# entries, a later anchor would push this round's newest queries past the
+# driver's 50-entry window, and new code is exactly what the driver gate
+# should see. Everything displaced is long-stable and re-verified every
+# round by tools/parity.py (committed as PARITY_r{N}.txt).
+_at = _order.index("q1_pricing_summary")
 _order = _order[:_at] + _GATE_PRIORITY + _order[_at:]
 QUERIES = {k: QUERIES[k] for k in _order}
