@@ -148,9 +148,9 @@ def events_sliding_rollup(events: DataFrame) -> DataFrame:
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
-            "n_events",
-            "sum_value",
-            "n_users",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+            F.col("n_users").cast("long").alias("n_users"),
         )
     )
 
@@ -616,10 +616,13 @@ def q8_market_share(
     part type, by year — the conditional-numerator ratio over a star
     join (CASE inside sum, single pass, no second scan).
 
-    Plan: part (type filter) and the two nation roles broadcast; the
-    fact chain lineitem ⋈ orders ⋈ customer shuffles on its keys; the
-    share is an exact decimal-sum ratio computed in the final single-row
-    -per-year aggregate. No join or scan is repeated for the numerator.
+    Plan: the two nation-role dims and the region set broadcast
+    (constant-size); part and supplier are left to AQE — both GROW with
+    the scale factor, so a pinned broadcast would OOM at 100× (the Q18
+    lesson); the fact chain lineitem ⋈ orders ⋈ customer shuffles on its
+    keys; the share is an exact decimal-sum ratio computed in the final
+    single-row-per-year aggregate. No join or scan repeats for the
+    numerator.
     """
     t = tables
     vol = (
@@ -639,7 +642,7 @@ def q8_market_share(
     parts = t["part"].filter(F.col("p_type") == ptype).select("p_partkey")
     li = (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             t["orders"].filter(
                 (F.col("o_orderdate") >= date_from)
@@ -650,7 +653,7 @@ def q8_market_share(
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("c_nkey"))
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
@@ -676,9 +679,10 @@ def q9_profit_by_nation_year(tables: dict, name_like: str = "ol") -> DataFrame:
     the defining features survive: a LIKE '%..%' part filter that cannot
     push below the join, a 4-table chain, and a (nation, year) rollup.
 
-    Plan: the name-filtered part set broadcasts; supplier→nation
-    broadcasts; the only big shuffle is lineitem ⋈ orders on the order
-    key, then one groupBy on the two small keys.
+    Plan: nation broadcasts (constant-size); the name-filtered part set
+    and supplier join under AQE sizing — both scale with SF, so no
+    pinned broadcast; the only big shuffle is lineitem ⋈ orders on the
+    order key, then one groupBy on the two small keys.
     """
     t = tables
     vol = (
@@ -690,13 +694,13 @@ def q9_profit_by_nation_year(tables: dict, name_like: str = "ol") -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             t["orders"].select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("s_nkey"))
@@ -787,7 +791,9 @@ def q15_top_supplier(
     -max self-join: Spark has no automatic CTE reuse, so joining the
     aggregate against its own max would scan lineitem TWICE. One narrow
     window on ~#suppliers rows beats a second 100 TB scan outright.
-    Supplier attributes broadcast onto the ≥1 winners.
+    Supplier attributes join onto the ≥1 winners under AQE sizing
+    (supplier scales with SF; the winner side is tiny, so AQE broadcasts
+    THAT side, which no static hint can express).
     """
     rev = (
         lineitem.filter(
@@ -806,7 +812,7 @@ def q15_top_supplier(
         .filter(F.col("rk") == 1)
         .drop("rk")
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select(
@@ -833,15 +839,16 @@ def q17_small_quantity_revenue(
     all in decimals — so Spark and any oracle agree bit-for-bit with no
     float rounding at the boundary.
 
-    Plan: the brand+size part set broadcasts into BOTH the per-part
-    aggregate and the line filter; the only shuffle is the groupBy on
-    partkey (a fraction of lineitem after the broadcast semi-filter).
+    Plan: the brand+size part set (scales with SF — AQE sizes the join,
+    no pinned broadcast) filters lineitem into BOTH the per-part
+    aggregate and the line compare; the only other shuffle is the
+    groupBy on partkey, a fraction of lineitem after the part filter.
     """
     parts = part.filter(
         (F.col("p_brand") == brand) & (F.col("p_size") < max_size)
     ).select("p_partkey")
     li = lineitem.join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        parts, F.col("l_partkey") == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(D)).alias("qty_sum"),

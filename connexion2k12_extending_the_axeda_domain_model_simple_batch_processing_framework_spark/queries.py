@@ -3591,6 +3591,34 @@ QUERIES["snapshot_merge"] = q_snapshot_merge
 ORACLE["snapshot_merge"] = SQL_SNAPSHOT_MERGE
 
 
+def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes
+    (operators.analytics.events_sliding_rollup)."""
+    return analytics.events_sliding_rollup(load_table(spark, sf_dir, "events"))
+
+
+# each event belongs to exactly window/slide = 2 windows: the one starting
+# at its 30-min bucket and the one 30 min earlier — unnest replays
+# F.window's membership expansion
+SQL_EVENTS_SLIDING_ROLLUP = """
+WITH m AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS window_start,
+         event_type, user_id, value
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM m GROUP BY 1, 2
+"""
+
+QUERIES["events_sliding_rollup"] = q_events_sliding_rollup
+ORACLE["events_sliding_rollup"] = SQL_EVENTS_SLIDING_ROLLUP
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
