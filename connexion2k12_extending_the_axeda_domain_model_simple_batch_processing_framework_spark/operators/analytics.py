@@ -952,3 +952,121 @@ def q22_dormant_customers(
             F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("totacctbal"),
         )
     )
+
+
+def q20_excess_shippers(
+    tables: dict,
+    name_like: str = "ol",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    min_qty: int = 20,
+    nation: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved excess volume of a name-matched
+    part family — the NESTED-IN pattern (suppkey IN (... partkey IN (...)
+    HAVING ...)). The schema has no partsupp/availqty, so "excess" is
+    adapted to a shipped-quantity threshold per (supplier, part) in the
+    window; the defining nesting survives: an inner LIKE-filtered part
+    set feeds a grouped HAVING whose survivors feed a supplier semi-join.
+
+    Plan: the part set semi-filters lineitem (AQE sizes it — part scales
+    with SF); one groupBy on (suppkey, partkey); the HAVING survivors
+    collapse to a distinct suppkey set that SEMI-joins supplier — never
+    a row-multiplying join; the nation filter broadcasts. Output is
+    supplier attributes, deterministic order by name.
+    """
+    t = tables
+    parts = t["part"].filter(F.col("p_name").contains(name_like)).select("p_partkey")
+    nat = t["nation"].filter(F.col("n_name") == nation).select("n_nationkey")
+    movers = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(D)).alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(movers, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+def q21_waiting_suppliers(
+    tables: dict,
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting —
+    the EXISTS + NOT-EXISTS correlated self-join pair, the hardest TPC-H
+    plan shape. Adapted lateness (no commit/receipt dates): a line is
+    late when it ships more than ``late_days`` after the order date. A
+    supplier is counted for an order when: their line is late, ANOTHER
+    supplier has a line in the same order (EXISTS), and NO other
+    supplier's line is late (NOT EXISTS) — sole blame.
+
+    Plan: lineitem ⋈ orders('F') once into a tagged line set, lineage
+    shared by all three roles; the EXISTS is a LEFT SEMI and the
+    NOT-EXISTS a LEFT ANTI self-join, both shuffling on the ORDER key
+    with a suppkey-inequality residual — no row multiplication; distinct
+    (order, supplier) before the count so multi-late-line orders count
+    once; TakeOrdered top-k, no global sort.
+    """
+    t = tables
+    lines = (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    others = lines.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    blamed = (
+        l1.join(
+            others,
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(t["supplier"], F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            F.col("numwait").cast("long").alias("numwait"),
+        )
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )

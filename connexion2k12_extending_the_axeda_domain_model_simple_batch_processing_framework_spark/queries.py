@@ -3619,6 +3619,72 @@ QUERIES["events_sliding_rollup"] = q_events_sliding_rollup
 ORACLE["events_sliding_rollup"] = SQL_EVENTS_SLIDING_ROLLUP
 
 
+def q_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-IN excess shippers, TPC-H Q20 shape
+    (operators.analytics.q20_excess_shippers)."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["lineitem", "part", "supplier", "nation"]
+    }
+    return analytics.q20_excess_shippers(tables)
+
+
+SQL_Q20_EXCESS_SHIPPERS = """
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name, s.s_acctbal::DOUBLE AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_2'
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ol%')
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > 20
+)
+"""
+
+QUERIES["q20_excess_shippers"] = q_q20_excess_shippers
+ORACLE["q20_excess_shippers"] = SQL_Q20_EXCESS_SHIPPERS
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-blame waiting suppliers, TPC-H Q21 shape
+    (operators.analytics.q21_waiting_suppliers)."""
+    tables = {
+        n: load_table(spark, sf_dir, n) for n in ["lineitem", "orders", "supplier"]
+    }
+    return analytics.q21_waiting_suppliers(tables)
+
+
+SQL_Q21_WAITING_SUPPLIERS = """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+),
+l1 AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lines WHERE late),
+blamed AS (
+  SELECT ok, sk FROM l1
+  WHERE EXISTS (
+    SELECT 1 FROM lines l2
+    WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lines l3
+    WHERE l3.l_orderkey = l1.ok AND l3.l_suppkey <> l1.sk AND l3.late
+  )
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM blamed b JOIN supplier s ON b.sk = s.s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+QUERIES["q21_waiting_suppliers"] = q_q21_waiting_suppliers
+ORACLE["q21_waiting_suppliers"] = SQL_Q21_WAITING_SUPPLIERS
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
@@ -3629,6 +3695,9 @@ ORACLE["events_sliding_rollup"] = SQL_EVENTS_SLIDING_ROLLUP
 # plan) inside that window; the displaced long-stable entries are still
 # verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "events_sliding_rollup",
     "active_users",
     "dup_triangles",
     "snapshot_merge",

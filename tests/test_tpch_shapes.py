@@ -169,3 +169,75 @@ def test_q19_branches_are_disjunctive_not_cross_matched(spark):
     row = analytics.q19_discount_revenue(li, part).collect()[0]
     assert row.n_lines == 1
     assert row.revenue == 20.0
+
+
+def test_q21_sole_blame_semantics(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1996, 6, 1)    # > 90 days after order
+    ontime = dt.datetime(1996, 1, 15)
+    orders = spark.createDataFrame(
+        [(1, "F", d0), (2, "F", d0), (3, "F", d0), (4, "O", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    li = _li(
+        spark,
+        [
+            # order 1: supplier 10 late (twice), supplier 20 on time ->
+            # 10 is solely to blame, counted ONCE
+            (1, 1, 10, 1.0, 1.0, 0.0, late),
+            (1, 1, 10, 1.0, 1.0, 0.0, late),
+            (1, 1, 20, 1.0, 1.0, 0.0, ontime),
+            # order 2: suppliers 10 AND 20 both late -> nobody counted
+            (2, 1, 10, 1.0, 1.0, 0.0, late),
+            (2, 1, 20, 1.0, 1.0, 0.0, late),
+            # order 3: single-supplier order, late -> no other supplier
+            # exists, not counted
+            (3, 1, 10, 1.0, 1.0, 0.0, late),
+            # order 4: not status 'F' -> ignored entirely
+            (4, 1, 30, 1.0, 1.0, 0.0, late),
+        ],
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10"), (20, "S20"), (30, "S30")], "s_suppkey long, s_name string"
+    )
+    out = {
+        r.s_name: r.numwait
+        for r in analytics.q21_waiting_suppliers(
+            {"lineitem": li, "orders": orders, "supplier": supplier}
+        ).collect()
+    }
+    assert out == {"S10": 1}
+
+
+def test_q20_nested_having_threshold(spark):
+    import datetime as dt
+
+    d = dt.datetime(1996, 2, 1)
+    li = _li(
+        spark,
+        [
+            # supplier 1 ships 25 of part 1 (matching) -> over threshold
+            (1, 1, 1, 25.0, 1.0, 0.0, d),
+            # supplier 2 ships 25 of part 2 (NOT matching name) -> excluded
+            (2, 2, 2, 25.0, 1.0, 0.0, d),
+            # supplier 3 ships 10+9 of part 1, split lines -> 19 < 20
+            (3, 1, 3, 10.0, 1.0, 0.0, d),
+            (4, 1, 3, 9.0, 1.0, 0.0, d),
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "red widget")], "p_partkey long, p_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 5.0, 0), (2, "S2", 5.0, 0), (3, "S3", 5.0, 0)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_2")], "n_nationkey long, n_name string"
+    )
+    out = analytics.q20_excess_shippers(
+        {"lineitem": li, "part": part, "supplier": supplier, "nation": nation}
+    ).collect()
+    assert [r.s_suppkey for r in out] == [1]
