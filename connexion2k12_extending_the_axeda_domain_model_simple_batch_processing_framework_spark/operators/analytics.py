@@ -48,15 +48,22 @@ def q3_shipping_priority(
     segment: str = "BUILDING",
     cutoff: str = "1995-03-15",
 ) -> DataFrame:
-    """Revenue of unshipped orders. Customer-filter side is broadcast; the
-    orders⋈lineitem join shuffles on orderkey; top-10 via
-    TakeOrderedAndProject (no global sort)."""
+    """Revenue of unshipped orders. The orders⋈lineitem join shuffles on
+    orderkey; top-10 via TakeOrderedAndProject (no global sort).
+
+    Join strategy: NO static broadcast hint on customer — customer scales
+    with the fact tables (TPC-H: 150k × SF rows; the segment filter keeps
+    ~1/5, still linear in SF), so a pinned broadcast OOMs executors at
+    100×. AQE picks the build side from actual runtime sizes: under the
+    autoBroadcastJoinThreshold the filtered customer set broadcasts, and
+    above it the join degrades to a shuffle on custkey. Both regimes are
+    pinned by tests/test_plans.py (same treatment as Q18)."""
     revenue = (F.col("l_extendedprice").cast(D) * (1 - F.col("l_discount").cast(D)))
     cut = F.lit(cutoff).cast("timestamp")
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     return (
         orders.filter(F.col("o_orderdate") < cut)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             lineitem.filter(F.col("l_shipdate") > cut),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -71,9 +78,16 @@ def q3_shipping_priority(
 def q5_local_supplier_volume(
     tables: dict[str, DataFrame], region: str = "ASIA"
 ) -> DataFrame:
-    """Star join: region→nation are broadcast dims; supplier joins on
-    (suppkey, nationkey) to enforce the local-supplier condition; the only
-    large shuffles are orders⋈lineitem and ⋈customer on their keys."""
+    """Star join: region→nation are broadcast dims (constant-size — 5 and
+    25 rows at every SF, so the static hints are correct); supplier joins
+    on (suppkey, nationkey) to enforce the local-supplier condition; the
+    large shuffles are orders⋈lineitem and ⋈customer on their keys.
+
+    Join strategy: NO static broadcast hint on supplier — supplier scales
+    with the fact tables (TPC-H: 10k × SF rows), so a pinned broadcast
+    OOMs executors at 100×. AQE sizes it at runtime: broadcast under the
+    threshold, shuffle join on suppkey above it. Both regimes are pinned
+    by tests/test_plans.py (same treatment as Q18/Q3)."""
     t = tables
     nations = (
         t["nation"]
@@ -86,7 +100,7 @@ def q5_local_supplier_volume(
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -785,19 +799,31 @@ def q15_top_supplier(
     subquery), kept exact under ties by comparing DECIMAL totals, never
     doubles.
 
-    Plan: one shuffle aggregates revenue per suppkey; the winners come
-    from a dense_rank window over that AGGREGATE (one row per supplier —
-    a single-partition sort of the small reduced set), NOT from a scalar
-    -max self-join: Spark has no automatic CTE reuse, so joining the
-    aggregate against its own max would scan lineitem TWICE. One narrow
-    window on ~#suppliers rows beats a second 100 TB scan outright.
+    Plan: one shuffle aggregates revenue per suppkey; the winner filter
+    is a scalar max — ``rev.agg(max)`` reduces map-side to one row per
+    partition, then one row total, which broadcasts back into an
+    equality filter over the aggregate. All rows EQUAL to the max
+    survive, which is exactly dense_rank()==1 tie semantics without the
+    unpartitioned Window the old plan used (a global Window funnels
+    every supplier row — 10k × SF — through ONE task at scale;
+    ``WindowExec: No Partition Defined``). The aggregate subtree appears
+    under both the max branch and the filter branch, but the shuffle
+    exchange is identical in both, so Spark's ReuseExchange rule
+    (spark.sql.exchange.reuse, on by default) collapses them — lineitem
+    is still scanned ONCE (pinned by tests/test_plans.py).
     Supplier attributes join onto the ≥1 winners under AQE sizing
     (supplier scales with SF; the winner side is tiny, so AQE broadcasts
     THAT side, which no static hint can express).
     """
     rev = (
         lineitem.filter(
-            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+            # explicit, though implied by the supplier join: WITHOUT it the
+            # optimizer infers isnotnull(l_suppkey) on the join branch only,
+            # the two aggregate subtrees stop canonicalizing identically,
+            # and ReuseExchange can no longer collapse them into one scan.
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
@@ -806,11 +832,10 @@ def q15_top_supplier(
             ).alias("total_rev")
         )
     )
-    w = Window.orderBy(F.col("total_rev").desc())
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.withColumn("rk", F.dense_rank().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
+        .drop("max_rev")
         .join(
             supplier.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),

@@ -35,19 +35,62 @@ def test_q1_filter_pushed_to_scan_and_columns_pruned(dfs):
     assert checks.codegen_stage_count(df) >= 1
 
 
-def test_q3_broadcasts_customer_side(dfs):
-    df = dfs["q3_shipping_priority"]
-    assert checks.count_broadcast_joins(df) >= 1
-    assert checks.has_pushed_filter(df, "o_orderdate")
-    assert checks.has_pushed_filter(df, "l_shipdate")
+def test_q3_customer_join_degrades_to_shuffle_when_dim_large(spark):
+    """Q3 must NOT pin a static broadcast on customer (150k × SF rows —
+    the segment filter keeps ~1/5, still linear in SF; a pinned hint OOMs
+    at 100×). Under the default threshold the filtered customer set
+    broadcasts; with the threshold off the join degrades to a shuffle."""
+    df_small = q.QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    assert checks.count_broadcast_joins(df_small) >= 1, checks.plan_string(df_small)
+    assert checks.has_pushed_filter(df_small, "o_orderdate")
+    assert checks.has_pushed_filter(df_small, "l_shipdate")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_large = q.QUERIES["q3_shipping_priority"](spark, SF_DIR)
+        assert checks.count_broadcast_joins(df_large) == 0, checks.plan_string(df_large)
+        assert checks.count_shuffle_exchanges(df_large) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
-def test_q5_broadcasts_all_dimension_tables(dfs):
-    df = dfs["q5_local_supplier_volume"]
-    # region→nation, supplier, and the nations subtree are all broadcast;
-    # only orders⋈lineitem⋈customer may shuffle.
-    assert checks.count_broadcast_joins(df) >= 3
-    assert checks.count_shuffle_exchanges(df) <= 4
+def test_q5_dims_broadcast_but_supplier_degrades_when_large(spark):
+    """region→nation stay statically broadcast (constant 5/25 rows at any
+    SF), but supplier (10k × SF rows) must be AQE-sized: broadcast in the
+    small regime, shuffle join once it would outgrow the threshold."""
+    df_small = q.QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    assert checks.count_broadcast_joins(df_small) >= 3, checks.plan_string(df_small)
+    assert checks.count_shuffle_exchanges(df_small) <= 4
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_large = q.QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+        # only the two pinned constant-size dims (region-filter, nations)
+        # may still broadcast; supplier/customer/orders all shuffle
+        import re as _re
+
+        simple = checks.plan_string(df_large, "simple")
+        assert len(_re.findall(r"BroadcastHashJoin", simple)) == 2, simple
+        assert checks.count_shuffle_exchanges(df_large) >= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q15_no_unpartitioned_window_single_lineitem_scan(spark):
+    """Q15's winner filter is a broadcast scalar max, not a global Window
+    (which funnels 10k × SF supplier rows through ONE task). The aggregate
+    feeds both the max and the filter branch; ReuseExchange must collapse
+    the identical shuffle subtrees so lineitem is scanned once."""
+    df = q.QUERIES["q15_top_supplier"](spark, SF_DIR)
+    plan = checks.plan_string(df, "simple")
+    assert "Window" not in plan, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in executed, executed
+    # one live lineitem scan: AQE/ReuseExchange dedups the second branch
+    import re as _re
+
+    scans = _re.findall(r"lineitem", executed)
+    reused = "ReusedExchange" in executed or "ReusedQueryStage" in executed
+    assert len(scans) <= 1 or reused, executed
 
 
 def test_batch_status_stays_jvm_side(dfs):
@@ -323,11 +366,11 @@ def test_q6_all_four_predicates_push_to_scan(dfs):
 
 def test_q15_scans_lineitem_once(dfs):
     """The max-of-aggregate must reuse the per-supplier aggregate, never
-    rescan lineitem for the scalar max: exactly one lineitem scan in the
-    executed plan."""
+    rescan lineitem for the scalar max. The pre-execution plan shows two
+    textual branches; the runtime guarantee (ReusedExchange collapses
+    them) is pinned by test_q15_no_unpartitioned_window_single_lineitem
+    _scan, which inspects the executed plan."""
     df = dfs["q15_top_supplier"]
-    plan = checks.plan_string(df)
-    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 3, plan
     assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)
     assert not checks.uses_python_eval(df)
 
