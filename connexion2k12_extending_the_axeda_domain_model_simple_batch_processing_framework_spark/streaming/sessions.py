@@ -22,6 +22,7 @@ timeout can close.
 from __future__ import annotations
 
 from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -60,9 +61,16 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _cents(v: float) -> int:
-    """DECIMAL(18,2)-equivalent cents: round half away from zero."""
-    x = v * 100.0
-    return int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+    """Exact twin of Spark's double→DECIMAL(18,2) cast: HALF_UP over the
+    double's SHORTEST decimal representation (Java BigDecimal.valueOf).
+    ``int(v*100 + 0.5)`` is NOT that twin: value 0.615 is 62 cents in the
+    batch operator but 0.615*100 == 61.4999… in binary, so the naive form
+    under-counts by a cent. ``repr(float)`` is Python's shortest-repr,
+    matching what the JVM cast parses."""
+    return int(
+        Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        .scaleb(2)
+    )
 
 
 def _sessionize_group(
@@ -71,11 +79,19 @@ def _sessionize_group(
     (user_id,) = key
 
     if state.hasTimedOut:
-        # user went quiet: flush the open session and drop the key's state
         next_idx, start_us, last_us, n_events, sum_cents = state.get
-        state.remove()
         if n_events > 0:
+            # user went quiet: flush the open session, but KEEP a residual
+            # state carrying the incremented index — dropping it would
+            # restart a resuming user at session_idx 1 and emit duplicate
+            # (user_id, session_idx) keys into the append sink
+            state.update((next_idx + 1, 0, 0, 0, 0))
+            state.setTimeoutDuration(SESSION_FLUSH_MS)
             yield _emit(user_id, next_idx, start_us, last_us, n_events, sum_cents)
+        else:
+            # second idle period with nothing open: the residual has aged
+            # out too, so the key's state can finally be dropped
+            state.remove()
         return
 
     if state.exists:
@@ -84,12 +100,15 @@ def _sessionize_group(
         next_idx, start_us, last_us, n_events, sum_cents = 1, 0, 0, 0, 0
 
     closed = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        # deterministic replay order within the micro-batch — same
-        # (ts, event_id) order the batch window uses
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # materialize the WHOLE group before sorting: applyInPandasWithState
+    # splits a large group into multiple Arrow chunks (default ~10k rows
+    # via arrow.maxRecordsPerBatch) in no particular event-time order, so
+    # per-chunk sorting would replay chunks out of order — negative gaps,
+    # wrong session cuts. One concat + one sort restores the exact
+    # (ts, event_id) order the batch window uses.
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
         for us, value in zip(ts_us, pdf["value"]):
             if n_events > 0 and (us - last_us) > SESSION_GAP_US:

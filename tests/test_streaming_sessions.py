@@ -114,3 +114,105 @@ def test_session_stream_state_survives_micro_batches(spark, tmp_path):
     r = out[0]
     assert (r.user_id, r.session_idx, r.n_events, r.sum_value_cents) == (5, 1, 3, 300)
     assert r.session_end.isoformat() == "2026-01-01T10:10:00"
+
+
+def test_cents_matches_spark_decimal_cast():
+    """_cents must mirror double→DECIMAL(18,2) HALF_UP over the shortest
+    decimal repr: 0.615 is 62 cents even though 0.615*100 == 61.4999…."""
+    assert sessions._cents(0.615) == 62
+    assert sessions._cents(-0.615) == -62
+    assert sessions._cents(2.675) == 268   # 2.675*100 == 267.49999…
+    assert sessions._cents(10.0) == 1000
+    assert sessions._cents(-0.5) == -50
+    assert sessions._cents(0.004) == 0
+    assert sessions._cents(0.005) == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct _sessionize_group calls."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows]),
+        }
+    )
+
+
+def test_group_sorted_across_arrow_chunks_not_per_chunk():
+    """applyInPandasWithState hands a large group over as MULTIPLE Arrow
+    chunks in no particular event-time order; the operator must sort the
+    materialized group once, not each chunk. Chunk 2 here holds EARLIER
+    events than chunk 1 — per-chunk sorting would replay them after the
+    later ones and cut a bogus session."""
+    chunk_late = _pdf([
+        (1, 3, 1.0, "2026-01-01 10:20:00"),
+        (1, 4, 1.0, "2026-01-01 11:30:00"),  # gap vs 10:20 -> closes A
+    ])
+    chunk_early = _pdf([
+        (1, 1, 1.0, "2026-01-01 10:00:00"),
+        (1, 2, 1.0, "2026-01-01 10:10:00"),
+    ])
+    st = _FakeState()
+    out = list(sessions._sessionize_group((1,), [chunk_late, chunk_early], st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    # one closed session covering ALL THREE early events 10:00-10:20
+    assert (row.session_idx, row.n_events) == (1, 3)
+    assert str(row.session_start) == "2026-01-01 10:00:00"
+    assert str(row.session_end) == "2026-01-01 10:20:00"
+    # open tail (11:30 event) carried in state under the next index
+    assert st._value[0] == 2 and st._value[3] == 1
+
+
+def test_timeout_flush_keeps_session_index_residual():
+    """An idle-timeout flush must NOT reset the per-user session counter:
+    a resuming user continues at next_idx+1, never re-emitting a duplicate
+    (user_id, session_idx) append key. Only a second idle period with
+    nothing open drops the state."""
+    t0 = 1_700_000_000_000_000
+    st = _FakeState(value=(2, t0, t0 + 60_000_000, 3, 500), timed_out=True)
+    out = list(sessions._sessionize_group((7,), [], st))
+    assert len(out) == 1 and out[0].iloc[0].session_idx == 2
+    assert not st.removed
+    assert st._value == (3, 0, 0, 0, 0)       # residual carries next_idx
+    assert st.timeout_set == sessions.SESSION_FLUSH_MS
+
+    # resuming user: new session takes index 3, not 1
+    st2 = _FakeState(value=(3, 0, 0, 0, 0))
+    list(sessions._sessionize_group((7,), [_pdf([(7, 9, 1.0, "2026-01-01 10:00:00")])], st2))
+    assert st2._value[0] == 3 and st2._value[3] == 1  # open session, idx 3 next to emit
+
+    # second timeout with an empty residual: state finally dropped
+    st3 = _FakeState(value=(3, 0, 0, 0, 0), timed_out=True)
+    assert list(sessions._sessionize_group((7,), [], st3)) == []
+    assert st3.removed
