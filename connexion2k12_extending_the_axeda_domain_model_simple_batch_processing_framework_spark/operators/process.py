@@ -109,3 +109,109 @@ def latest_wins_merge(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def scd2_build(
+    updates: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "valid_from",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Build an SCD2 (slowly-changing-dimension type 2) history from an
+    update stream: one validity interval per update, closed by the key's
+    next update — the OTHER half of the CDC story ``latest_wins_merge``
+    covers (that operator keeps only the latest row; this one keeps every
+    version with its validity window, the anchor-versioning shape the
+    reference implies by storing per-task anchors instead of overwriting,
+    cf. internal/ProcessBatch.groovy:142-187).
+
+    Adds: ``dim_version`` (1-based per key, ordered by (ts, tie)),
+    ``valid_from`` (= ts), ``valid_to`` (next version's valid_from; NULL =
+    open/current) and ``is_current``. Two updates at the same (key, ts)
+    produce a zero-width interval for the lower ``tie_col`` — matched by no
+    point-in-time probe, exactly the overwritten-in-same-instant semantics.
+
+    ONE shuffle on the key; version numbering and the interval close are
+    chained Window ops over the same partitioning (single Exchange).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return (
+        updates.withColumn("dim_version", F.row_number().over(w).cast("long"))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_point_in_time(
+    dim_updates: DataFrame,
+    facts: DataFrame,
+    key_col: str = "user_id",
+    dim_ts_col: str = "valid_from",
+    dim_tie_col: str = "event_id",
+    fact_ts_col: str = "ts",
+    fact_tie_col: str = "fact_id",
+    attr_cols: tuple[str, ...] = ("score",),
+) -> DataFrame:
+    """Enrich each fact with the dimension version valid AT the fact's
+    timestamp ("the attribute as of the order date") — the point-in-time
+    read over the ``scd2_build`` history.
+
+    Scale shape: the naive plan joins facts to intervals on key +
+    containment (equi-join then per-key interval filter) — fine when
+    versions-per-key is small, but it replicates every fact across the
+    key's whole history before filtering. This implementation is the
+    union/carry-forward construction instead (same family as
+    ``temporal.asof_attribute``): tag dim versions 0 and facts 1, sort
+    within key by (ts, tag, tie), carry the last dim payload forward with
+    an ignore-nulls window ``last``. The fact table — the 100 TB side —
+    is shuffled ONCE and never replicated; the dim side pays one extra
+    (much smaller) shuffle for version numbering. Equal-timestamp
+    semantics match interval containment exactly: dim rows sort before
+    facts at the same instant (ASOF ``>=``), and among same-instant dim
+    rows the last carried is the highest ``tie_col`` — the one whose
+    interval is non-zero-width.
+
+    Facts before the key's first version keep NULL dimension columns
+    (LEFT point-in-time join). Output: all ``facts`` columns +
+    (dim_version, valid_from, *attr_cols).
+    """
+    versioned = scd2_build(dim_updates, key_col, dim_ts_col, dim_tie_col)
+    payload = F.struct(
+        F.col("dim_version"),
+        F.col("valid_from"),
+        *[F.col(c) for c in attr_cols],
+    )
+    dim_side = versioned.select(
+        F.col(key_col).alias("__key"),
+        F.col(dim_ts_col).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.col(dim_tie_col).cast("long").alias("__tie"),
+        payload.alias("__dim"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in facts.schema.fields],
+    )
+    fact_side = facts.select(
+        F.col(key_col).alias("__key"),
+        F.col(fact_ts_col).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.col(fact_tie_col).cast("long").alias("__tie"),
+        F.lit(None).cast(dim_side.schema["__dim"].dataType).alias("__dim"),
+        *[F.col(f.name) for f in facts.schema.fields],
+    )
+    order = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__tag", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__dim", ignorenulls=True).over(order)
+    return (
+        dim_side.unionByName(fact_side)
+        .withColumn("__carried", carried)
+        .filter(F.col("__tag") == 1)
+        .select(
+            *[F.col(f.name) for f in facts.schema.fields],
+            F.col("__carried.dim_version").alias("dim_version"),
+            F.col("__carried.valid_from").alias("valid_from"),
+            *[F.col(f"__carried.{c}").alias(c) for c in attr_cols],
+        )
+    )

@@ -748,3 +748,82 @@ def embedding_quantize(
         "qvec",
         mse.alias("mse"),
     )
+
+
+def rag_retrieve(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 3,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """End-to-end retrieval (the RAG read path): IVF-probe the embedding
+    corpus for each query's top-``k`` neighbor documents, then surface the
+    best-matching passage of each neighbor — candidate docs are chunked
+    (``corpus.chunk_documents``) and each (query, neighbor) pair keeps the
+    chunk with the highest distinct-token overlap against the query text
+    (the lexical re-rank stage a cross-encoder would refine).
+
+    Scale shape, stage by stage:
+    - ANN: ``ivf_build`` + ``ivf_probe`` — the probe equi-joins on
+      centroid_id and partition-prunes the inverted file; the corpus is
+      never scanned fully per query.
+    - Chunking runs ONLY over candidate docs (left-semi join of documents
+      against the ≤ queries×k distinct neighbor ids) — no pinned
+      broadcast: the candidate set scales with query volume, so AQE picks
+      the join strategy per regime (the Q18 lesson).
+    - Re-rank joins each pair to its neighbor's chunks (fan-out bounded by
+      chunks-per-doc) and to the query's token set; overlap is a JVM-side
+      ``array_intersect`` size — no Python, no cross join.
+
+    Neighbors whose document has zero tokens produce no chunk and drop out
+    (inner re-rank join) — a retrieval hit you can't quote is not a hit.
+
+    Output: (query_id, neighbor_id, cosine, rk, chunk_id, overlap,
+    chunk_text).
+    """
+    from . import corpus as corpus_ops
+    from ..functions.textfns import tokens
+
+    centroids, assignments = ivf_build(embeddings, nlist=nlist)
+    # hits is referenced three times below (candidate ids, query ids, the
+    # re-rank join); without a lineage cut each reference re-expands — and
+    # re-EXECUTES — the whole probe subtree. It's queries×k rows: cheap to
+    # materialize, expensive to recompute.
+    hits = cut_lineage(
+        ivf_probe(centroids, assignments, query_vectors, k=k, nprobe=nprobe)
+    )
+
+    cand_ids = hits.select(F.col("neighbor_id").alias("doc_id")).distinct()
+    cand_docs = documents.join(cand_ids, "doc_id", "left_semi")
+    chunks = corpus_ops.chunk_documents(cand_docs).select(
+        F.col("doc_id").alias("neighbor_id"),
+        "chunk_id",
+        "chunk_text",
+        F.array_distinct(tokens(F.col("chunk_text"))).alias("__ctoks"),
+    )
+    query_ids = hits.select(F.col("query_id").alias("doc_id")).distinct()
+    q_toks = documents.join(query_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(tokens(F.col("text"))).alias("__qtoks"),
+    )
+
+    pair_chunks = (
+        hits.join(chunks, "neighbor_id")
+        .join(q_toks, "query_id")
+        .withColumn(
+            "overlap", F.size(F.array_intersect("__ctoks", "__qtoks")).cast("long")
+        )
+    )
+    best = Window.partitionBy("query_id", "neighbor_id").orderBy(
+        F.col("overlap").desc(), F.col("chunk_id").asc()
+    )
+    return (
+        pair_chunks.withColumn("__crk", F.row_number().over(best))
+        .filter(F.col("__crk") == 1)
+        .select(
+            "query_id", "neighbor_id", "cosine", "rk", "chunk_id", "overlap",
+            "chunk_text",
+        )
+    )

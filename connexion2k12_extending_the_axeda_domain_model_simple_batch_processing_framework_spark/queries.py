@@ -1253,8 +1253,106 @@ QUALIFY rk <= 5
 #: oracle entries whose SQL depends on the data (trained constants folded
 #: in as literals); materialized by finalize_oracles() for a concrete
 #: sf_dir. Everything else in ORACLE is a static string.
+def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval (operators.similarity.rag_retrieve): IVF-probe
+    top-3 neighbor docs per query vector, then chunk the candidates and
+    keep each pair's best-overlapping passage. The oracle folds the
+    trained centroids in as literals (same mechanism as ``ann_ivf_topk``)
+    and re-derives chunking + lexical re-rank in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.rag_retrieve(docs, emb, qv, k=3)
+
+
+def _rag_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_rag_retrieve`` — the ANN stages are identical to
+    ``_ivf_oracle_sql`` (same folded centroid literals, same fold-chain
+    cosines) with k=3; chunking replays SQL_DOC_CHUNKS over the candidate
+    set and the re-rank is a distinct-token list_intersect."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    if cent_rows is None:
+        return (
+            "SELECT vec_id::BIGINT AS query_id, vec_id::BIGINT AS neighbor_id, "
+            "0.0 AS cosine, 0::BIGINT AS rk, 0::BIGINT AS chunk_id, "
+            "0::BIGINT AS overlap, '' AS chunk_text FROM embeddings WHERE FALSE"
+        )
+    stride, size = corpus.CHUNK_STRIDE, corpus.CHUNK_SIZE
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           )::BIGINT AS rk
+    FROM scored
+  ) WHERE rk <= 3
+),
+cand AS (SELECT DISTINCT neighbor_id AS doc_id FROM topk),
+dt AS (SELECT d.doc_id, {_TOKS} AS toks FROM documents d JOIN cand USING (doc_id)),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM dt WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, {stride})) AS start FROM nz),
+chunks AS (
+  SELECT doc_id AS neighbor_id,
+         (start // {stride})::BIGINT AS chunk_id,
+         array_to_string(list_slice(toks, start + 1, least(start + {size}, n)), ' ') AS chunk_text,
+         list_distinct(list_slice(toks, start + 1, least(start + {size}, n))) AS ctoks
+  FROM s
+),
+qt AS (
+  SELECT d.doc_id AS query_id, list_distinct({_TOKS}) AS qtoks
+  FROM documents d JOIN (SELECT DISTINCT query_id AS doc_id FROM topk) qq USING (doc_id)
+),
+pc AS (
+  SELECT t.query_id, t.neighbor_id, t.cosine, t.rk, c.chunk_id, c.chunk_text,
+         len(list_intersect(c.ctoks, qt.qtoks))::BIGINT AS overlap
+  FROM topk t JOIN chunks c USING (neighbor_id) JOIN qt USING (query_id)
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       cosine, rk, chunk_id, overlap, chunk_text
+FROM pc
+QUALIFY row_number() OVER (
+  PARTITION BY query_id, neighbor_id ORDER BY overlap DESC, chunk_id
+) = 1
+"""
+
+
+QUERIES["rag_retrieve"] = q_rag_retrieve
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
+    "rag_retrieve": _rag_oracle_sql,
 }
 
 
@@ -3685,6 +3783,65 @@ QUERIES["q21_waiting_suppliers"] = q_q21_waiting_suppliers
 ORACLE["q21_waiting_suppliers"] = SQL_Q21_WAITING_SUPPLIERS
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history + point-in-time read
+    (operators.process.scd2_build / scd2_point_in_time): clicks are the
+    user-profile update stream (score = click value), purchases are the
+    facts; each purchase is enriched with the profile version valid at
+    purchase time. The oracle is a genuinely independent implementation —
+    DuckDB interval-containment join vs Spark union/carry-forward."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("value").alias("score"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    out = process.scd2_point_in_time(
+        dim, facts, fact_ts_col="purchase_ts", fact_tie_col="purchase_id"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("amount").cast("double").alias("amount"),
+        "dim_version",
+        "valid_from",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+SQL_SCD2_POINT_IN_TIME = """
+WITH dim AS (
+  SELECT user_id, event_id, ts AS valid_from, value AS score,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dim_version,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'click'
+),
+f AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.purchase_id::BIGINT AS purchase_id, f.user_id::BIGINT AS user_id,
+       f.purchase_ts, f.amount::DOUBLE AS amount,
+       d.dim_version::BIGINT AS dim_version, d.valid_from,
+       d.score::DOUBLE AS score
+FROM f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.purchase_ts
+ AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+"""
+
+QUERIES["scd2_point_in_time"] = q_scd2_point_in_time
+ORACLE["scd2_point_in_time"] = SQL_SCD2_POINT_IN_TIME
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
@@ -3695,6 +3852,8 @@ ORACLE["q21_waiting_suppliers"] = SQL_Q21_WAITING_SUPPLIERS
 # plan) inside that window; the displaced long-stable entries are still
 # verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
+    "scd2_point_in_time",
+    "rag_retrieve",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "events_sliding_rollup",

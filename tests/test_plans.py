@@ -394,3 +394,36 @@ def test_q22_anti_join_and_broadcast_threshold(dfs):
     assert checks.count_broadcast_joins(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert not checks.uses_python_eval(df)
+
+
+def test_scd2_union_carry_forward_no_join_no_python(dfs):
+    """scd2_point_in_time must be the union/carry-forward plan: the fact
+    table (the 100 TB side) is shuffled once for the carry window and
+    NEVER joined against the interval table — a containment join would
+    replicate every fact across its key's whole version history."""
+    df = dfs["scd2_point_in_time"]
+    assert not checks.uses_python_eval(df)
+    plan = checks.plan_string(df, "simple")
+    assert "Join" not in plan, plan
+    # dim-side version window + union carry window (+ at most one AQE
+    # coalesce artifact) — not one exchange per fact replica
+    assert checks.count_shuffle_exchanges(df) <= 3
+
+
+def test_rag_retrieve_probe_broadcasts_and_no_row_python(dfs):
+    """rag_retrieve's ANN stage must broadcast the tiny sides (centroids,
+    probe set) so the inverted file streams in place, and never fall back
+    to row Python or a nested-loop join for the re-rank. (The assignment
+    stage's Arrow contract is pinned separately by
+    test_ivf_assignment_uses_arrow_not_join — its MapInPandas node is
+    hidden here behind the inverted file's lineage cut.)"""
+    df = dfs["rag_retrieve"]
+    assert not checks.uses_python_eval(df)
+    assert checks.count_broadcast_joins(df) >= 2
+    # the only nested-loop join allowed is ivf_probe's deliberate
+    # query × centroid cross join (nlist-row broadcast side); the chunk
+    # and token re-rank joins must all be hash equi-joins
+    plan = checks.plan_string(df, "simple")
+    import re as _re
+
+    assert len(_re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan

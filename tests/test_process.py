@@ -82,3 +82,56 @@ def test_latest_wins_merge_version_and_tie_semantics(spark):
         2: ("old-b", 5, "base"),
         3: ("new-c", 2, "update"),
     }
+
+
+def test_scd2_build_intervals(spark):
+    updates = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 10, 1.0),
+            (1, "2026-01-01 12:00:00", 11, 2.0),
+            (2, "2026-01-01 09:00:00", 12, 5.0),
+        ],
+        "user_id long, valid_from_s string, event_id long, score double",
+    ).selectExpr(
+        "user_id", "CAST(valid_from_s AS TIMESTAMP) AS valid_from", "event_id", "score"
+    )
+    rows = {
+        (r.user_id, r.dim_version): r
+        for r in process.scd2_build(updates).collect()
+    }
+    assert rows[(1, 1)].valid_to == rows[(1, 2)].valid_from
+    assert rows[(1, 2)].valid_to is None and rows[(1, 2)].is_current
+    assert not rows[(1, 1)].is_current
+    assert rows[(2, 1)].valid_to is None and rows[(2, 1)].is_current
+
+
+def test_scd2_point_in_time_semantics(spark):
+    # dim: v1 @10:00 (score 1), v2 @12:00 (score 2); user 2 has a
+    # zero-width v1 (two updates at the same instant, lower event_id loses)
+    dim = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 10, 1.0),
+            (1, "2026-01-01 12:00:00", 11, 2.0),
+            (2, "2026-01-01 09:00:00", 12, 7.0),
+            (2, "2026-01-01 09:00:00", 13, 8.0),
+        ],
+        "user_id long, vf string, event_id long, score double",
+    ).selectExpr("user_id", "CAST(vf AS TIMESTAMP) AS valid_from", "event_id", "score")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2026-01-01 09:30:00"),  # before first version -> NULLs
+            (101, 1, "2026-01-01 11:59:00"),  # inside v1
+            (102, 1, "2026-01-01 12:00:00"),  # AT the v2 boundary -> v2 (ASOF >=)
+            (103, 2, "2026-01-01 09:00:00"),  # same-instant double update -> survivor
+        ],
+        "fact_id long, user_id long, ts_s string",
+    ).selectExpr("fact_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    out = {
+        r.fact_id: (r.dim_version, r.score)
+        for r in process.scd2_point_in_time(dim, facts).collect()
+    }
+    assert out[100] == (None, None)
+    assert out[101] == (1, 1.0)
+    assert out[102] == (2, 2.0)
+    # the zero-width interval (event 12) is skipped; event 13's version wins
+    assert out[103] == (2, 8.0)
