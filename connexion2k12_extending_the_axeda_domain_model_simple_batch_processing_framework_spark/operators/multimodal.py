@@ -3,10 +3,15 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the (C-library) codec work happens vectorized per batch,
-never per-row over Py4J. The actual codecs aren't available in this
-container, so ``decode_stub`` is a clearly-marked deterministic fake — the
-Spark-side contract (schema, batching, partition preservation) is real and
-tested; swap ``_fake_decode`` for PIL/libav calls in production.
+never per-row over Py4J. Two decode tiers:
+
+- ``decode_image`` is a REAL codec path: a pure-python binary-PPM (P6)
+  parser — header, comments, raster validation, per-channel pixel means —
+  with reject-routing or fail-fast for unsupported codecs. No media
+  libraries needed; swap ``_decode_ppm`` for PIL/libav in production and
+  the Spark-side contract is unchanged.
+- ``decode_stub`` remains the clearly-marked deterministic fake for formats
+  this container genuinely cannot decode (JPEG/MP4 …).
 """
 
 from __future__ import annotations
@@ -73,6 +78,151 @@ def decode_stub(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+class UnsupportedCodecError(NotImplementedError):
+    """Raised for payloads whose codec this build cannot decode (the
+    production error path a PIL/libav-backed decoder would also take)."""
+
+
+PPM_MAXVAL = 255
+
+
+def encode_ppm(width: int, height: int, rgb: bytes, maxval: int = PPM_MAXVAL) -> bytes:
+    """Serialize a binary (P6) PPM image — the test-vector generator for
+    the real decode path below. Raster is ``width*height*3`` RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(rgb)} bytes, need {width}x{height}x3 = {width * height * 3}"
+        )
+    return b"P6\n%d %d\n%d\n" % (width, height, maxval) + rgb
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """A REAL (pure-python) binary-PPM decoder: parse the P6 header —
+    magic, whitespace, ``#`` comments, width/height/maxval, the single
+    post-maxval whitespace byte — and validate the raster length. Returns
+    (width, height, maxval, raster). Raises UnsupportedCodecError for a
+    non-P6 magic and ValueError for a malformed P6."""
+    if payload[:2] != b"P6":
+        raise UnsupportedCodecError(
+            f"unsupported codec magic {payload[:2]!r} (only binary PPM/P6)"
+        )
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r} at offset {pos}")
+    if pos >= len(payload) or payload[pos : pos + 1] not in b" \t\r\n":
+        raise ValueError("missing single whitespace after maxval")
+    pos += 1  # exactly ONE whitespace separates header and raster
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"maxval {maxval} out of range")
+    if maxval > 255:
+        raise UnsupportedCodecError("16-bit PPM not supported")
+    raster = payload[pos:]
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, header says {width * height * 3}"
+        )
+    return width, height, maxval, raster
+
+
+IMAGE_DECODED_SCHEMA = (
+    "doc_id long, width long, height long, maxval long, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def decode_image(media: DataFrame, on_error: str = "route") -> DataFrame:
+    """Decode the payload column as binary PPM and emit per-channel pixel
+    means — the real-codec successor of ``decode_stub``, same Arrow
+    ``mapInPandas`` contract (columnar batches, bounded memory, partition
+    preserved, no shuffle). Channel means use integer sums divided once,
+    rounded half-away at 1e-6 — exact and order-independent.
+
+    ``on_error='route'`` turns undecodable payloads into rows with NULL
+    dimensions and the error message in ``err`` (the reject-routing shape
+    of sources/jsonl.py); ``on_error='raise'`` propagates — fail-fast for
+    pipelines that guarantee their codec upstream.
+    """
+    import numpy as np
+
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "maxval",
+                "mean_r", "mean_g", "mean_b", "err",
+            )}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, mx, raster = _decode_ppm(bytes(buf))
+                    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+                    sums = px.astype(np.int64).sum(axis=0)
+                    n = len(px)
+                    means = [
+                        float(np.floor(s / n * 1e6 + 0.5) / 1e6) for s in sums
+                    ]
+                    vals = [w, h, mx, *means, None]
+                except (UnsupportedCodecError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    vals = [None] * 6 + [str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(
+                    ("width", "height", "maxval", "mean_r", "mean_g", "mean_b", "err"),
+                    vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_DECODED_SCHEMA)
+
+
+PPM_TILE_W = 16
+PPM_TILE_H = 16
+
+
+def with_ppm_payload(documents: DataFrame) -> DataFrame:
+    """Deterministic PPM test corpus: render each doc's utf-8 text tiled
+    into a 16×16 RGB raster and serialize with ``encode_ppm`` — real,
+    decodable image payloads for exercising ``decode_image`` end to end.
+    Arrow-batched (the encode is Python byte-wrangling); empty texts tile
+    zeros."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = PPM_TILE_W * PPM_TILE_H * 3
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8") or b"\x00"
+                tiled = (raw * (need // len(raw) + 1))[:need]
+                payloads.append(encode_ppm(PPM_TILE_W, PPM_TILE_H, tiled))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
 
 
 FRAME_STRIDE = 2  # sample every 2nd frame (video keyframe-style sampling)

@@ -3842,6 +3842,52 @@ QUERIES["scd2_point_in_time"] = q_scd2_point_in_time
 ORACLE["scd2_point_in_time"] = SQL_SCD2_POINT_IN_TIME
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over the multimodal tier
+    (operators.multimodal.decode_image): render each doc's text into a
+    deterministic 16×16 binary PPM (``with_ppm_payload``), then decode it
+    back with the pure-python P6 parser and emit per-channel pixel means.
+    The oracle replays the tile arithmetic over character codes — valid
+    because the corpus text is ASCII (verified: octet_length(encode(text))
+    == length(text) at every SF), so utf-8 bytes == char codes."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.with_ppm_payload(docs))
+
+
+_PPM_NEED = 16 * 16 * 3
+
+SQL_IMAGE_DECODE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_PPM_NEED})) AS i FROM nz),
+codes AS (
+  SELECT doc_id, (i % 3)::INT AS ch,
+         unicode(substr(raw, ((i % n) + 1)::INT, 1)) AS code
+  FROM pos
+),
+agg AS (SELECT doc_id, ch, sum(code)::BIGINT AS s FROM codes GROUP BY 1, 2),
+means AS (
+  SELECT doc_id,
+         max(CASE WHEN ch = 0 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_r,
+         max(CASE WHEN ch = 1 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_g,
+         max(CASE WHEN ch = 2 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_b
+  FROM agg GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+       255::BIGINT AS maxval, mean_r, mean_g, mean_b, NULL::VARCHAR AS err
+FROM means
+UNION ALL
+SELECT doc_id::BIGINT, 16::BIGINT, 16::BIGINT, 255::BIGINT,
+       0.0, 0.0, 0.0, NULL::VARCHAR
+FROM d WHERE length(raw) = 0
+"""
+
+QUERIES["image_decode"] = q_image_decode
+ORACLE["image_decode"] = SQL_IMAGE_DECODE
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
@@ -3854,6 +3900,7 @@ ORACLE["scd2_point_in_time"] = SQL_SCD2_POINT_IN_TIME
 _GATE_PRIORITY = [
     "scd2_point_in_time",
     "rag_retrieve",
+    "image_decode",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "events_sliding_rollup",
