@@ -117,3 +117,102 @@ def test_asof_attribution_matches_bruteforce(spark, rows):
         if cands:
             want[i] = max(cands)[1]
     assert got == want
+
+
+@given(rows=_EVENT_SETS, trailing=st.sampled_from([1, 2, 7]))
+@settings(**_SETTINGS)
+def test_active_users_window_matches_bruteforce(spark, rows, trailing):
+    # spread events across days, not seconds, so gap days + trailing-edge
+    # inclusivity actually get exercised
+    ev = spark.createDataFrame(
+        [
+            (i, _BASE + datetime.timedelta(days=s % 15, hours=s % 23), u, et, 1.0, "{}")
+            for i, (u, s, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.day.date(): (r.dau, r.trailing_users)
+        for r in temporal.active_users_window(ev, trailing_days=trailing).collect()
+    }
+    active: dict[datetime.date, set[int]] = {}
+    for i, (u, s, et) in enumerate(rows):
+        d = (_BASE + datetime.timedelta(days=s % 15, hours=s % 23)).date()
+        active.setdefault(d, set()).add(u)
+    want = {}
+    for d, users in active.items():
+        back = [
+            active.get(d - datetime.timedelta(days=k), set())
+            for k in range(trailing)
+        ]
+        want[d] = (len(users), len(set().union(*back)))
+    assert got == want
+
+
+_SIDE = st.dictionaries(
+    st.integers(min_value=1, max_value=6),          # doc_id
+    st.integers(min_value=0, max_value=3),          # version
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(base=_SIDE, upd=_SIDE)
+@settings(**_SETTINGS)
+def test_latest_wins_merge_matches_bruteforce(spark, base, upd):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        process,
+    )
+
+    if not base and not upd:
+        return
+    schema = "doc_id long, text string, version long"
+    bdf = spark.createDataFrame(
+        [(k, f"base-{k}-v{v}", v) for k, v in base.items()], schema
+    )
+    udf_ = spark.createDataFrame(
+        [(k, f"upd-{k}-v{v}", v) for k, v in upd.items()], schema
+    )
+    got = {
+        r.doc_id: (r.text, r.version, r.src)
+        for r in process.latest_wins_merge(bdf, udf_).collect()
+    }
+    want = {}
+    for k in set(base) | set(upd):
+        bv, uv = base.get(k), upd.get(k)
+        # equal-version tie -> the update wins (newer feed)
+        if uv is not None and (bv is None or uv >= bv):
+            want[k] = (f"upd-{k}-v{uv}", uv, "update")
+        else:
+            want[k] = (f"base-{k}-v{bv}", bv, "base")
+    assert got == want
+
+
+@given(rows=_EVENT_SETS)
+@settings(**_SETTINGS)
+def test_events_sliding_rollup_matches_bruteforce(spark, rows):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    ev = _to_events(spark, rows)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.n_users)
+        for r in analytics.events_sliding_rollup(ev).collect()
+    }
+    # each event belongs to exactly 2 windows: the one starting at its
+    # 30-min bucket and the one 30 min earlier (window-boundary membership:
+    # an event AT a boundary starts a new window, never trails the prior)
+    want: dict = {}
+    for i, (u, s, et) in enumerate(rows):
+        ts = _BASE + datetime.timedelta(seconds=s)
+        bucket = ts - datetime.timedelta(
+            minutes=ts.minute % 30, seconds=ts.second
+        )
+        for w0 in (bucket, bucket - datetime.timedelta(minutes=30)):
+            key = (w0, et)
+            n, users = want.get(key, (0, set()))
+            users = users | {u}
+            want[key] = (n + 1, users)
+    assert got == {k: (n, len(us)) for k, (n, us) in want.items()}

@@ -187,3 +187,49 @@ def test_export_sorted_total_order_across_shards(spark, tmp_path, sf_dir):
     )
     ids = [r["doc_id"] for r in one.collect()]
     assert ids == sorted(ids)
+
+
+def test_export_jsonl_crash_retry_is_byte_identical(spark, tmp_path, sf_dir):
+    """Exactly-once-by-idempotence: a job that crashed mid-write leaves
+    partial shard directories; the RETRY (mode=overwrite, the default)
+    must replace them with byte-identical output — same shard membership,
+    same in-file order, same bytes — as a never-crashed run. Placement is
+    the md5 hash bucket and in-shard order is the sort on the shard key,
+    so re-execution cannot depend on shuffle-fetch order or task timing."""
+    import glob
+    import shutil
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.sinks import (
+        export_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    export_jsonl(docs, clean, n_shards=4)
+
+    # simulate the crash debris a killed job leaves behind: a complete
+    # run, minus one shard, plus a truncated part file and a stale
+    # temporary directory
+    export_jsonl(docs, crashed, n_shards=4)
+    shards = sorted(glob.glob(f"{crashed}/export_shard=*"))
+    shutil.rmtree(shards[0])
+    part = sorted(glob.glob(f"{shards[1]}/part-*"))[0]
+    blob = open(part, "rb").read()
+    open(part, "wb").write(blob[: len(blob) // 2])  # torn write
+    (tmp_path / "crashed" / "_temporary").mkdir()
+    (tmp_path / "crashed" / "_temporary" / "junk").write_text("partial")
+
+    # the retry: same call, overwrite semantics
+    export_jsonl(docs, crashed, n_shards=4)
+
+    def shard_bytes(base):
+        out = {}
+        for d in glob.glob(f"{base}/export_shard=*"):
+            blobs = [open(f, "rb").read() for f in sorted(glob.glob(f"{d}/part-*"))]
+            out[d.rsplit("=", 1)[1]] = b"".join(blobs)
+        return out
+
+    assert shard_bytes(crashed) == shard_bytes(clean)
+    assert not (tmp_path / "crashed" / "_temporary").exists()
