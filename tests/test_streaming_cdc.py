@@ -1,0 +1,137 @@
+"""Streaming SCD2 maintenance (streaming/cdc.py): drained-stream equality
+with the batch scd2_build, bucket-level incrementality, and replay
+idempotence of the snapshot protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.process import (
+    scd2_build,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+    cdc,
+)
+
+SCHEMA = "user_id long, valid_from timestamp, event_id long, score double"
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _u(user, ts, eid, score):
+    return {"user_id": user, "valid_from": ts, "event_id": eid, "score": score}
+
+
+ROWS = [
+    # batch 0: two users
+    [
+        _u(1, "2026-01-01T10:00:00", 1, 1.0),
+        _u(2, "2026-01-01T09:00:00", 2, 5.0),
+    ],
+    # batch 1: user 1 gets a new version; user 3 appears
+    [
+        _u(1, "2026-01-01T12:00:00", 3, 2.0),
+        _u(3, "2026-01-01T11:00:00", 4, 9.0),
+    ],
+    # batch 2: late-arriving EARLIER version for user 1 (re-versioning
+    # must renumber: the 10:00 row becomes v2's predecessor's successor…
+    # i.e. the whole chain for user 1 is rebuilt)
+    [
+        _u(1, "2026-01-01T08:00:00", 5, 0.5),
+    ],
+]
+
+
+def _drain(spark, tmp_path, name):
+    src = tmp_path / "updates"
+    src.mkdir(exist_ok=True)
+    for i, rows in enumerate(ROWS):
+        _write(src / f"b{i}.json", rows)
+    table = str(tmp_path / "scd2_table")
+    q = (
+        cdc.scd2_stream_writer(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            table,
+            str(tmp_path / f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return table
+
+
+def _snapshot(df):
+    return {
+        (r.user_id, r.dim_version): (
+            r.valid_from,
+            r.valid_to,
+            r.is_current,
+            r.score,
+        )
+        for r in df.collect()
+    }
+
+
+def test_stream_scd2_equals_batch_rebuild(spark, tmp_path):
+    table = _drain(spark, tmp_path, "cdc1")
+    got = cdc.read_scd2(spark, table)
+    assert got is not None
+    all_updates = spark.createDataFrame(
+        [tuple(r.values()) for batch in ROWS for r in batch],
+        "user_id long, valid_from string, event_id long, score double",
+    ).selectExpr("user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+                 "event_id", "score")
+    want = scd2_build(all_updates)
+    assert _snapshot(got.drop("kb")) == _snapshot(want)
+    # the late-arriving 08:00 update re-versioned user 1's chain: v1=08:00
+    chain = {
+        r.dim_version: (str(r.valid_from), r.is_current)
+        for r in got.filter("user_id = 1").collect()
+    }
+    assert chain[1] == ("2026-01-01 08:00:00", False)
+    assert chain[3] == ("2026-01-01 12:00:00", True)
+
+
+def test_scd2_apply_rewrites_only_touched_buckets(spark, tmp_path):
+    # drive the apply step directly (stream micro-batch file order is not
+    # contractual) — the single-user batch 2 must rewrite ONLY user 1's
+    # bucket, not the whole table
+    table = str(tmp_path / "scd2_direct")
+    for i, rows in enumerate(ROWS):
+        batch = spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "user_id long, valid_from string, event_id long, score double",
+        ).selectExpr(
+            "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+            "event_id", "score",
+        )
+        cdc.scd2_apply_batch(batch, i, table)
+    v2 = [d for d in os.listdir(f"{table}/v=2") if d.startswith("kb=")]
+    assert len(v2) == 1
+    # and earlier untouched buckets still resolve from their old versions
+    users = {r.user_id for r in cdc.read_scd2(spark, table).collect()}
+    assert users == {1, 2, 3}
+
+
+def test_stream_scd2_replay_is_idempotent(spark, tmp_path):
+    table = _drain(spark, tmp_path, "cdc3")
+    before = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    # simulate an at-least-once replay of the LAST micro-batch: re-apply
+    # batch 2's rows with the same batch_id; the snapshot dir is
+    # overwritten, not appended, so the table is unchanged
+    replay = spark.createDataFrame(
+        [tuple(r.values()) for r in ROWS[2]],
+        "user_id long, valid_from string, event_id long, score double",
+    ).selectExpr("user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+                 "event_id", "score")
+    cdc.scd2_apply_batch(replay, 2, table)
+    after = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    assert after == before
