@@ -1095,3 +1095,40 @@ def q21_waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(k)
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Key-distribution diagnostic — the number every shuffle-sizing and
+    salting decision in this engine starts from: per-key row counts
+    reduced to (n_rows, n_keys, mean_rows_per_key, max_key_rows,
+    skew_factor = max/mean, p50/p90/p99 of rows-per-key). A skew_factor
+    near 1 means hash partitioning balances; a large one names the
+    hot-key problem `functions/skew.py`'s salting and AQE's skew-join
+    handling exist to absorb.
+
+    Plan: ONE map-side-combined groupBy on the key (hot keys combine
+    before the shuffle, so the report itself survives the skew it
+    measures), then a single 1-row aggregate over the per-key counts.
+    The exact `percentile` buffers the |keys| counts on one reducer —
+    same documented trade as the exact grouped quantiles (17e): swap to
+    `approx_percentile` beyond ~10^8 keys, everything else unchanged.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    pct = F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+    return counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        pct.alias("__p"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_rows_per_key"),
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_factor"),
+        F.round(F.col("__p")[0], 4).alias("p50"),
+        F.round(F.col("__p")[1], 4).alias("p90"),
+        F.round(F.col("__p")[2], 4).alias("p99"),
+    )

@@ -186,25 +186,6 @@ def minhash_band_table(
 #: this memo gives the same build-once property. Keys hold the owning
 #: SparkSession so a new session never sees another session's dead
 #: checkpoint blocks; FIFO-capped to bound pinned storage.
-_BAND_INDEX_CACHE: dict = {}
-_BAND_INDEX_CACHE_MAX = 8
-
-
-def _persistent_rdd_ids(spark) -> set[int]:
-    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-
-
-def band_cache_persistent_ids() -> set[int]:
-    """RDD ids of the storage blocks backing live band-index cache entries.
-    External block reapers (bench.py's inter-query release) skip these so
-    the shared index stays warm across the suite — the in-session stand-in
-    for "the persisted index is on disk, not rebuilt per query"."""
-    ids: set[int] = set()
-    for _sh, _bands, entry_ids in _BAND_INDEX_CACHE.values():
-        ids |= entry_ids
-    return ids
-
-
 def shared_band_index(
     documents: DataFrame,
     n: int = 3,
@@ -212,50 +193,27 @@ def shared_band_index(
     rows: int = LSH_ROWS,
 ) -> tuple[DataFrame, DataFrame]:
     """The materialized per-doc LSH index: ``(shingle_table, band_table)``,
-    memoized per (session, canonical input plan, params). Safe to share
-    because both tables are PER-DOC derivations — a consumer that needs
-    only a subset of docs semi-joins the shared index down (see
-    ``dedup_funnel``), it never needs a rebuild.
-
-    Storage is CacheManager ``persist`` (MEMORY_AND_DISK) rather than a
-    lineage cut: a checkpoint whose blocks an external unpersist dropped
-    is unrecoverable (truncated lineage), while a dropped cache block just
-    recomputes — the memo degrades to a rebuild, never to a failure. Each
-    entry records the RDD ids of its storage blocks so block reapers can
-    exempt them (``band_cache_persistent_ids``)."""
-    from pyspark import StorageLevel
+    memoized per (session, canonical input plan, params) in the shared
+    relation cache (``functions/dfcache.py`` — persist-backed, so an
+    external unpersist degrades to a rebuild, never a failure). Safe to
+    share because both tables are PER-DOC derivations — a consumer that
+    needs only a subset of docs semi-joins the shared index down (see
+    ``dedup_funnel``), it never needs a rebuild."""
+    from ..functions.dfcache import memo, persist_df
 
     norm = documents.select("doc_id", "text")
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        sh = persist_df(shingle_table(norm, n))
+        # materialize the band table too: self-joins evaluate BOTH sides,
+        # and without it the signature aggregation runs once per side
+        return sh, persist_df(minhash_band_table(sh, bands, rows))
+
     try:
-        key = (documents.sparkSession, norm.semanticHash(), n, bands, rows)
+        key = ("band", documents.sparkSession, norm.semanticHash(), n, bands, rows)
     except Exception:  # semanticHash is best-effort; cache is an optimization
-        key = None
-    if key is not None and key in _BAND_INDEX_CACHE:
-        sh, bands_df, _ids = _BAND_INDEX_CACHE[key]
-        return sh, bands_df
-    spark = documents.sparkSession
-    before = _persistent_rdd_ids(spark)
-    sh = shingle_table(norm, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    # materialize the band table too: self-joins evaluate BOTH sides, and
-    # without the materialization the signature aggregation runs per side
-    bands_df = minhash_band_table(sh, bands, rows).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    bands_df.count()
-    entry_ids = _persistent_rdd_ids(spark) - before
-    if key is not None:
-        _BAND_INDEX_CACHE[key] = (sh, bands_df, entry_ids)
-        while len(_BAND_INDEX_CACHE) > _BAND_INDEX_CACHE_MAX:
-            _osh, _obands, _oids = _BAND_INDEX_CACHE.pop(
-                next(iter(_BAND_INDEX_CACHE))
-            )
-            for df in (_osh, _obands):
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass  # session may already be stopped
-    return sh, bands_df
+        return build()
+    return memo(documents.sparkSession, key, build)
 
 
 def minhash_lsh_pairs(

@@ -496,6 +496,41 @@ def ivf_build(
     return centroids, assignments
 
 
+def ivf_build_cached(
+    corpus: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """``ivf_build`` memoized per (session, canonical corpus plan, params)
+    in the shared relation cache (``functions/dfcache.py``) — the
+    train-once/probe-many property ``ivf_save``/``ivf_load`` give across
+    jobs, provided within a session: ANN top-k, semantic dedup, and
+    retrieval all quantize the same corpus with the same parameters, so
+    they share ONE build. The quantizer is deterministic (hash-ordered
+    sample, fixed seeds), so a shared build is bit-identical to a private
+    one. The inverted file is persist-backed (an external unpersist
+    degrades to a rebuild, never a failure)."""
+    from ..functions.dfcache import memo, persist_df
+
+    norm = corpus.select(id_col, vec_col)
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        c = spread(corpus)
+        centroids = ivf_centroids(c, nlist, iters, id_col, vec_col)
+        vecs = c.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+        # centroids is a driver-built LocalRelation (nlist rows) — nothing
+        # to persist; the inverted file is the shared expensive relation
+        return centroids, persist_df(_assign(vecs, centroids))
+
+    try:
+        key = ("ivf", corpus.sparkSession, norm.semanticHash(), nlist, iters)
+    except Exception:  # semanticHash is best-effort; cache is an optimization
+        return ivf_build(corpus, nlist, iters, id_col, vec_col)
+    return memo(corpus.sparkSession, key, build)
+
+
 def ivf_probe(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -569,8 +604,10 @@ def ivf_topk(
     """Approximate top-k via an IVF (inverted-file) index: build + probe in
     one call. For repeated query sets build once with ``ivf_build`` and
     probe many times with ``ivf_probe`` — the build (k-means + assignment)
-    dominates cost and amortizes to zero."""
-    centroids, assignments = ivf_build(corpus, nlist, iters, id_col, vec_col)
+    dominates cost and amortizes to zero. The build is the session-shared
+    one (``ivf_build_cached``), so other consumers of the same corpus
+    (semantic dedup, retrieval) reuse it."""
+    centroids, assignments = ivf_build_cached(corpus, nlist, iters, id_col, vec_col)
     return ivf_probe(centroids, assignments, queries, k, nprobe, id_col, vec_col)
 
 
@@ -653,13 +690,11 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
-    emb = spread(embeddings)
-    centroids = ivf_centroids(emb, nlist, iters, id_col, vec_col)
-    assigned = cut_lineage(
-        _assign(
-            emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")),
-            centroids,
-        )
+    # quantizer + assignment come from the session-shared IVF build (same
+    # corpus, same params ⇒ bit-identical to a private build — the
+    # quantizer is deterministic); ANN top-k and retrieval reuse it
+    _centroids, assigned = ivf_build_cached(
+        embeddings, nlist, iters, id_col, vec_col
     )
     # In-bucket pairing as ONE Arrow pass grouped by centroid: each bucket
     # arrives as a pandas frame (bucket size ≈ corpus/nlist by
@@ -786,7 +821,7 @@ def rag_retrieve(
     from . import corpus as corpus_ops
     from ..functions.textfns import tokens
 
-    centroids, assignments = ivf_build(embeddings, nlist=nlist)
+    centroids, assignments = ivf_build_cached(embeddings, nlist=nlist)
     # hits is referenced three times below (candidate ids, query ids, the
     # re-rank join); without a lineage cut each reference re-expands — and
     # re-EXECUTES — the whole probe subtree. It's queries×k rows: cheap to

@@ -3888,6 +3888,29 @@ QUERIES["image_decode"] = q_image_decode
 ORACLE["image_decode"] = SQL_IMAGE_DECODE
 
 
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over events.user_id
+    (operators.analytics.key_skew_report)."""
+    return analytics.key_skew_report(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_KEY_SKEW = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
+SELECT sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       round(sum(n) / count(*), 6) AS mean_rows_per_key,
+       max(n)::BIGINT AS max_key_rows,
+       round(max(n) * count(*) / sum(n), 6) AS skew_factor,
+       round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.9), 4) AS p90,
+       round(quantile_cont(n, 0.99), 4) AS p99
+FROM c
+"""
+
+QUERIES["events_key_skew"] = q_events_key_skew
+ORACLE["events_key_skew"] = SQL_EVENTS_KEY_SKEW
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
@@ -3901,6 +3924,7 @@ _GATE_PRIORITY = [
     "scd2_point_in_time",
     "rag_retrieve",
     "image_decode",
+    "events_key_skew",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "events_sliding_rollup",
