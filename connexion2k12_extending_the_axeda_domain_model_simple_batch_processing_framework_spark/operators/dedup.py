@@ -788,7 +788,12 @@ def dedup_funnel(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     emb2 = embeddings.join(
         surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    sem = semantic_dedup(emb2)
+    # stage 3 blocks with the FULL-corpus quantizer (quantizer_corpus):
+    # shares the session's one IVF build with ANN/retrieval/semantic_dedup
+    # instead of retraining on the survivor subset — a quantizer is a
+    # corpus-level blocking artifact, and assignment is per-vector, so
+    # restricting the shared inverted file to survivors is exact.
+    sem = semantic_dedup(emb2, quantizer_corpus=embeddings)
     surv3 = sem.filter(F.col("keep")).select(F.col("vec_id").alias("doc_id"))
 
     def stage_row(idx: int, name: str, df_in: DataFrame, df_out: DataFrame) -> DataFrame:

@@ -669,6 +669,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iterations: int = 10,
+    quantizer_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic (embedding-cluster) dedup, SemDeDup-shaped (Abbas et al.
     2023): bucket the corpus by the IVF coarse quantizer's nearest
@@ -692,10 +693,25 @@ def semantic_dedup(
 
     # quantizer + assignment come from the session-shared IVF build (same
     # corpus, same params ⇒ bit-identical to a private build — the
-    # quantizer is deterministic); ANN top-k and retrieval reuse it
-    _centroids, assigned = ivf_build_cached(
-        embeddings, nlist, iters, id_col, vec_col
-    )
+    # quantizer is deterministic); ANN top-k and retrieval reuse it.
+    # ``quantizer_corpus`` lets a SUBSET dedup (e.g. the funnel's stage 3
+    # over earlier-stage survivors) block with the full-corpus quantizer:
+    # a quantizer is a corpus-level blocking artifact, not a model of the
+    # subset, and per-vector assignment is independent — restricting the
+    # shared inverted file to the subset's ids is identical to assigning
+    # the subset privately against the same centroids. At 100 TB that is
+    # "read the persisted index", never "retrain per pipeline stage".
+    if quantizer_corpus is None:
+        _centroids, assigned = ivf_build_cached(
+            embeddings, nlist, iters, id_col, vec_col
+        )
+    else:
+        _centroids, assigned_full = ivf_build_cached(
+            quantizer_corpus, nlist, iters, id_col, vec_col
+        )
+        assigned = assigned_full.join(
+            embeddings.select(F.col(id_col).alias("vid")), "vid", "left_semi"
+        )
     # In-bucket pairing as ONE Arrow pass grouped by centroid: each bucket
     # arrives as a pandas frame (bucket size ≈ corpus/nlist by
     # construction — the quantizer exists to bound it), and all of its

@@ -3088,9 +3088,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _funnel_prefix_sql() -> str:
     """Shared CTE chain for stages 1-2 (exact survivors, minhash-component
-    survivors) — used both at oracle-build time (to train the stage-3
-    centroids on the actual stage-2 survivor embeddings, mirroring
-    Spark's restricted ivf_centroids sample) and inside the final twin."""
+    survivors) of the funnel twin."""
     mh_on_s1 = SQL_DEDUP_MINHASH_LSH.replace("FROM documents", "FROM s1docs")
     return f"""
 WITH RECURSIVE
@@ -3118,32 +3116,12 @@ s2emb AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN s2 ON e.vec_id = s
 
 def _dedup_funnel_oracle(sf_dir: str) -> str:
     """DuckDB twin of the funnel: stages 1-2 are pure SQL reusing the
-    minhash fragment; stage 3 folds centroids trained (same numpy Lloyd,
-    same hash order) on the stage-2 survivor embeddings — computed here by
-    executing the stage-1/2 SQL, exactly what Spark's restricted
-    semantic_dedup trains on."""
-    import duckdb
-
-    import numpy as np
-
+    minhash fragment; stage 3 folds the FULL-corpus centroids
+    (``_ivf_centroid_values`` — the same shared quantizer the Spark side
+    reads from its session IVF build) and assigns only the stage-2
+    survivor embeddings against them."""
     prefix = _funnel_prefix_sql()
-    con = duckdb.connect()
-    try:
-        con.execute(
-            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-        )
-        con.execute(
-            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
-        )
-        rows = con.execute(
-            prefix
-            + f"""
-SELECT embedding FROM s2emb
-ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
-LIMIT {similarity.IVF_TRAIN_CAP}"""
-        ).fetchall()
-    finally:
-        con.close()
+    cent_rows = _ivf_centroid_values(sf_dir)
     counts = """
 SELECT 1::BIGINT AS stage_idx, 'exact' AS stage,
        (SELECT count(*) FROM documents)::BIGINT AS n_in,
@@ -3158,14 +3136,8 @@ SELECT 3, 'semantic', (SELECT count(*) FROM s2),
        (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
        (SELECT count(*) FROM s3)
 """
-    if not rows:
+    if cent_rows is None:
         return prefix + ",\ns3 AS (SELECT doc_id FROM s2)" + counts
-    V = np.array([r[0] for r in rows], dtype=np.float64)
-    ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
-    cent_rows = ",\n    ".join(
-        "({}, [{}]::DOUBLE[])".format(int(i), ", ".join(repr(float(x)) for x in c))
-        for i, c in zip(ids, C)
-    )
     return prefix + f""",
 cent(centroid_id, ctr) AS (VALUES
     {cent_rows}
