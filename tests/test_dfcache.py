@@ -1,0 +1,68 @@
+"""Shared-relation cache (functions/dfcache.py): hit/miss keying, block
+exemption, eviction unpersist, and the degrade-to-rebuild guarantee under
+an external unpersist (the failure mode that ruled out checkpoint-backed
+storage)."""
+
+from __future__ import annotations
+
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+    dfcache,
+)
+from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+    dedup,
+)
+
+
+def _docs(spark, tag):
+    return spark.createDataFrame(
+        [(i, f"{tag} common words here {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+
+def test_memo_hits_same_plan_misses_different(spark):
+    # hits key on the CANONICAL plan: two independent reads of the same
+    # parquet table (fresh expr ids) must alias; a filtered variant and a
+    # local relation must not
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a1 = dedup.shared_band_index(load_table(spark, sf, "documents"))
+    a2 = dedup.shared_band_index(load_table(spark, sf, "documents"))
+    b = dedup.shared_band_index(
+        load_table(spark, sf, "documents").filter("doc_id % 2 = 0")
+    )
+    assert a1[0] is a2[0] and a1[1] is a2[1]  # same canonical plan -> hit
+    assert b[0] is not a1[0]                  # different corpus -> miss
+    assert dfcache.persistent_exempt_ids()    # entries registered blocks
+
+
+def test_external_unpersist_degrades_to_rebuild_not_failure(spark):
+    sh, bands = dedup.shared_band_index(_docs(spark, "gamma"))
+    n_before = bands.count()
+    # an external reaper drops EVERY persisted block (what bench.py's
+    # release would do without the exemption): the cached relations must
+    # still answer queries by recomputing
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jmap.get(rid).unpersist(True)
+    assert bands.count() == n_before
+    assert sh.count() == 30
+
+
+def test_eviction_unpersists_oldest(spark):
+    dfcache._CACHE.clear()
+    old_max = dfcache._CACHE_MAX
+    dfcache._CACHE_MAX = 2
+    try:
+        dedup.shared_band_index(_docs(spark, "e1"))
+        dedup.shared_band_index(_docs(spark, "e2"))
+        ids_two = dfcache.persistent_exempt_ids()
+        dedup.shared_band_index(_docs(spark, "e3"))
+        assert len(dfcache._CACHE) == 2
+        # the evicted entry's blocks left the exempt set
+        assert dfcache.persistent_exempt_ids() != ids_two
+    finally:
+        dfcache._CACHE_MAX = old_max

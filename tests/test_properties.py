@@ -216,3 +216,61 @@ def test_events_sliding_rollup_matches_bruteforce(spark, rows):
             users = users | {u}
             want[key] = (n + 1, users)
     assert got == {k: (n, len(us)) for k, (n, us) in want.items()}
+
+
+_DIM_UPDATES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=40),     # seconds offset
+        st.integers(min_value=0, max_value=9),      # score
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(updates=_DIM_UPDATES, facts=_DIM_UPDATES)
+@settings(**_SETTINGS)
+def test_scd2_point_in_time_matches_bruteforce(spark, updates, facts):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        process,
+    )
+
+    if not facts:
+        return
+    dim = spark.createDataFrame(
+        [
+            (u, _BASE + datetime.timedelta(seconds=s), 100 + i, float(v))
+            for i, (u, s, v) in enumerate(updates)
+        ],
+        "user_id long, valid_from timestamp, event_id long, score double",
+    )
+    fdf = spark.createDataFrame(
+        [
+            (500 + i, u, _BASE + datetime.timedelta(seconds=s))
+            for i, (u, s, _) in enumerate(facts)
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.fact_id: (r.dim_version, r.score)
+        for r in process.scd2_point_in_time(dim, fdf).collect()
+    }
+    # brute force: per user sort updates by (ts, event_id); a fact sees
+    # the LAST update at-or-before its ts (same-instant update included,
+    # higher event_id wins among same-instant updates)
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for i, (u, s, v) in enumerate(updates):
+        by_user.setdefault(u, []).append((s, 100 + i, v))
+    want = {}
+    for i, (u, s, _) in enumerate(facts):
+        evs = sorted(by_user.get(u, []))
+        idx = None
+        for j, (s2, _eid, _v) in enumerate(evs):
+            if s2 <= s:
+                idx = j
+        if idx is None:
+            want[500 + i] = (None, None)
+        else:
+            want[500 + i] = (idx + 1, float(evs[idx][2]))
+    assert got == want
