@@ -97,9 +97,11 @@ def ngram_jaccard_pairs(
     Doc sizes are counted from the exploded table (shingles are per-doc
     distinct) rather than via ``size(shingles)`` on a separate leg: the
     count reuses a subtree Spark must compute anyway instead of re-running
-    tokenize+shingle two more times for the size joins.
+    tokenize+shingle two more times for the size joins. The shingle table
+    itself is the session-shared one (``shared_shingle_table``) — the
+    MinHash family computes the identical table.
     """
-    sh = shingle_table(documents, n)
+    sh = shared_shingle_table(documents, n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         frequent = (
@@ -137,7 +139,7 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = NUM_MINHASHES)
     """MinHash signature: k md5-seeded min-hashes over the shingle set.
     One explode + one grouped aggregation computing all k mins in a single
     shuffle (not k passes)."""
-    sh = shingle_table(documents, n)
+    sh = shared_shingle_table(documents, n)
     ex = sh.select("doc_id", "shingles", F.explode("shingles").alias("s"))
     mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
     return ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
@@ -186,6 +188,26 @@ def minhash_band_table(
 #: this memo gives the same build-once property. Keys hold the owning
 #: SparkSession so a new session never sees another session's dead
 #: checkpoint blocks; FIFO-capped to bound pinned storage.
+def shared_shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """The per-doc distinct-shingle table, memoized per (session,
+    canonical input plan, n) in the shared relation cache — the
+    tokenize+shingle pass is the dominant cost of BOTH the n-gram Jaccard
+    family and the MinHash family, and it's identical for every consumer
+    of the same corpus and n."""
+    from ..functions.dfcache import memo, persist_df
+
+    norm = documents.select("doc_id", "text")
+
+    def build() -> tuple[DataFrame]:
+        return (persist_df(shingle_table(norm, n)),)
+
+    try:
+        key = ("shingles", documents.sparkSession, norm.semanticHash(), n)
+    except Exception:  # semanticHash is best-effort; cache is an optimization
+        return shingle_table(norm, n)
+    return memo(documents.sparkSession, key, build)[0]
+
+
 def shared_band_index(
     documents: DataFrame,
     n: int = 3,
@@ -198,22 +220,24 @@ def shared_band_index(
     external unpersist degrades to a rebuild, never a failure). Safe to
     share because both tables are PER-DOC derivations — a consumer that
     needs only a subset of docs semi-joins the shared index down (see
-    ``dedup_funnel``), it never needs a rebuild."""
+    ``dedup_funnel``), it never needs a rebuild. Layered: the shingle
+    table is its own cache entry (``shared_shingle_table``) shared with
+    the Jaccard family; the band table entry owns only the banding."""
     from ..functions.dfcache import memo, persist_df
 
     norm = documents.select("doc_id", "text")
+    sh = shared_shingle_table(documents, n)
 
-    def build() -> tuple[DataFrame, DataFrame]:
-        sh = persist_df(shingle_table(norm, n))
+    def build() -> tuple[DataFrame]:
         # materialize the band table too: self-joins evaluate BOTH sides,
         # and without it the signature aggregation runs once per side
-        return sh, persist_df(minhash_band_table(sh, bands, rows))
+        return (persist_df(minhash_band_table(sh, bands, rows)),)
 
     try:
         key = ("band", documents.sparkSession, norm.semanticHash(), n, bands, rows)
     except Exception:  # semanticHash is best-effort; cache is an optimization
-        return build()
-    return memo(documents.sparkSession, key, build)
+        return sh, minhash_band_table(sh, bands, rows)
+    return sh, memo(documents.sparkSession, key, build)[0]
 
 
 def minhash_lsh_pairs(
@@ -282,10 +306,13 @@ def incremental_near_dup(
     self-join. Verification computes true Jaccard for candidates only.
     Output: (new_doc_id, corpus_doc_id, jaccard).
     """
-    sh_new = cut_lineage(shingle_table(new_docs, n))
-    sh_cor = cut_lineage(shingle_table(corpus, n))
-    b_new = minhash_band_table(sh_new, bands, rows).alias("a")
-    b_cor = minhash_band_table(sh_cor, bands, rows).alias("b")
+    # both sides' shingle + band tables come from the session-shared cache
+    # (keyed by each side's own plan): the corpus side IS the persisted
+    # index this operator's contract describes, and repeated daily-ingest
+    # invocations rebuild neither side
+    sh_new, bn = shared_band_index(new_docs, n, bands, rows)
+    sh_cor, bc = shared_band_index(corpus, n, bands, rows)
+    b_new, b_cor = bn.alias("a"), bc.alias("b")
     cand = (
         b_new.join(
             b_cor,
