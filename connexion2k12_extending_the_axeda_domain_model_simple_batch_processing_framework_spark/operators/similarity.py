@@ -878,3 +878,75 @@ def rag_retrieve(
             "chunk_text",
         )
     )
+
+
+def ivf_sq8_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe quality of the COMPRESSED inverted file — the faiss
+    IVF+SQ8 deployment shape end to end: the quantizer is trained on
+    floats and the bucket layout is the float assignment (compression
+    changes the stored codes, not the index geometry), the inverted file
+    stores int8 codes (``embedding_quantize`` — 8× smaller than the
+    float64 corpus), queries stay float, and in-bucket ranking runs on
+    dequantized vectors (code × per-vector scale). The report compares
+    the compressed probe's top-k against the float probe's top-k from the
+    SAME index — the recall-vs-storage number that decides whether the
+    8× footprint cut is free.
+
+    Everything is deterministic (HALF_UP integer codes, fold-chain
+    cosines, rounded ranks), so recall itself is oracle-checked — like
+    ``ann_recall`` for LSH. One extra join over the shared IVF build; the
+    reconstruction is a scan-side array transform, no extra shuffle.
+
+    Output (1 row): n_queries, k, n_float, n_overlap, recall, mean_mse.
+    """
+    d = "double"
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    qz = embedding_quantize(embeddings)
+    recon = qz.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("qvec", lambda x: x.cast(d) * F.col("scale")).alias("cv"),
+        "mse",
+    )
+    inv8 = assignments.select("vid", "centroid_id").join(
+        recon.select("vid", "cv"), "vid"
+    )
+    top_q = ivf_probe(centroids, inv8, queries, k, nprobe)
+
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_q.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    # per-row mse rounded then summed in DECIMAL: order-independent and
+    # engine-exact (a raw double sum would depend on reduction order)
+    ms = qz.agg(
+        (
+            F.sum(F.round("mse", 6).cast("decimal(18,6)")) / F.count(F.lit(1))
+        ).alias("mean_mse")
+    )
+    return (
+        base.crossJoin(hits)
+        .crossJoin(ms)
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "n_float",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
+        )
+    )

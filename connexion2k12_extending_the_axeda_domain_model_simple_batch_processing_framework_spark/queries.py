@@ -1350,9 +1350,116 @@ QUALIFY row_number() OVER (
 QUERIES["rag_retrieve"] = q_rag_retrieve
 
 
+def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index probe quality (operators.similarity.ivf_sq8_recall):
+    int8-coded inverted file, float queries, recall vs the float probe of
+    the same index — fully deterministic, so the recall number itself is
+    oracle-checked."""
+    return similarity.ivf_sq8_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sq8_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_sq8_recall``: float probe CTEs are the
+    ``_ivf_oracle_sql`` fragments; the compressed side replays the
+    ``embedding_quantize`` arithmetic (HALF_UP int8 codes, per-vector
+    scale) and ranks on cosines over the dequantized lists."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    if cent_rows is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall, 0.0 AS mean_mse "
+            "FROM embeddings WHERE FALSE"
+        )
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored_f AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f
+  ) WHERE rk <= 5
+),
+m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+  FROM embeddings
+),
+recon AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           (CASE WHEN sc > 0 THEN round(x::DOUBLE / sc, 0)::INTEGER ELSE 0 END)::DOUBLE * sc
+         ) AS rv,
+         list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+             i -> (embedding[i]::DOUBLE
+                   - (CASE WHEN sc > 0 THEN round(embedding[i]::DOUBLE / sc, 0)::INTEGER ELSE 0 END)::DOUBLE * sc)
+                  * (embedding[i]::DOUBLE
+                   - (CASE WHEN sc > 0 THEN round(embedding[i]::DOUBLE / sc, 0)::INTEGER ELSE 0 END)::DOUBLE * sc)),
+           (a, b) -> a + b) / len(embedding) AS mse
+  FROM m
+),
+a8 AS (
+  SELECT a.vec_id, a.centroid_id, r.rv FROM assigned a JOIN recon r USING (vec_id)
+),
+scored_q AS (
+  SELECT p.query_id, a8.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a8.rv')} AS cosine
+  FROM probes p JOIN a8 USING (centroid_id)
+  WHERE p.query_id <> a8.vec_id
+),
+topq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_q
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
+ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM recon)
+SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall,
+       round(mean_mse::DOUBLE, 9) AS mean_mse
+FROM base CROSS JOIN ov CROSS JOIN ms
+"""
+
+
+QUERIES["ann_sq8_recall"] = q_ann_sq8_recall
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
+    "ann_sq8_recall": _sq8_oracle_sql,
 }
 
 
@@ -3897,6 +4004,7 @@ _GATE_PRIORITY = [
     "rag_retrieve",
     "image_decode",
     "events_key_skew",
+    "ann_sq8_recall",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "events_sliding_rollup",
