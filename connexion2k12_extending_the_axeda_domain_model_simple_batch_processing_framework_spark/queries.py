@@ -4005,6 +4005,9 @@ _GATE_PRIORITY = [
     "image_decode",
     "events_key_skew",
     "ann_sq8_recall",
+    # r5-changed plans (204565b): unpinned broadcasts / scalar-max rewrite
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "events_sliding_rollup",

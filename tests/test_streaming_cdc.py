@@ -121,17 +121,26 @@ def test_scd2_apply_rewrites_only_touched_buckets(spark, tmp_path):
     assert users == {1, 2, 3}
 
 
-def test_stream_scd2_replay_is_idempotent(spark, tmp_path):
-    table = _drain(spark, tmp_path, "cdc3")
-    before = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
-    # simulate an at-least-once replay of the LAST micro-batch: re-apply
-    # batch 2's rows with the same batch_id; the snapshot dir is
-    # overwritten, not appended, so the table is unchanged
-    replay = spark.createDataFrame(
-        [tuple(r.values()) for r in ROWS[2]],
+def _batch_df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
         "user_id long, valid_from string, event_id long, score double",
-    ).selectExpr("user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
-                 "event_id", "score")
-    cdc.scd2_apply_batch(replay, 2, table)
+    ).selectExpr(
+        "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "event_id", "score",
+    )
+
+
+def test_scd2_replay_is_idempotent(spark, tmp_path):
+    # drive the apply step directly so batch-id ↔ content is pinned (a
+    # file stream's micro-batch order is not contractual)
+    table = str(tmp_path / "scd2_replay")
+    for i, rows in enumerate(ROWS):
+        cdc.scd2_apply_batch(_batch_df(spark, rows), i, table)
+    before = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    # at-least-once replay of the LAST micro-batch with the same batch_id:
+    # the as-of (< batch_id) read skips its own previous output and the
+    # snapshot dir is overwritten, not appended — the table is unchanged
+    cdc.scd2_apply_batch(_batch_df(spark, ROWS[2]), 2, table)
     after = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
     assert after == before
