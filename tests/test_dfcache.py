@@ -66,3 +66,25 @@ def test_eviction_unpersists_oldest(spark):
         assert dfcache.persistent_exempt_ids() != ids_two
     finally:
         dfcache._CACHE_MAX = old_max
+
+
+def test_consumers_share_one_index_per_family(spark):
+    """Architecture contract: running a second consumer of the same corpus
+    must ADD NO cache entries — the shingle/band and IVF relations are
+    built once per session, not per query."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark import (
+        queries as q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dfcache._CACHE.clear()
+    q.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+    n_band = len(dfcache._CACHE)
+    q.QUERIES["dup_clusters"](spark, sf).collect()
+    q.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+    assert len(dfcache._CACHE) == n_band
+
+    q.QUERIES["ann_ivf_topk"](spark, sf).collect()
+    n_ivf = len(dfcache._CACHE)
+    q.QUERIES["semantic_dedup"](spark, sf).collect()
+    assert len(dfcache._CACHE) == n_ivf
