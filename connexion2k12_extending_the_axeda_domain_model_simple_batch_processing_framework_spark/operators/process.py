@@ -177,6 +177,29 @@ def scd2_point_in_time(
     (dim_version, valid_from, *attr_cols).
     """
     versioned = scd2_build(dim_updates, key_col, dim_ts_col, dim_tie_col)
+    return scd2_point_in_time_from(
+        versioned, facts, key_col, dim_ts_col, dim_tie_col,
+        fact_ts_col, fact_tie_col, attr_cols,
+    )
+
+
+def scd2_point_in_time_from(
+    versioned: DataFrame,
+    facts: DataFrame,
+    key_col: str = "user_id",
+    dim_ts_col: str = "valid_from",
+    dim_tie_col: str = "event_id",
+    fact_ts_col: str = "ts",
+    fact_tie_col: str = "fact_id",
+    attr_cols: tuple[str, ...] = ("score",),
+) -> DataFrame:
+    """The enrichment half of ``scd2_point_in_time`` over an ALREADY-built
+    SCD2 history (``scd2_build`` output, or a maintained table read back
+    via ``streaming.cdc.read_scd2``) — the point-in-time read path against
+    a live CDC-maintained dimension: the stream keeps the table current,
+    batch consumers enrich facts against it without replaying the update
+    log. Same union/carry-forward plan (facts shuffle once, never
+    replicated across version history)."""
     payload = F.struct(
         F.col("dim_version"),
         F.col("valid_from"),

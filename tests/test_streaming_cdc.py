@@ -144,3 +144,108 @@ def test_scd2_replay_is_idempotent(spark, tmp_path):
     cdc.scd2_apply_batch(_batch_df(spark, ROWS[2]), 2, table)
     after = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
     assert after == before
+
+
+def _dirs(table, prefix):
+    return [d for d in os.listdir(table) if d.startswith(prefix)]
+
+
+def test_scd2_compact_preserves_reads_and_prunes(spark, tmp_path):
+    table = str(tmp_path / "scd2_compact")
+    for i, rows in enumerate(ROWS):
+        cdc.scd2_apply_batch(_batch_df(spark, rows), i, table)
+    before = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    cdc.scd2_compact(spark, table)
+    # (a) post-compact reads ≡ pre-compact reads
+    after = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    assert after == before
+    # superseded v= dirs expired, one base generation remains
+    assert _dirs(table, "v=") == []
+    assert _dirs(table, "base=") == ["base=2"]
+    # (c) replay of a FOLDED batch across the compact is an idempotent
+    # no-op (its effect is already in the base, and its pre-batch
+    # snapshots are gone — the apply must not touch the table)
+    assert cdc.scd2_apply_batch(_batch_df(spark, ROWS[2]), 2, table) is False
+    assert _snapshot(cdc.read_scd2(spark, table).drop("kb")) == before
+    # new batches keep applying on top of the base
+    cdc.scd2_apply_batch(
+        _batch_df(spark, [_u(2, "2026-01-02T00:00:00", 9, 7.0)]), 3, table
+    )
+    got = cdc.read_scd2(spark, table)
+    chain = {
+        r.dim_version: r.is_current for r in got.filter("user_id = 2").collect()
+    }
+    assert chain == {1: False, 2: True}
+    # untouched users still resolve from the base
+    assert {r.user_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_scd2_dir_count_bounded_under_long_stream(spark, tmp_path):
+    # 50 applied batches with compact_every-style cadence: snapshot-dir
+    # count stays bounded by the compaction interval, not batch count
+    table = str(tmp_path / "scd2_long")
+    every = 10
+    for i in range(50):
+        rows = [_u(i % 7, f"2026-01-01T{i % 24:02d}:{i % 60:02d}:00", 100 + i, float(i))]
+        cdc.scd2_apply_batch(_batch_df(spark, rows), i, table)
+        if i % every == every - 1:
+            cdc.scd2_compact(spark, table)
+    assert len(_dirs(table, "v=")) <= every
+    assert len(_dirs(table, "base=")) == 1
+    # the compacted table still equals the batch rebuild over the full log
+    all_rows = [
+        _u(i % 7, f"2026-01-01T{i % 24:02d}:{i % 60:02d}:00", 100 + i, float(i))
+        for i in range(50)
+    ]
+    want = scd2_build(_batch_df(spark, all_rows))
+    got = cdc.read_scd2(spark, table).drop("kb")
+    assert _snapshot(got) == _snapshot(want)
+
+
+def test_scd2_refuses_reset_checkpoint_epoch(spark, tmp_path):
+    # batch ids restarting below the high water (checkpoint reset/swap)
+    # must be refused, not silently resolved under existing versions
+    import pytest
+
+    table = str(tmp_path / "scd2_epoch")
+    for i, rows in enumerate(ROWS):
+        cdc.scd2_apply_batch(_batch_df(spark, rows), i, table)
+    with pytest.raises(ValueError, match="high water"):
+        cdc.scd2_apply_batch(_batch_df(spark, ROWS[0]), 0, table)
+    # replay AT the high water stays legal and idempotent
+    before = _snapshot(cdc.read_scd2(spark, table).drop("kb"))
+    cdc.scd2_apply_batch(_batch_df(spark, ROWS[2]), 2, table)
+    assert _snapshot(cdc.read_scd2(spark, table).drop("kb")) == before
+
+
+def test_point_in_time_read_over_streamed_table(spark, tmp_path):
+    # the live-table read path: stream-maintained SCD2 + batch facts
+    # enrichment ≡ batch scd2_point_in_time over the full update log
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.process import (
+        scd2_point_in_time,
+        scd2_point_in_time_from,
+    )
+
+    table = str(tmp_path / "scd2_pit")
+    for i, rows in enumerate(ROWS):
+        cdc.scd2_apply_batch(_batch_df(spark, rows), i, table)
+    cdc.scd2_compact(spark, table)  # reads also work across a compact
+    facts = spark.createDataFrame(
+        [
+            (1, "2026-01-01T09:30:00", 10),   # between v1(08:00) and v2(10:00)
+            (1, "2026-01-01T23:00:00", 11),   # current version
+            (2, "2026-01-01T08:59:00", 12),   # before first version -> NULLs
+            (3, "2026-01-01T11:00:00", 13),   # exactly at valid_from
+        ],
+        "user_id long, ts string, fact_id long",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "fact_id")
+    live = cdc.read_scd2(spark, table).drop("kb")
+    got = scd2_point_in_time_from(live, facts)
+    all_updates = _batch_df(spark, [r for batch in ROWS for r in batch])
+    want = scd2_point_in_time(all_updates, facts)
+    key = lambda df: {
+        (r.fact_id): (r.user_id, r.dim_version, r.score) for r in df.collect()
+    }
+    assert key(got) == key(want)
+    assert key(got)[10] == (1, 1, 0.5)
+    assert key(got)[12] == (2, None, None)
