@@ -221,22 +221,42 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
-def price_quantiles(lineitem: DataFrame) -> DataFrame:
-    """Exact interpolated quantiles of extendedprice per returnflag — the
-    distribution statistics a quality/outlier filter needs. Exact
-    ``percentile`` (not approx) so the oracle matches bit-for-bit after
-    rounding; at 100 TB you'd swap in approx_percentile and accept the
-    documented error bound."""
-    pct = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+#: Greenwald-Khanna sketch accuracy for the approx-percentile scale
+#: variants: the sketch is fixed-size (O(accuracy) per group, partial-
+#: aggregated map-side and MERGED across partitions — no reducer ever
+#: buffers raw values), and below `accuracy` rows it stores every sample,
+#: so its answer is EXACTLY the discrete percentile (value at rank
+#: ceil(p·n)) — which is what lets the DuckDB oracle (quantile_disc)
+#: hash-match the scale variants at gate SF while the same plan degrades
+#: gracefully (rank error ≤ n/accuracy) at 100 TB.
+PCTL_ACCURACY = 1_000_000
+
+
+def price_quantiles(lineitem: DataFrame, exact: bool = False) -> DataFrame:
+    """Quantiles of extendedprice per returnflag — the distribution
+    statistics a quality/outlier filter needs.
+
+    Default (``exact=False``) is the scale path: ``approx_percentile``
+    with a mergeable fixed-size GK sketch — bounded memory per group,
+    map-side partial aggregation, no reducer buffers the column. The
+    discrete semantics (value at rank ceil(p·n)) are engine-exact below
+    ``PCTL_ACCURACY`` rows per group, so the variant is oracle-checked
+    against DuckDB ``quantile_disc``. ``exact=True`` keeps the
+    interpolated ``percentile`` reference (buffers each group's values
+    on its reducer — the accuracy baseline, not the 100 TB plan)."""
+    src = "l_extendedprice" if exact else "CAST(l_extendedprice AS DOUBLE)"
+    fn = "percentile" if exact else f"approx_percentile"
+    acc = "" if exact else f", {PCTL_ACCURACY}"
+    pct = F.expr(f"{fn}({src}, array(0.25D, 0.5D, 0.75D, 0.95D){acc})")
     return (
         lineitem.groupBy("l_returnflag")
         .agg(pct.alias("q"))
         .select(
             "l_returnflag",
-            F.round(F.col("q")[0], 4).alias("p25"),
-            F.round(F.col("q")[1], 4).alias("p50"),
-            F.round(F.col("q")[2], 4).alias("p75"),
-            F.round(F.col("q")[3], 4).alias("p95"),
+            F.round(F.col("q")[0].cast("double"), 4).alias("p25"),
+            F.round(F.col("q")[1].cast("double"), 4).alias("p50"),
+            F.round(F.col("q")[2].cast("double"), 4).alias("p75"),
+            F.round(F.col("q")[3].cast("double"), 4).alias("p95"),
         )
     )
 
@@ -1097,7 +1117,9 @@ def q21_waiting_suppliers(
     )
 
 
-def key_skew_report(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+def key_skew_report(
+    df: DataFrame, key_col: str = "user_id", exact: bool = False
+) -> DataFrame:
     """Key-distribution diagnostic — the number every shuffle-sizing and
     salting decision in this engine starts from: per-key row counts
     reduced to (n_rows, n_keys, mean_rows_per_key, max_key_rows,
@@ -1109,12 +1131,23 @@ def key_skew_report(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     Plan: ONE map-side-combined groupBy on the key (hot keys combine
     before the shuffle, so the report itself survives the skew it
     measures), then a single 1-row aggregate over the per-key counts.
-    The exact `percentile` buffers the |keys| counts on one reducer —
-    same documented trade as the exact grouped quantiles (17e): swap to
-    `approx_percentile` beyond ~10^8 keys, everything else unchanged.
+    Default (``exact=False``) computes the rows-per-key percentiles with
+    the fixed-size mergeable ``approx_percentile`` sketch (discrete
+    value-at-rank semantics, engine-exact below ``PCTL_ACCURACY`` keys —
+    oracle-checked against quantile_disc) so the 1-row reduce never
+    buffers |keys| values; ``exact=True`` keeps the interpolated
+    ``percentile`` reference, which does buffer every per-key count on
+    one reducer — the accuracy baseline, not the >10⁸-key plan.
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    pct = F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+    if exact:
+        pct = F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+    else:
+        pct = F.expr(
+            "transform("
+            f"approx_percentile(n, array(0.5D, 0.9D, 0.99D), {PCTL_ACCURACY}),"
+            " x -> CAST(x AS DOUBLE))"
+        )
     return counts.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),

@@ -98,23 +98,32 @@ def kmv_distinct_tokens(
 QSK_K = 1024
 
 
-def quantile_sketch_prices(lineitem: DataFrame, k: int = QSK_K) -> DataFrame:
+def quantile_sketch_prices(
+    lineitem: DataFrame, k: int = QSK_K, exact: bool = True
+) -> DataFrame:
     """Quartiles of l_extendedprice from a deterministic hash sample,
-    reported next to the exact quartiles so the error is visible.
+    reported next to a full-column reference leg so the error is visible.
 
     The sample is the ``k`` rows with the smallest md5 hash of the row key
     (orderkey, linenumber) — a uniform random sample that is FIXED across
     runs, partitionings, and engines, selected by one TakeOrdered pass
     (distributed per-partition heaps, k rows to the driver side of the
     plan; no global sort). Quantile interpolation then runs on k rows.
-    The exact leg — ``percentile`` over every row — is the global-sort-
-    sized cost the sketch avoids at 100 TB; it is computed here as the
-    oracle-checked accuracy reference (cf. analytics.price_quantiles'
-    approx_percentile swap note).
+
+    The reference leg has two variants: ``exact=True`` (the interpolated
+    ``percentile`` over every row — buffers the column on one reducer,
+    kept as the oracle-checked accuracy baseline) and ``exact=False``
+    (the scale twin: mergeable fixed-size ``approx_percentile``, bounded
+    memory at any corpus size, discrete value-at-rank semantics that are
+    engine-exact below ``analytics.PCTL_ACCURACY`` rows, so the twin is
+    itself oracle-checked against DuckDB ``quantile_disc``; columns named
+    ``ref_p*``).
     """
-    # the hash rides only on the sample leg — the exact leg reads price
-    # alone (no per-row md5), and each leg computes all three quartiles
-    # through ONE percentile buffer (array percentage), not three
+    from .analytics import PCTL_ACCURACY
+
+    # the hash rides only on the sample leg — the reference leg reads
+    # price alone (no per-row md5), and each leg computes all three
+    # quartiles through ONE percentile buffer (array percentage), not 3
     quartiles = F.percentile("price", F.lit([0.25, 0.50, 0.75]))
     keyed = spread(lineitem).select(
         F.col("l_extendedprice").cast("double").alias("price"),
@@ -128,17 +137,24 @@ def quantile_sketch_prices(lineitem: DataFrame, k: int = QSK_K) -> DataFrame:
         F.round(F.col("q")[1], 4).alias("est_p50"),
         F.round(F.col("q")[2], 4).alias("est_p75"),
     )
-    exact = (
+    if exact:
+        ref_q, prefix = quartiles, "exact"
+    else:
+        ref_q = F.expr(
+            f"approx_percentile(price, array(0.25D, 0.5D, 0.75D), {PCTL_ACCURACY})"
+        )
+        prefix = "ref"
+    ref = (
         spread(lineitem)
         .select(F.col("l_extendedprice").cast("double").alias("price"))
-        .agg(quartiles.alias("q"))
+        .agg(ref_q.alias("q"))
         .select(
-            F.round(F.col("q")[0], 4).alias("exact_p25"),
-            F.round(F.col("q")[1], 4).alias("exact_p50"),
-            F.round(F.col("q")[2], 4).alias("exact_p75"),
+            F.round(F.col("q")[0], 4).alias(f"{prefix}_p25"),
+            F.round(F.col("q")[1], 4).alias(f"{prefix}_p50"),
+            F.round(F.col("q")[2], 4).alias(f"{prefix}_p75"),
         )
     )
-    return est.crossJoin(F.broadcast(exact))
+    return est.crossJoin(F.broadcast(ref))
 
 
 def _cms_buckets(col: F.Column, depth: int, width: int) -> F.Column:

@@ -1514,7 +1514,9 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.price_quantiles(load_table(spark, sf_dir, "lineitem"))
+    return analytics.price_quantiles(
+        load_table(spark, sf_dir, "lineitem"), exact=True
+    )
 
 
 SQL_PRICE_QUANTILES = """
@@ -3969,8 +3971,10 @@ ORACLE["image_decode"] = SQL_IMAGE_DECODE
 
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
-    (operators.analytics.key_skew_report)."""
-    return analytics.key_skew_report(load_table(spark, sf_dir, "events"))
+    (operators.analytics.key_skew_report), exact-percentile reference."""
+    return analytics.key_skew_report(
+        load_table(spark, sf_dir, "events"), exact=True
+    )
 
 
 SQL_EVENTS_KEY_SKEW = """
@@ -3988,6 +3992,93 @@ FROM c
 
 QUERIES["events_key_skew"] = q_events_key_skew
 ORACLE["events_key_skew"] = SQL_EVENTS_KEY_SKEW
+
+
+# ---------------------------------------------------------------------------
+# approx-percentile scale twins (r6): the registered forms whose reduce
+# never buffers a column on one reducer — approx_percentile's mergeable
+# fixed-size GK sketch replaces the exact percentile's value buffer. The
+# sketch's discrete value-at-rank answer is engine-exact below
+# analytics.PCTL_ACCURACY rows, which is what makes the twins themselves
+# oracle-checkable (DuckDB quantile_disc) rather than rows-only. The
+# exact variants stay registered as the accuracy references.
+# ---------------------------------------------------------------------------
+
+
+def q_price_quantiles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped price quantiles, approx_percentile scale path
+    (operators.analytics.price_quantiles, exact=False)."""
+    return analytics.price_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICE_QUANTILES_SCALED = """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice::DOUBLE, 0.25), 4) AS p25,
+       round(quantile_disc(l_extendedprice::DOUBLE, 0.50), 4) AS p50,
+       round(quantile_disc(l_extendedprice::DOUBLE, 0.75), 4) AS p75,
+       round(quantile_disc(l_extendedprice::DOUBLE, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_events_key_skew_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic, approx_percentile scale path
+    (operators.analytics.key_skew_report, exact=False)."""
+    return analytics.key_skew_report(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_KEY_SKEW_SCALED = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
+SELECT sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       round(sum(n) / count(*), 6) AS mean_rows_per_key,
+       max(n)::BIGINT AS max_key_rows,
+       round(max(n) * count(*) / sum(n), 6) AS skew_factor,
+       round(quantile_disc(n, 0.5)::DOUBLE, 4) AS p50,
+       round(quantile_disc(n, 0.9)::DOUBLE, 4) AS p90,
+       round(quantile_disc(n, 0.99)::DOUBLE, 4) AS p99
+FROM c
+"""
+
+
+def q_price_quantile_sketch_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sample quantile estimates vs the approx_percentile reference
+    leg (operators.sketches.quantile_sketch_prices, exact=False)."""
+    return sketches.quantile_sketch_prices(
+        load_table(spark, sf_dir, "lineitem"), exact=False
+    )
+
+
+SQL_PRICE_QUANTILE_SKETCH_SCALED = f"""
+WITH keyed AS (
+  SELECT l_extendedprice::DOUBLE AS price,
+         {_HEX64.format(expr="l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} AS h
+  FROM lineitem
+),
+sample AS (SELECT price FROM keyed ORDER BY h, price LIMIT {sketches.QSK_K}),
+est AS (
+  SELECT round(quantile_cont(price, 0.25), 4) AS est_p25,
+         round(quantile_cont(price, 0.50), 4) AS est_p50,
+         round(quantile_cont(price, 0.75), 4) AS est_p75
+  FROM sample
+),
+ref AS (
+  SELECT round(quantile_disc(price, 0.25), 4) AS ref_p25,
+         round(quantile_disc(price, 0.50), 4) AS ref_p50,
+         round(quantile_disc(price, 0.75), 4) AS ref_p75
+  FROM keyed
+)
+SELECT est_p25, est_p50, est_p75, ref_p25, ref_p50, ref_p75
+FROM est CROSS JOIN ref
+"""
+
+QUERIES["price_quantiles_scaled"] = q_price_quantiles_scaled
+ORACLE["price_quantiles_scaled"] = SQL_PRICE_QUANTILES_SCALED
+QUERIES["events_key_skew_scaled"] = q_events_key_skew_scaled
+ORACLE["events_key_skew_scaled"] = SQL_EVENTS_KEY_SKEW_SCALED
+QUERIES["price_quantile_sketch_scaled"] = q_price_quantile_sketch_scaled
+ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 
 
 # ---------------------------------------------------------------------------

@@ -427,3 +427,28 @@ def test_rag_retrieve_probe_broadcasts_and_no_row_python(dfs):
     import re as _re
 
     assert len(_re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_percentile_scale_twins_use_mergeable_sketch(dfs):
+    """The *_scaled percentile variants must plan approx_percentile's
+    fixed-size mergeable sketch — never the exact `percentile` whose
+    final reduce buffers every value of the column (or of the per-key
+    counts) on a single reducer. The exact reference variants keep
+    `percentile` by design."""
+    import re
+
+    exact_pctl = re.compile(r"(?<!approx_)percentile\(")
+    for name in (
+        "price_quantiles_scaled",
+        "events_key_skew_scaled",
+    ):
+        plan = checks.plan_string(dfs[name])
+        assert "approx_percentile" in plan, (name, plan)
+        assert not exact_pctl.search(plan), (name, plan)
+    # the sketch twin's REFERENCE leg is approx; its est leg interpolates
+    # over the fixed k-row sample (bounded by construction), which is the
+    # one place plain percentile may appear
+    plan = checks.plan_string(dfs["price_quantile_sketch_scaled"])
+    assert "approx_percentile" in plan, plan
+    # exact references unchanged
+    assert exact_pctl.search(checks.plan_string(dfs["price_quantiles"]))
