@@ -801,6 +801,269 @@ def embedding_quantize(
     )
 
 
+#: product-quantization geometry: PQ_M sub-quantizers over
+#: EMBEDDING_DIM/PQ_M-dim sub-vectors, PQ_KSUB codewords each. Codes are
+#: PQ_M small ints per vector (4 bits each at ksub=16) — a ~128× cut vs
+#: the float64 corpus, the next faiss deployment tier after SQ8's 8×.
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def _seq_sqdist(A: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """All-pairs squared L2 distances accumulated dimension-by-dimension
+    in index order — the same IEEE left-fold chain the DuckDB oracle's
+    ``(a[i]-c[i])² + …`` expression computes, so nearest-codeword
+    assignment ties out bit-for-bit (cf. ``_seq_dot``)."""
+    acc = np.zeros((A.shape[0], C.shape[0]))
+    for i in range(A.shape[1]):
+        d = A[:, i, None] - C[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _lloyd_l2(V: "np.ndarray", k: int, iters: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic Lloyd under squared-L2 (PQ sub-quantizers train on
+    L2, unlike the cosine coarse quantizer): seeds are the first ``k``
+    sample rows, argmin ties break to the lowest codeword index, empty
+    cells drop — the ``_lloyd`` contract with the PQ metric."""
+    n_seed = min(k, len(V))
+    C = V[:n_seed].copy()
+    ids = np.arange(n_seed, dtype=np.int64)
+    for _ in range(iters):
+        a = _seq_sqdist(V, C).argmin(axis=1)
+        keep, new_c = [], []
+        for j in range(len(C)):
+            members = V[a == j]
+            if len(members):
+                keep.append(j)
+                new_c.append(members.mean(axis=0))
+        C = np.array(new_c)
+        ids = ids[keep]
+    return ids, C
+
+
+def _pq_train_np(
+    V: "np.ndarray", m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 3
+) -> list[tuple["np.ndarray", "np.ndarray"]]:
+    """Train the ``m`` sub-quantizer codebooks on an already-ordered
+    sample matrix — one ``_lloyd_l2`` per contiguous sub-vector slice.
+    Factored out (like ``_lloyd``) so the DuckDB oracle builder trains
+    bit-identical codebooks from the identically-ordered parquet sample
+    and folds them into SQL as literals."""
+    if V.shape[1] % m:
+        raise ValueError(f"dim {V.shape[1]} not divisible by m={m}")
+    dsub = V.shape[1] // m
+    return [
+        _lloyd_l2(V[:, s * dsub : (s + 1) * dsub], ksub, iters)
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = IVF_TRAIN_CAP,
+) -> DataFrame:
+    """Train product-quantization codebooks on the same deterministic
+    hash-ordered sample the IVF coarse quantizer trains on (one
+    TakeOrdered pass; Lloyd runs driver-side on m × ksub × dsub doubles —
+    a few KB). Returns (subspace, code_id, codeword array<double>) —
+    m·ksub rows, always broadcastable; at 100 TB this is the persisted
+    artifact every encode task ships in its closure, exactly like the
+    faiss ``ProductQuantizer`` object."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            hex_hash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(train_cap)
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    schema = "subspace long, code_id long, codeword array<double>"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    books = _pq_train_np(V, m, ksub, iters)
+    return spark.createDataFrame(
+        [
+            (int(s), int(cid), [float(x) for x in cw])
+            for s, (ids, C) in enumerate(books)
+            for cid, cw in zip(ids, C)
+        ],
+        schema,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest sub-codeword ids — one
+    Arrow ``mapInPandas`` pass with the (tiny) codebooks in the task
+    closure: no join, no shuffle, the encode streams off the scan at any
+    corpus size (the ``_assign`` pattern). Nearest is sequential-fold
+    squared L2 with ties to the lowest code id — bit-identical to the
+    oracle's expression replay. Output: (id_col, codes array<int>)."""
+    books = _collect_codebooks(codebooks)
+    dsub = books[0][1].shape[1]
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            parts = [
+                ids[_seq_sqdist(V[:, s * dsub : (s + 1) * dsub], C).argmin(axis=1)]
+                for s, (ids, C) in enumerate(books)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [
+                        [int(parts[s][r]) for s in range(len(books))]
+                        for r in range(len(V))
+                    ],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode_batches, f"{id_col} long, codes array<int>"
+    )
+
+
+def _collect_codebooks(codebooks: DataFrame) -> list[tuple["np.ndarray", "np.ndarray"]]:
+    """(code_ids, codeword matrix) per subspace, in subspace order."""
+    rows = codebooks.orderBy("subspace", "code_id").collect()
+    out: dict[int, tuple[list, list]] = {}
+    for r in rows:
+        out.setdefault(int(r.subspace), ([], []))
+        out[int(r.subspace)][0].append(int(r.code_id))
+        out[int(r.subspace)][1].append(list(r.codeword))
+    return [
+        (np.array(out[s][0], dtype=np.int64), np.array(out[s][1], dtype=np.float64))
+        for s in sorted(out)
+    ]
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Decode PQ codes back to approximate vectors (codeword
+    concatenation) — the probe-side dequantization. Same closure-shipped
+    Arrow pass as the encode; no join against the code table's size.
+    Output: (id_col, rv array<double>)."""
+    books = _collect_codebooks(codebooks)
+    lut = [
+        {int(i): C[j] for j, i in enumerate(ids)} for ids, C in books
+    ]
+
+    def decode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rv": [
+                        [float(x) for s, c in enumerate(cs) for x in lut[s][c]]
+                        for cs in pdf["codes"]
+                    ],
+                }
+            )
+
+    return codes.select(id_col, "codes").mapInPandas(
+        decode_batches, f"{id_col} long, rv array<double>"
+    )
+
+
+def ivf_pq_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Probe quality of the product-quantized inverted file — the faiss
+    IVFPQ deployment shape, graded exactly like ``ivf_sq8_recall``: the
+    coarse quantizer and bucket layout are the float index's (compression
+    changes stored codes, not geometry), the inverted file stores m-byte
+    PQ codes (~128× smaller than float64 — the tier past SQ8's 8×),
+    queries stay float, in-bucket ranking runs on reconstructed vectors,
+    and the report compares the PQ probe's top-k against the float
+    probe's top-k from the SAME index, plus the decimal-summed
+    reconstruction MSE. Deterministic end to end (sample-trained
+    codebooks, fold-chain distances, lowest-id ties) — recall itself is
+    oracle-checked with the codebooks folded into SQL as literals.
+
+    Output (1 row): n_queries, k, n_float, n_overlap, recall, mean_mse.
+    """
+    d = "double"
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    books = pq_train(embeddings, m, ksub)
+    recon = pq_reconstruct(pq_encode(embeddings, books), books)
+    inv_pq = assignments.select("vid", "centroid_id").join(
+        recon.select(F.col("vec_id").alias("vid"), F.col("rv").alias("cv")),
+        "vid",
+    )
+    top_q = ivf_probe(centroids, inv_pq, queries, k, nprobe)
+
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_q.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    # per-vector MSE between original and reconstruction: left-fold over
+    # dims (zip_with + aggregate — the JVM chain), rounded then summed in
+    # DECIMAL for order-independence, like ivf_sq8_recall's mean_mse
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("rv"),
+        lambda x, r: (x.cast(d) - r) * (x.cast(d) - r),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, v: a + v) / F.size(
+        F.col("embedding")
+    )
+    ms = (
+        embeddings.select("vec_id", "embedding")
+        .join(recon, "vec_id")
+        .select(F.round(mse, 6).cast("decimal(18,6)").alias("m"))
+        .agg((F.sum("m") / F.count(F.lit(1))).alias("mean_mse"))
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return (
+        base.crossJoin(hits)
+        .crossJoin(ms)
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "n_float",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
+        )
+    )
+
+
 def rag_retrieve(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -1456,10 +1456,167 @@ FROM base CROSS JOIN ov CROSS JOIN ms
 QUERIES["ann_sq8_recall"] = q_ann_sq8_recall
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized inverted-file probe quality
+    (operators.similarity.ivf_pq_recall): m-byte PQ codes (~128× smaller
+    than the float64 corpus), float queries, recall vs the float probe of
+    the same index — deterministic, so recall is oracle-checked with the
+    trained codebooks folded into SQL as literals."""
+    return similarity.ivf_pq_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_codebook_values(sf_dir: str) -> str | None:
+    """Train the PQ codebooks for ``sf_dir`` and render them as a SQL
+    VALUES body — the codebook twin of ``_ivf_centroid_values``: same
+    hash-ordered DuckDB sample, same numpy training function
+    (``similarity._pq_train_np``), so codewords are bit-identical."""
+    import duckdb
+
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id "
+            f"LIMIT {similarity.IVF_TRAIN_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    books = similarity._pq_train_np(V, similarity.PQ_M, similarity.PQ_KSUB, iters=3)
+    return ",\n    ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, int(cid), ", ".join(repr(float(x)) for x in cw)
+        )
+        for s, (ids, C) in enumerate(books)
+        for cid, cw in zip(ids, C)
+    )
+
+
+def _pq_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_pq_recall``: float probe CTEs are the
+    ``_ivf_oracle_sql`` fragments; the compressed side replays the PQ
+    encode (argmin over codeword literals of the left-assoc squared-L2
+    chain, ties to lowest code id), reconstructs by ordered codeword
+    concatenation, and ranks on cosines over the reconstructed lists."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    book_rows = _pq_codebook_values(sf_dir)
+    if cent_rows is None or book_rows is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall, 0.0 AS mean_mse "
+            "FROM embeddings WHERE FALSE"
+        )
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    # left-assoc squared-L2 chain between the vector's subspace slice and
+    # a codeword literal — the _seq_sqdist fold, term by term
+    sqdist = " + ".join(
+        f"(e.embedding[b.subspace*{dsub} + {i}]::DOUBLE - b.cw[{i}])"
+        f" * (e.embedding[b.subspace*{dsub} + {i}]::DOUBLE - b.cw[{i}])"
+        for i in range(1, dsub + 1)
+    )
+    dim = similarity.EMBEDDING_DIM
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+pqc(subspace, code_id, cw) AS (VALUES
+    {book_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored_f AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f
+  ) WHERE rk <= 5
+),
+codes AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT e.vec_id, b.subspace, b.code_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id, b.subspace
+             ORDER BY {sqdist}, b.code_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN pqc b
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(p.cw ORDER BY c.subspace)) AS rv
+  FROM codes c JOIN pqc p USING (subspace, code_id)
+  GROUP BY c.vec_id
+),
+mses AS (
+  SELECT e.vec_id,
+         list_reduce(
+           list_transform(range(1, {dim} + 1),
+             i -> (e.embedding[i]::DOUBLE - r.rv[i]) * (e.embedding[i]::DOUBLE - r.rv[i])),
+           (a, b) -> a + b) / {dim} AS mse
+  FROM embeddings e JOIN recon r USING (vec_id)
+),
+apq AS (
+  SELECT a.vec_id, a.centroid_id, r.rv FROM assigned a JOIN recon r USING (vec_id)
+),
+scored_q AS (
+  SELECT p.query_id, apq.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='apq.rv')} AS cosine
+  FROM probes p JOIN apq USING (centroid_id)
+  WHERE p.query_id <> apq.vec_id
+),
+topq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_q
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
+ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM mses)
+SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall,
+       round(mean_mse::DOUBLE, 9) AS mean_mse
+FROM base CROSS JOIN ov CROSS JOIN ms
+"""
+
+
+QUERIES["ann_pq_recall"] = q_ann_pq_recall
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
     "ann_sq8_recall": _sq8_oracle_sql,
+    "ann_pq_recall": _pq_oracle_sql,
 }
 
 

@@ -289,3 +289,43 @@ def test_embedding_quantize_reconstruction_error_small_on_corpus(spark, sf_dir):
     # int8 quantization must reconstruct within ~1e-4 MSE on unit-ish vectors
     assert out.filter(F.col("mse") > 1e-4).count() == 0
     assert not out.filter(F.col("scale") <= 0).head(1)
+
+
+def test_pq_encode_reconstruct_contract(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb)
+    brows = books.collect()
+    # m subspaces, <= ksub codewords each, dsub-wide codewords
+    assert {r.subspace for r in brows} == set(range(similarity.PQ_M))
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    assert all(len(r.codeword) == dsub for r in brows)
+    codes = similarity.pq_encode(emb, books)
+    valid = {(r.subspace, r.code_id) for r in brows}
+    for r in codes.limit(50).collect():
+        assert len(r.codes) == similarity.PQ_M
+        assert all((s, c) in valid for s, c in enumerate(r.codes))
+    # reconstruction is the exact codeword concatenation (lossy vs the
+    # input, but exact vs the codebook): every rv must itself re-encode
+    # to the same codes (idempotent quantization cell membership)
+    recon = similarity.pq_reconstruct(codes, books)
+    again = similarity.pq_encode(
+        recon.select("vec_id", F.col("rv").alias("embedding")), books
+    )
+    joined = codes.alias("a").join(again.alias("b"), "vec_id").filter(
+        F.col("a.codes") != F.col("b.codes")
+    )
+    assert not joined.head(1)
+    # determinism: retrain gives identical codebooks
+    again_books = similarity.pq_train(emb)
+    assert sorted(map(tuple, books.collect())) == sorted(
+        map(tuple, again_books.collect())
+    )
+
+
+def test_ivf_pq_recall_report_shape(spark, sf_dir):
+    row = similarity.ivf_pq_recall(load_table(spark, sf_dir, "embeddings")).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_float == r.n_queries * r.k
+    assert 0.0 <= r.recall <= 1.0
+    assert r.mean_mse > 0  # PQ at 128x on random vectors is lossy
