@@ -129,6 +129,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing single whitespace after maxval")
     pos += 1  # exactly ONE whitespace separates header and raster
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        # a 0×0 "image" would pass the raster-length check (0 == 0*0*3)
+        # and then divide by zero pixels downstream — reject it here so
+        # it routes as a decode error, not a NaN row
+        raise ValueError(f"non-positive dimensions {width}x{height}")
     if not (0 < maxval < 65536):
         raise ValueError(f"maxval {maxval} out of range")
     if maxval > 255:
@@ -218,6 +223,184 @@ def with_ppm_payload(documents: DataFrame) -> DataFrame:
                 raw = (text or "").encode("utf-8") or b"\x00"
                 tiled = (raw * (need // len(raw) + 1))[:need]
                 payloads.append(encode_ppm(PPM_TILE_W, PPM_TILE_H, tiled))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio tier: real WAV (RIFF/PCM-16) decode behind the same Arrow contract
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_wav(n_channels: int, sample_rate: int, pcm: bytes) -> bytes:
+    """Serialize a canonical RIFF/WAVE container around 16-bit PCM frames
+    (interleaved little-endian) — the test-vector generator for the real
+    audio decode below, like ``encode_ppm`` for images."""
+    if len(pcm) % (2 * n_channels):
+        raise ValueError(
+            f"pcm is {len(pcm)} bytes, not a whole number of "
+            f"{n_channels}-channel 16-bit frames"
+        )
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, "bytes"]:
+    """A REAL (pure-python) RIFF/WAVE parser: magic, form type, chunk
+    walk (even-padded per RIFF), ``fmt `` validation, ``data`` extraction.
+    Returns (n_channels, sample_rate, pcm bytes). Raises
+    UnsupportedCodecError for a non-RIFF magic or a non-PCM-16 encoding
+    (the path a compressed codec — MP3/AAC — would take in this build)
+    and ValueError for a malformed container."""
+    if payload[:4] != b"RIFF":
+        raise UnsupportedCodecError(
+            f"unsupported codec magic {payload[:4]!r} (only RIFF/WAVE)"
+        )
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("RIFF without WAVE form type")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # chunks are even-padded
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk too short")
+    audio_format, n_channels, sample_rate, _br, block_align, bits = (
+        struct.unpack("<HHIIHH", fmt[:16])
+    )
+    if audio_format != 1:
+        raise UnsupportedCodecError(
+            f"compressed audio format {audio_format} not supported (PCM only)"
+        )
+    if bits != 16:
+        raise UnsupportedCodecError(f"{bits}-bit PCM not supported (16 only)")
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError(
+            f"non-positive channels/rate {n_channels}/{sample_rate}"
+        )
+    if block_align != 2 * n_channels:
+        raise ValueError(f"block_align {block_align} != {2 * n_channels}")
+    if len(data) % block_align:
+        raise ValueError(
+            f"data chunk {len(data)} bytes is not whole {block_align}-byte frames"
+        )
+    if not data:
+        raise ValueError("empty data chunk")
+    return n_channels, sample_rate, data
+
+
+AUDIO_DECODED_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate long, n_frames long, "
+    "duration_s double, rms_l double, rms_r double, err string"
+)
+
+
+def decode_audio(media: DataFrame, on_error: str = "route") -> DataFrame:
+    """Decode the payload column as RIFF/PCM-16 WAV and emit per-channel
+    RMS + duration — the audio twin of ``decode_image``, same Arrow
+    ``mapInPandas`` contract (columnar batches, bounded memory, partition
+    preserved, no shuffle). RMS uses integer sums of squares (exact,
+    order-independent; ≤2³¹ samples of int16 fit int64) divided once,
+    sqrt'd (IEEE-exact), rounded half-away at 1e-6 — so the oracle
+    replays it bit-for-bit. Mono payloads report rms_r NULL.
+
+    ``on_error='route'`` turns undecodable payloads into rows with NULL
+    stats and the message in ``err``; ``on_error='raise'`` propagates.
+    """
+    import numpy as np
+
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "n_channels", "sample_rate", "n_frames",
+            "duration_s", "rms_l", "rms_r", "err",
+        )
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", *cols)}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    nch, rate, data = _decode_wav(bytes(buf))
+                    a = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    n_frames = len(a) // nch
+                    rms = []
+                    for ch in range(min(nch, 2)):
+                        s = a[ch::nch]
+                        r = float(np.sqrt(int((s * s).sum()) / len(s)))
+                        rms.append(float(np.floor(r * 1e6 + 0.5) / 1e6))
+                    dur = float(
+                        np.floor(n_frames / rate * 1e6 + 0.5) / 1e6
+                    )
+                    vals = [
+                        nch, rate, n_frames, dur,
+                        rms[0], rms[1] if nch > 1 else None, None,
+                    ]
+                except (UnsupportedCodecError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    vals = [None] * 6 + [str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_DECODED_SCHEMA)
+
+
+WAV_CHANNELS = 2
+WAV_RATE = 8000
+WAV_FRAMES = 256
+
+
+def with_wav_payload(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV test corpus: synthesize each doc's utf-8 text
+    into 256 stereo PCM-16 frames (sample = byte-code·256 − 16384, tiled
+    over the text) and wrap with ``encode_wav`` — real decodable audio
+    payloads for exercising ``decode_audio`` end to end, the
+    ``with_ppm_payload`` recipe. Empty texts synthesize from a single
+    zero byte (constant −16384 samples)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = WAV_FRAMES * WAV_CHANNELS
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8") or b"\x00"
+                codes = np.frombuffer(
+                    (raw * (need // len(raw) + 1))[:need], dtype=np.uint8
+                )
+                # int32 intermediate: byte codes are ASCII (≤127) in this
+                # corpus so values fit int16, but never overflow silently
+                pcm = (codes.astype(np.int32) * 256 - 16384).astype("<i2")
+                payloads.append(
+                    encode_wav(WAV_CHANNELS, WAV_RATE, pcm.tobytes())
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return documents.select("doc_id", "text").mapInPandas(

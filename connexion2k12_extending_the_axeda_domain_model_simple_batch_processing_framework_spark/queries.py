@@ -4126,6 +4126,52 @@ QUERIES["image_decode"] = q_image_decode
 ORACLE["image_decode"] = SQL_IMAGE_DECODE
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the multimodal tier
+    (operators.multimodal.decode_audio): synthesize each doc's text into
+    256 stereo PCM-16 frames in a RIFF/WAVE container
+    (``with_wav_payload``), then parse it back with the pure-python RIFF
+    decoder and emit per-channel RMS + duration. The oracle replays the
+    sample synthesis over character codes (corpus text is ASCII, same
+    argument as ``image_decode``) and the integer sum-of-squares RMS."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.with_wav_payload(docs))
+
+
+_WAV_PCM = 256 * 2  # frames × channels
+
+SQL_AUDIO_DECODE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_WAV_PCM})) AS p FROM nz),
+samples AS (
+  SELECT doc_id, (p % 2)::INT AS ch,
+         (unicode(substr(raw, ((p % n) + 1)::INT, 1)) * 256 - 16384)::BIGINT AS s
+  FROM pos
+),
+agg AS (SELECT doc_id, ch, sum(s * s)::BIGINT AS ss FROM samples GROUP BY 1, 2),
+rms AS (
+  SELECT doc_id,
+         max(CASE WHEN ch = 0 THEN floor(sqrt(ss / {_WAV_PCM // 2}.0) * 1e6 + 0.5) / 1e6 END) AS rms_l,
+         max(CASE WHEN ch = 1 THEN floor(sqrt(ss / {_WAV_PCM // 2}.0) * 1e6 + 0.5) / 1e6 END) AS rms_r
+  FROM agg GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, 2::BIGINT AS n_channels,
+       8000::BIGINT AS sample_rate, 256::BIGINT AS n_frames,
+       0.032 AS duration_s, rms_l, rms_r, NULL::VARCHAR AS err
+FROM rms
+UNION ALL
+SELECT doc_id::BIGINT, 2::BIGINT, 8000::BIGINT, 256::BIGINT,
+       0.032, 16384.0, 16384.0, NULL::VARCHAR
+FROM d WHERE length(raw) = 0
+"""
+
+QUERIES["audio_decode"] = q_audio_decode
+ORACLE["audio_decode"] = SQL_AUDIO_DECODE
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
     (operators.analytics.key_skew_report), exact-percentile reference."""

@@ -77,3 +77,94 @@ def test_decode_image_is_arrow_no_shuffle(spark):
     assert not checks.uses_python_eval(df)
     assert checks.uses_arrow_eval(df)
     assert checks.count_shuffle_exchanges(df) == 0
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_ppm_decoder_rejects_zero_dimensions(spark):
+    # 0x0 passes the raster-length check (0 == 0*0*3) but must route as a
+    # decode error, not divide by zero pixels downstream
+    with pytest.raises(ValueError, match="non-positive"):
+        mm._decode_ppm(b"P6\n0 0\n255\n")
+    df = mm.decode_image(_media(spark, [(1, b"P6\n0 0\n255\n")]))
+    row = df.collect()[0]
+    assert row.err is not None and row.mean_r is None
+
+
+def test_wav_header_roundtrip_pure_python():
+    import numpy as np
+
+    pcm = np.arange(-8, 8, dtype="<i2").tobytes()  # 8 stereo frames
+    payload = mm.encode_wav(2, 8000, pcm)
+    nch, rate, data = mm._decode_wav(payload)
+    assert (nch, rate) == (2, 8000)
+    assert data == pcm
+
+
+def test_wav_decoder_rejects_malformed_and_unsupported():
+    import struct
+
+    pcm = b"\x00\x00" * 8
+    good = mm.encode_wav(1, 8000, pcm)
+    with pytest.raises(mm.UnsupportedCodecError):
+        mm._decode_wav(b"\xff\xd8\xff\xe0" + good[4:])  # JPEG magic
+    with pytest.raises(ValueError):
+        mm._decode_wav(good[:-3])  # truncated data chunk
+    with pytest.raises(ValueError):
+        mm._decode_wav(good[:10])  # no WAVE form type
+    # a non-PCM (compressed) format code routes as unsupported
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # audio_format = IEEE float
+    with pytest.raises(mm.UnsupportedCodecError):
+        mm._decode_wav(bytes(bad_fmt))
+    # 8-bit PCM
+    b8 = bytearray(good)
+    b8[34] = 8
+    with pytest.raises(mm.UnsupportedCodecError):
+        mm._decode_wav(bytes(b8))
+    # empty data chunk
+    with pytest.raises(ValueError, match="empty data"):
+        mm._decode_wav(mm.encode_wav(2, 8000, b""))
+
+
+def test_decode_audio_end_to_end_rms(spark):
+    import numpy as np
+
+    # known samples: L channel constant 1000, R channel constant -2000
+    frames = 64
+    pcm = np.empty(frames * 2, dtype="<i2")
+    pcm[0::2] = 1000
+    pcm[1::2] = -2000
+    stereo = mm.encode_wav(2, 16000, pcm.tobytes())
+    mono = mm.encode_wav(1, 8000, np.full(32, 500, dtype="<i2").tobytes())
+    df = mm.decode_audio(
+        _media(spark, [(1, stereo), (2, mono), (3, b"not audio at all")])
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].n_channels == 2 and rows[1].sample_rate == 16000
+    assert rows[1].n_frames == frames
+    assert rows[1].rms_l == 1000.0 and rows[1].rms_r == 2000.0
+    assert rows[1].duration_s == 0.004
+    assert rows[2].n_channels == 1 and rows[2].rms_l == 500.0
+    assert rows[2].rms_r is None and rows[2].err is None
+    assert rows[3].err is not None and rows[3].rms_l is None
+    # fail-fast variant propagates
+    with pytest.raises(Exception):
+        mm.decode_audio(
+            _media(spark, [(3, b"junk")]), on_error="raise"
+        ).collect()
+
+
+def test_with_wav_payload_decodes_cleanly(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = mm.decode_audio(mm.with_wav_payload(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(r.err is None for r in rows.values())
+    assert all(r.n_frames == mm.WAV_FRAMES for r in rows.values())
+    # empty/null text tiles the zero byte: constant -16384 samples
+    assert rows[2].rms_l == 16384.0 and rows[3].rms_r == 16384.0
