@@ -76,12 +76,27 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     force(q.QUERIES["igniter_pick"](spark, sf_dir))
 
+    # which queries PAY a shared-index build vs ride a warm one: with the
+    # session-shared memo, only the first consumer of each index family
+    # is timed building it — later consumers' numbers are warm-cache
+    # figures and are NOT comparable to a round that ran them cold. The
+    # payload records the first-pass build count per query so cross-round
+    # per-query deltas can be interpreted.
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (  # noqa: E402
+        dfcache,
+    )
+
+    index_builds: dict[str, int] = {}
     times: dict[str, float] = {}
     wall0 = time.perf_counter()
     for name in HEADLINE:
+        cache_before = len(dfcache._CACHE)
         t0 = time.perf_counter()
         force(q.QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        built = len(dfcache._CACHE) - cache_before
+        if built > 0:
+            index_builds[name] = built
         release_checkpoints(spark)  # untimed inter-query cleanup
 
     # second pass, min-of-two: one-off noise (GC pause, a competing
@@ -126,6 +141,11 @@ def main() -> None:
             "unit": "sec",
             "queries": times,
             "sf": sf,
+            # queries whose FIRST-pass time includes building n shared
+            # index relations (band index / IVF / shingles); every other
+            # consumer of those families rode the warm session cache —
+            # their per-query times are warm figures, not cold-build ones
+            "index_builds": index_builds,
         }
     )
     # full per-query map is durable on disk only: with 110+ registered

@@ -39,10 +39,28 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
+def _alive(spark) -> bool:
+    """True while the entry's SparkContext is still running. Entries of a
+    stopped session must drop out: their recorded RDD ids are meaningless
+    in a NEW context (ids restart at 0), so a stale entry could exempt an
+    unrelated fresh block from an external reaper."""
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _prune_stale() -> None:
+    for k in [k for k, (_v, _ids, s) in _CACHE.items() if not _alive(s)]:
+        del _CACHE[k]
+
+
 def persistent_exempt_ids() -> set[int]:
-    """RDD ids of the storage blocks backing live cache entries."""
+    """RDD ids of the storage blocks backing live cache entries (stopped
+    sessions' entries pruned first — see ``_alive``)."""
+    _prune_stale()
     ids: set[int] = set()
-    for _value, entry_ids in _CACHE.values():
+    for _value, entry_ids, _spark in _CACHE.values():
         ids |= entry_ids
     return ids
 
@@ -58,18 +76,25 @@ def memo(spark, key, build: Callable[[], tuple]) -> tuple:
     """Return the cached value for ``key``, else run ``build()`` (which
     persists its own DataFrames via ``persist_df``), record the storage
     ids it created, and cache. ``key`` must include the SparkSession."""
+    _prune_stale()
     if key in _CACHE:
         return _CACHE[key][0]
     before = _persistent_rdd_ids(spark)
     value = build()
     entry_ids = _persistent_rdd_ids(spark) - before
-    _CACHE[key] = (value, entry_ids)
+    _CACHE[key] = (value, entry_ids, spark)
     while len(_CACHE) > _CACHE_MAX:
-        old_value, _old_ids = _CACHE.pop(next(iter(_CACHE)))
-        for item in old_value:
-            if isinstance(item, DataFrame):
-                try:
-                    item.unpersist()
-                except Exception:
-                    pass  # session may already be stopped
+        # release by the RECORDED block ids, not the value tuple's
+        # DataFrames: a build can create auxiliary persisted blocks
+        # (e.g. a checkpoint inside the pipeline) that only entry_ids see
+        _value, old_ids, old_spark = _CACHE.pop(next(iter(_CACHE)))
+        if not _alive(old_spark):
+            continue
+        try:
+            jmap = old_spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                if int(rid) in old_ids:
+                    jmap.get(rid).unpersist(False)
+        except Exception:
+            pass  # session raced a stop; nothing to release
     return value

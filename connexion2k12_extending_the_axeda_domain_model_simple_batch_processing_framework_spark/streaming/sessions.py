@@ -17,6 +17,18 @@ as integer cents so state stays fixed-width), and sessions indexed 1..n per
 user in order — a drained stream over a static file yields the same rows
 as ``temporal.sessionize`` up to the open tail session, which only the
 timeout can close.
+
+**session_idx uniqueness is bounded by state retention.** After a flush
+the residual state carries the incremented counter for one more
+SESSION_FLUSH_MS window, so a user resuming within ~2× SESSION_FLUSH_MS
+continues at next_idx+1; a user returning AFTER the residual has aged out
+(state dropped — per-key state cannot live forever) restarts at
+session_idx 1 and can repeat an already-emitted (user_id, session_idx)
+key. Sinks that need a globally collision-free key should use
+(user_id, session_start): session_start is strictly later for any
+post-retention return, so it never repeats. This is the standard
+retention trade — matching the batch operator's 1..n indexing exactly
+would require unbounded state.
 """
 
 from __future__ import annotations
@@ -82,9 +94,10 @@ def _sessionize_group(
         next_idx, start_us, last_us, n_events, sum_cents = state.get
         if n_events > 0:
             # user went quiet: flush the open session, but KEEP a residual
-            # state carrying the incremented index — dropping it would
-            # restart a resuming user at session_idx 1 and emit duplicate
-            # (user_id, session_idx) keys into the append sink
+            # state carrying the incremented index — a user resuming
+            # within the residual's retention window continues at
+            # next_idx+1 instead of restarting at 1 (see module docstring
+            # for the bounded-uniqueness contract beyond that window)
             state.update((next_idx + 1, 0, 0, 0, 0))
             state.setTimeoutDuration(SESSION_FLUSH_MS)
             yield _emit(user_id, next_idx, start_us, last_us, n_events, sum_cents)

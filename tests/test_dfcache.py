@@ -88,3 +88,22 @@ def test_consumers_share_one_index_per_family(spark):
     n_ivf = len(dfcache._CACHE)
     q.QUERIES["semantic_dedup"](spark, sf).collect()
     assert len(dfcache._CACHE) == n_ivf
+
+
+def test_stale_session_entries_pruned(spark):
+    # an entry whose session has stopped must leave the cache (and the
+    # exempt-id set): RDD ids restart at 0 in a new context, so a stale
+    # entry's recorded ids could shield unrelated fresh blocks
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    dedup.shared_band_index(_docs(spark, "live1"))
+    live_ids = dfcache.persistent_exempt_ids()
+    assert live_ids
+    dfcache._CACHE[("fake", 1)] = ((), {999_999}, _DeadSession())
+    assert 999_999 not in dfcache.persistent_exempt_ids()
+    assert ("fake", 1) not in dfcache._CACHE
+    assert dfcache.persistent_exempt_ids() == live_ids

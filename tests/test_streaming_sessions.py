@@ -196,9 +196,11 @@ def test_group_sorted_across_arrow_chunks_not_per_chunk():
 
 def test_timeout_flush_keeps_session_index_residual():
     """An idle-timeout flush must NOT reset the per-user session counter:
-    a resuming user continues at next_idx+1, never re-emitting a duplicate
-    (user_id, session_idx) append key. Only a second idle period with
-    nothing open drops the state."""
+    a user resuming within the residual's retention window continues at
+    next_idx+1 instead of repeating an emitted (user_id, session_idx)
+    key. Only a second idle period with nothing open drops the state —
+    after which the counter restarts and uniqueness is carried by
+    (user_id, session_start) instead (module docstring)."""
     t0 = 1_700_000_000_000_000
     st = _FakeState(value=(2, t0, t0 + 60_000_000, 3, 500), timed_out=True)
     out = list(sessions._sessionize_group((7,), [], st))
