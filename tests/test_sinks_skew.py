@@ -233,3 +233,68 @@ def test_export_jsonl_crash_retry_is_byte_identical(spark, tmp_path, sf_dir):
 
     assert shard_bytes(crashed) == shard_bytes(clean)
     assert not (tmp_path / "crashed" / "_temporary").exists()
+
+
+def test_exports_readable_by_external_duckdb_loader(spark, tmp_path, sf_dir):
+    """The export artifacts must round-trip through an EXTERNAL consumer,
+    not just Spark: DuckDB stands in for the training loader. jsonl
+    shards: full content fidelity + ascending in-shard order read
+    straight off the line files; sorted parquet: walking shards in id
+    order with in-file row order yields the one global doc_id order the
+    curriculum contract promises."""
+    import glob
+
+    import duckdb
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.sinks import (
+        export_jsonl,
+        export_sorted,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    jp, sp = str(tmp_path / "jsonl"), str(tmp_path / "sorted")
+    export_jsonl(docs, jp, n_shards=4)
+    export_sorted(docs, sp, order_col="doc_id", n_shards=8)
+    want = {(r.doc_id, r.text, r.source) for r in docs.collect()}
+
+    con = duckdb.connect()
+    try:
+        # jsonl: parse each line as JSON, keeping the loader-visible
+        # in-file order (read_text + explicit line ordinals)
+        rows = con.execute(
+            "WITH f AS (SELECT filename, "
+            "  string_split(rtrim(content, chr(10)), chr(10)) AS lines "
+            "  FROM read_text(?)), "
+            "x AS (SELECT filename, unnest(range(1, len(lines) + 1)) AS rn, "
+            "  lines FROM f) "
+            "SELECT filename, rn, "
+            "       CAST(json_extract_string(lines[rn], 'doc_id') AS BIGINT), "
+            "       json_extract_string(lines[rn], 'text'), "
+            "       json_extract_string(lines[rn], 'source') "
+            "FROM x",
+            [f"{jp}/export_shard=*/part-*"],
+        ).fetchall()
+        assert {(r[2], r[3], r[4]) for r in rows} == want
+        by_file: dict = {}
+        for fn, rn, did, _t, _s in rows:
+            by_file.setdefault(fn, []).append((rn, did))
+        for fn, pairs in by_file.items():
+            ids = [d for _rn, d in sorted(pairs)]
+            assert ids == sorted(ids), fn  # in-shard ascending order
+
+        # sorted parquet: shards in id order -> one global total order
+        srows = con.execute(
+            "SELECT export_shard, filename, file_row_number, doc_id "
+            "FROM read_parquet(?, hive_partitioning=true, "
+            "                  filename=true, file_row_number=true) "
+            "ORDER BY export_shard, filename, file_row_number",
+            [f"{sp}/export_shard=*/*.parquet"],
+        ).fetchall()
+        stream = [r[3] for r in srows]
+        assert stream == sorted(r[0] for r in want)
+        assert len(glob.glob(f"{sp}/export_shard=*")) == 8
+    finally:
+        con.close()
