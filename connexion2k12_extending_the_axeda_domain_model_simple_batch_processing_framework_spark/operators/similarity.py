@@ -531,18 +531,17 @@ def ivf_build_cached(
     return memo(corpus.sparkSession, key, build)
 
 
-def ivf_probe(
+def _probe_buckets(
     centroids: DataFrame,
-    assignments: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe a built IVF index: each query ranks only the vectors in its
-    ``nprobe`` nearest centroids' buckets — an equi-join on centroid_id
-    against the inverted file, scanning ~nprobe/nlist of the corpus."""
+    """The bucket-selection half every IVF probe variant shares: rank the
+    (broadcast, nlist-row) centroid table per query by cosine and keep
+    the ``nprobe`` nearest — output (query_id, q_vec, q_norm,
+    centroid_id), queries × nprobe rows."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
@@ -550,7 +549,7 @@ def ivf_probe(
         F.col("qc_cos").desc(), F.col("centroid_id").asc()
     )
     cent = centroids.withColumn("_cent_norm", l2_norm_expr("centroid", EMBEDDING_DIM))
-    probes = (
+    return (
         q.join(F.broadcast(cent))
         .select(
             "query_id",
@@ -566,6 +565,21 @@ def ivf_probe(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "centroid_id")
     )
+
+
+def ivf_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: each query ranks only the vectors in its
+    ``nprobe`` nearest centroids' buckets — an equi-join on centroid_id
+    against the inverted file, scanning ~nprobe/nlist of the corpus."""
+    probes = _probe_buckets(centroids, queries, nprobe, id_col, vec_col)
 
     # corpus-side norm once per inverted-file row, before the probe join
     inv = assignments.withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
@@ -1061,6 +1075,150 @@ def ivf_pq_recall(
             F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
             F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
         )
+    )
+
+
+def pq_adc_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the PQ-coded inverted file by ASYMMETRIC distance
+    computation — the actual faiss IVFPQ scan: per query, precompute a
+    lookup table of per-subspace partial dot products against every
+    codeword (m × ksub floats), then score each candidate with m table
+    lookups — the candidate's float vector is NEVER reconstructed, so
+    the ranking path touches only the m-byte codes. Candidate norms come
+    from a query-independent codeword-norm table the same way, making
+    cosine two LUT folds + one sqrt per candidate.
+
+    Plan: bucket selection as in ``ivf_probe`` (broadcast centroid rank,
+    partition-pruned equi-join on centroid_id against the code file),
+    then one Arrow pass over the joined candidates with the LUTs in the
+    task closure (queries × m × ksub floats — KBs). Accumulation is in
+    subspace order (left fold), so the DuckDB twin's ordered list_reduce
+    reproduces every cosine bit-for-bit. Ranking ties out with the
+    reconstruction probe up to float re-association between the two
+    fold shapes — which is why the recall report ranks both sides with
+    the SAME ADC arithmetic.
+    """
+    books = _collect_codebooks(codebooks)
+    m = len(books)
+    dsub = books[0][1].shape[1]
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    # per query: dot LUT (m × ksub, left-fold dot of each q sub-vector
+    # with each codeword); query norms are 64-dim left folds
+    dot_lut: dict[int, list[dict[int, float]]] = {}
+    q_norm: dict[int, float] = {}
+    for r in q_rows:
+        qv = np.array(r.qv, dtype=np.float64)
+        q_norm[int(r.qid)] = float(_seq_norms(qv[None, :])[0])
+        luts = []
+        for s, (ids, C) in enumerate(books):
+            d = _seq_dot(qv[None, s * dsub : (s + 1) * dsub], C)[0]
+            luts.append({int(i): float(x) for i, x in zip(ids, d)})
+        dot_lut[int(r.qid)] = luts
+    # query-independent codeword norm² table (per-codeword left fold)
+    norm_lut = [
+        {int(i): float(n * n) for i, n in zip(ids, _seq_norms(C))}
+        for ids, C in books
+    ]
+
+    probes = _probe_buckets(centroids, queries, nprobe, id_col, vec_col)
+    cand = (
+        F.broadcast(probes.select("query_id", "centroid_id"))
+        .join(
+            assignments.select("vid", "centroid_id").join(
+                codes.select(F.col(id_col).alias("vid"), "codes"), "vid"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", "vid", "codes")
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cos = []
+            for qid, cs in zip(pdf["query_id"], pdf["codes"]):
+                dot, rn2 = 0.0, 0.0
+                luts = dot_lut[int(qid)]
+                for s in range(m):  # subspace-order left folds
+                    dot += luts[s][int(cs[s])]
+                    rn2 += norm_lut[s][int(cs[s])]
+                c = dot / (q_norm[int(qid)] * float(np.sqrt(rn2)))
+                cos.append(float(_round_half_away(np.array([c]), 6)[0]))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vid"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cosine double"
+    )
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(rank).cast("long")
+    ).filter(F.col("rk") <= k)
+
+
+def ivf_pq_adc_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Recall of the LUT-only ADC probe against the float probe of the
+    same shared IVF index — the companion report to ``ivf_pq_recall``
+    measuring the probe faiss actually runs in production (codes-only
+    scan) rather than the reconstruction probe. Deterministic throughout,
+    so recall is oracle-checked with codebooks folded into SQL.
+
+    Output (1 row): n_queries, k, n_float, n_overlap, recall.
+    """
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    books = pq_train(embeddings, m, ksub)
+    codes = pq_encode(embeddings, books)
+    top_adc = pq_adc_probe(
+        centroids, assignments, codes, books, queries, k, nprobe
+    )
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_adc.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return base.crossJoin(hits).select(
+        "n_queries",
+        F.lit(k).cast("long").alias("k"),
+        "n_float",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
     )
 
 

@@ -1612,11 +1612,139 @@ FROM base CROSS JOIN ov CROSS JOIN ms
 QUERIES["ann_pq_recall"] = q_ann_pq_recall
 
 
+def q_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUT-only asymmetric-distance (ADC) probe recall vs the float probe
+    (operators.similarity.ivf_pq_adc_recall) — the probe faiss IVFPQ
+    actually runs: candidates ranked from m-byte codes alone, never
+    reconstructed."""
+    return similarity.ivf_pq_adc_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_adc_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_pq_adc_recall``: the float side is the
+    ``_ivf_oracle_sql`` fragments; the ADC side replays the per-subspace
+    LUT arithmetic — per-(query, candidate, subspace) dot and codeword-
+    norm terms (left-assoc chains), folded in SUBSPACE ORDER with an
+    ordered list_reduce, exactly the accumulation order the Arrow scorer
+    uses."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    book_rows = _pq_codebook_values(sf_dir)
+    if cent_rows is None or book_rows is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall FROM embeddings WHERE FALSE"
+        )
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    sqdist = " + ".join(
+        f"(e.embedding[b.subspace*{dsub} + {i}]::DOUBLE - b.cw[{i}])"
+        f" * (e.embedding[b.subspace*{dsub} + {i}]::DOUBLE - b.cw[{i}])"
+        for i in range(1, dsub + 1)
+    )
+    qdot = " + ".join(
+        f"p.qv[b.subspace*{dsub} + {i}]::DOUBLE * b.cw[{i}]"
+        for i in range(1, dsub + 1)
+    )
+    cwn = " + ".join(f"b.cw[{i}] * b.cw[{i}]" for i in range(1, dsub + 1))
+    qnorm = " + ".join(
+        f"q.qv[{i}]::DOUBLE * q.qv[{i}]::DOUBLE"
+        for i in range(1, similarity.EMBEDDING_DIM + 1)
+    )
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+pqc(subspace, code_id, cw) AS (VALUES
+    {book_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored_f AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f
+  ) WHERE rk <= 5
+),
+codes AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT e.vec_id, b.subspace, b.code_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id, b.subspace
+             ORDER BY {sqdist}, b.code_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN pqc b
+  ) WHERE rn = 1
+),
+term AS (
+  SELECT p.query_id, a.vec_id, kk.subspace,
+         {qdot} AS dterm,
+         {cwn} AS nterm
+  FROM probes p
+  JOIN assigned a USING (centroid_id)
+  JOIN codes kk ON kk.vec_id = a.vec_id
+  JOIN pqc b ON b.subspace = kk.subspace AND b.code_id = kk.code_id
+  WHERE p.query_id <> a.vec_id
+),
+acc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(dterm ORDER BY subspace), (x, y) -> x + y) AS dt,
+         list_reduce(list(nterm ORDER BY subspace), (x, y) -> x + y) AS rn2
+  FROM term GROUP BY query_id, vec_id
+),
+scored_adc AS (
+  SELECT acc.query_id, acc.vec_id AS neighbor_id,
+         round(dt / (sqrt({qnorm}) * sqrt(rn2)), 6) AS cosine
+  FROM acc JOIN q ON q.query_id = acc.query_id
+),
+topa AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_adc
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topa USING (query_id, neighbor_id))
+SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall
+FROM base CROSS JOIN ov
+"""
+
+
+QUERIES["ann_pq_adc_recall"] = q_ann_pq_adc_recall
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
     "ann_sq8_recall": _sq8_oracle_sql,
     "ann_pq_recall": _pq_oracle_sql,
+    "ann_pq_adc_recall": _pq_adc_oracle_sql,
 }
 
 
@@ -4289,51 +4417,54 @@ ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first 50 queries() entries, so
-# insertion order decides which queries get a driver-verified row. Put the
-# queries whose code is newest (this round's operators + the rewritten Q18
-# plan) inside that window; the displaced long-stable entries are still
-# verified every round by tools/parity.py (committed as PARITY_r{N}.txt).
+# insertion order decides which queries get a driver-verified row. The
+# window rotates every round: this round's NEW queries come first, then
+# long-stable entries that were NOT in the last two rounds' gates (r4/r5),
+# so every query earns a driver-verified row within a 2-3 round cycle.
+# Everything displaced is still verified every round by tools/parity.py
+# (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
-    "scd2_point_in_time",
-    "rag_retrieve",
-    "image_decode",
-    "events_key_skew",
-    "ann_sq8_recall",
-    # r5-changed plans (204565b): unpinned broadcasts / scalar-max rewrite
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "events_sliding_rollup",
-    "active_users",
-    "dup_triangles",
-    "snapshot_merge",
-    "source_overlap",
-    "leakage_split",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q13_order_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_discount_revenue",
-    "q22_dormant_customers",
-    "substring_dedup",
-    "semantic_dedup",
-    "bigram_logprob",
-    "domain_cap",
-    "blocklist_filter",
-    "frame_dedup",
-    "dedup_funnel",
-    "lang_fertility",
-    "mixture_sample",
-    "embedding_quantize",
-    "q7_nation_volume",
-    "q16_supplier_diversity",
-    "q18_large_volume",
-    "q10_returned_items",
+    # r6 new code: PQ tier (+ADC probe), audio decode, percentile twins
+    "ann_pq_recall",
+    "ann_pq_adc_recall",
+    "audio_decode",
+    "price_quantiles_scaled",
+    "events_key_skew_scaled",
+    "price_quantile_sketch_scaled",
+    # rotated in: absent from both the r4 and r5 driver gates
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dup_clusters",
+    "dedup_incremental",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_bytes",
+    "sample_stratified",
+    "pii_redact",
+    "ngram_topk",
+    "events_sessionize",
+    "purchase_attribution",
+    "events_props_metric",
+    "orders_rollup",
+    "price_quantiles",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "contamination_check",
+    "repetition_score",
+    "corpus_stats",
+    "train_split",
+    "events_moving_avg",
+    "value_histogram",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -329,3 +329,30 @@ def test_ivf_pq_recall_report_shape(spark, sf_dir):
     assert r.n_float == r.n_queries * r.k
     assert 0.0 <= r.recall <= 1.0
     assert r.mean_mse > 0  # PQ at 128x on random vectors is lossy
+
+
+def test_pq_adc_probe_matches_reconstruction_ranking(spark, sf_dir):
+    # the LUT-only ADC probe and the reconstruction probe rank the same
+    # candidates from the same index; their top-k sets should agree for
+    # the overwhelming majority of queries (only float re-association
+    # between the two fold shapes can flip exact ties)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = similarity.ivf_build_cached(emb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    books = similarity.pq_train(emb)
+    codes = similarity.pq_encode(emb, books)
+    adc = similarity.pq_adc_probe(
+        centroids, assignments, codes, books, queries
+    )
+    recon = similarity.pq_reconstruct(codes, books)
+    inv_pq = assignments.select("vid", "centroid_id").join(
+        recon.select(F.col("vec_id").alias("vid"), F.col("rv").alias("cv")),
+        "vid",
+    )
+    rp = similarity.ivf_probe(centroids, inv_pq, queries)
+    a = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in rp.collect()}
+    assert a and len(a & b) / len(a | b) > 0.9
+    # the ADC report itself: one sane row
+    row = similarity.ivf_pq_adc_recall(emb).collect()[0]
+    assert 0.0 <= row.recall <= 1.0 and row.n_float == row.n_queries * row.k

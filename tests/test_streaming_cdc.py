@@ -249,3 +249,34 @@ def test_point_in_time_read_over_streamed_table(spark, tmp_path):
     assert key(got) == key(want)
     assert key(got)[10] == (1, 1, 0.5)
     assert key(got)[12] == (2, None, None)
+
+
+def test_stream_writer_compacts_on_cadence(spark, tmp_path):
+    # compact_every wired through the actual foreachBatch writer: drain
+    # 3 micro-batches with compact_every=2 -> at least one compaction ran
+    # (a base generation exists), dir growth is bounded, and the table
+    # still equals the batch rebuild
+    src = tmp_path / "updates_c"
+    src.mkdir()
+    for i, rows in enumerate(ROWS):
+        _write(src / f"b{i}.json", rows)
+    table = str(tmp_path / "scd2_table_c")
+    q = (
+        cdc.scd2_stream_writer(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            table,
+            str(tmp_path / "ckpt_c"),
+            compact_every=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(_dirs(table, "base=")) == 1
+    assert len(_dirs(table, "v=")) <= 2
+    all_updates = _batch_df(spark, [r for batch in ROWS for r in batch])
+    want = scd2_build(all_updates)
+    got = cdc.read_scd2(spark, table).drop("kb")
+    assert _snapshot(got) == _snapshot(want)
