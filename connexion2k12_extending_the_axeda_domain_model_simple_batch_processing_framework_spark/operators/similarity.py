@@ -1078,6 +1078,184 @@ def ivf_pq_recall(
     )
 
 
+def _centroid_matrix(centroids: DataFrame) -> tuple["np.ndarray", dict]:
+    """(id-ordered centroid matrix, id → row index) for closure shipping."""
+    rows = centroids.orderBy("centroid_id").collect()
+    C = np.array([r.centroid for r in rows], dtype=np.float64)
+    idx = {int(r.centroid_id): i for i, r in enumerate(rows)}
+    return C, idx
+
+
+def pq_train_residual(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = IVF_TRAIN_CAP,
+) -> DataFrame:
+    """Train PQ codebooks on RESIDUALS (vector − its nearest coarse
+    centroid) — the actual faiss IVFPQ formulation: within a bucket the
+    residuals cluster far tighter than the raw vectors, so the same
+    m × ksub code budget spends its resolution where the bucket actually
+    varies, buying recall at identical storage. Assignment uses the same
+    fold-chain cosine as the inverted file (``_assign``), ties to the
+    lowest centroid id, so the oracle re-derives identical residuals."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            hex_hash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(train_cap)
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    schema = "subspace long, code_id long, codeword array<double>"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    C, _idx = _centroid_matrix(centroids)
+    # the _assign arithmetic: fold-chain cosines, argmax ties to the
+    # first (lowest-id) centroid — bit-identical to the inverted file
+    cos = _seq_dot(V, C) / np.outer(_seq_norms(V), _seq_norms(C))
+    R = V - C[cos.argmax(axis=1)]
+    books = _pq_train_np(R, m, ksub, iters)
+    return spark.createDataFrame(
+        [
+            (int(s), int(cid), [float(x) for x in cw])
+            for s, (ids, Cb) in enumerate(books)
+            for cid, cw in zip(ids, Cb)
+        ],
+        schema,
+    )
+
+
+def pq_encode_residual(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+) -> DataFrame:
+    """Encode each inverted-file vector's RESIDUAL against its own
+    bucket's centroid — input is the (vid, centroid_id, cv) assignments
+    so the bucket assignment is exactly the index's, never recomputed.
+    Same closure-shipped single Arrow pass as ``pq_encode``.
+    Output: (vec_id, centroid_id, codes array<int>)."""
+    books = _collect_codebooks(codebooks)
+    dsub = books[0][1].shape[1]
+    C, idx = _centroid_matrix(centroids)
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            rows_c = np.array([idx[int(c)] for c in pdf["centroid_id"]])
+            R = V - C[rows_c]
+            parts = [
+                ids[_seq_sqdist(R[:, s * dsub : (s + 1) * dsub], Cb).argmin(axis=1)]
+                for s, (ids, Cb) in enumerate(books)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"],
+                    "centroid_id": pdf["centroid_id"],
+                    "codes": [
+                        [int(parts[s][r]) for s in range(len(books))]
+                        for r in range(len(V))
+                    ],
+                }
+            )
+
+    return assignments.select("vid", "centroid_id", "cv").mapInPandas(
+        encode_batches, "vec_id long, centroid_id long, codes array<int>"
+    )
+
+
+def ivf_pq_residual_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Recall of the RESIDUAL-coded PQ probe vs the float probe of the
+    same shared index — the report that shows what residual encoding
+    buys over ``ivf_pq_recall``'s raw-vector codes at identical storage.
+    Candidates are reconstructed as centroid + decoded residual (a JVM
+    ``zip_with`` add — no extra Python) and ranked by the standard
+    probe. Deterministic throughout; oracle-checked with centroids AND
+    residual codebooks folded into SQL.
+
+    Output (1 row): n_queries, k, n_float, n_overlap, recall, mean_mse.
+    """
+    d = "double"
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    books = pq_train_residual(embeddings, centroids, m, ksub)
+    codes = pq_encode_residual(assignments, centroids, books)
+    r_hat = pq_reconstruct(codes, books)  # decoded residuals
+    # candidate vector = its bucket centroid + decoded residual
+    recon = (
+        codes.select("vec_id", "centroid_id")
+        .join(r_hat, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "centroid", "rv", lambda c, r: c + r
+            ).alias("cv"),
+        )
+    )
+    inv_pq = recon.select(F.col("vec_id").alias("vid"), "centroid_id", "cv")
+    top_q = ivf_probe(centroids, inv_pq, queries, k, nprobe)
+
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_q.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("cv"),
+        lambda x, r: (x.cast(d) - r) * (x.cast(d) - r),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, v: a + v) / F.size(
+        F.col("embedding")
+    )
+    ms = (
+        embeddings.select("vec_id", "embedding")
+        .join(recon.select("vec_id", "cv"), "vec_id")
+        .select(F.round(mse, 6).cast("decimal(18,6)").alias("m"))
+        .agg((F.sum("m") / F.count(F.lit(1))).alias("mean_mse"))
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return (
+        base.crossJoin(hits)
+        .crossJoin(ms)
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "n_float",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
+        )
+    )
+
+
 def pq_adc_probe(
     centroids: DataFrame,
     assignments: DataFrame,

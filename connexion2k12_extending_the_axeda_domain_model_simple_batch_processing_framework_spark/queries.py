@@ -1739,12 +1739,178 @@ FROM base CROSS JOIN ov
 QUERIES["ann_pq_adc_recall"] = q_ann_pq_adc_recall
 
 
+def q_ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-coded PQ probe recall
+    (operators.similarity.ivf_pq_residual_recall) — codes the vector's
+    residual against its bucket centroid (the faiss IVFPQ formulation);
+    same storage as ann_pq_recall, higher recall."""
+    return similarity.ivf_pq_residual_recall(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _pq_residual_book_values(sf_dir: str) -> str | None:
+    """Residual-PQ codebooks as a SQL VALUES body: the identical sample,
+    the identical coarse centroids (``similarity._lloyd``), the identical
+    fold-chain assignment arithmetic (``_seq_dot``/``_seq_norms``), then
+    ``_pq_train_np`` over the residuals — bit-for-bit the cluster's
+    training path."""
+    import duckdb
+
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id "
+            f"LIMIT {similarity.IVF_TRAIN_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not rows:
+        return None
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    _ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
+    cos = similarity._seq_dot(V, C) / np.outer(
+        similarity._seq_norms(V), similarity._seq_norms(C)
+    )
+    R = V - C[cos.argmax(axis=1)]
+    books = similarity._pq_train_np(R, similarity.PQ_M, similarity.PQ_KSUB, iters=3)
+    return ",\n    ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, int(cid), ", ".join(repr(float(x)) for x in cw)
+        )
+        for s, (ids, Cb) in enumerate(books)
+        for cid, cw in zip(ids, Cb)
+    )
+
+
+def _pq_residual_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_pq_residual_recall``: the float side is the
+    ``_ivf_oracle_sql`` fragments; the compressed side encodes the
+    residual (vector − bucket centroid, the (v−c)−cw subtraction order of
+    the numpy path), reconstructs as centroid + decoded residual, and
+    ranks on cosines over the reconstructed lists."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    book_rows = _pq_residual_book_values(sf_dir)
+    if cent_rows is None or book_rows is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall, 0.0 AS mean_mse "
+            "FROM embeddings WHERE FALSE"
+        )
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    res_sqdist = " + ".join(
+        f"((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        f" * ((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        for i in range(1, dsub + 1)
+    )
+    dim = similarity.EMBEDDING_DIM
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+pqc(subspace, code_id, cw) AS (VALUES
+    {book_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+aw AS (SELECT a.vec_id, a.embedding, a.centroid_id, ct.ctr
+       FROM assigned a JOIN cent ct USING (centroid_id)),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored_f AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f
+  ) WHERE rk <= 5
+),
+codes AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT aw.vec_id, b.subspace, b.code_id,
+           row_number() OVER (
+             PARTITION BY aw.vec_id, b.subspace
+             ORDER BY {res_sqdist}, b.code_id
+           ) AS rn
+    FROM aw CROSS JOIN pqc b
+  ) WHERE rn = 1
+),
+rhat AS (
+  SELECT c.vec_id, flatten(list(p.cw ORDER BY c.subspace)) AS rv
+  FROM codes c JOIN pqc p USING (subspace, code_id)
+  GROUP BY c.vec_id
+),
+recon AS (
+  SELECT aw.vec_id, aw.centroid_id,
+         list_transform(range(1, {dim} + 1), i -> aw.ctr[i] + r.rv[i]) AS rv2
+  FROM aw JOIN rhat r USING (vec_id)
+),
+mses AS (
+  SELECT e.vec_id,
+         list_reduce(
+           list_transform(range(1, {dim} + 1),
+             i -> (e.embedding[i]::DOUBLE - r.rv2[i]) * (e.embedding[i]::DOUBLE - r.rv2[i])),
+           (a, b) -> a + b) / {dim} AS mse
+  FROM embeddings e JOIN recon r USING (vec_id)
+),
+scored_q AS (
+  SELECT p.query_id, rc.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='rc.rv2')} AS cosine
+  FROM probes p JOIN recon rc USING (centroid_id)
+  WHERE p.query_id <> rc.vec_id
+),
+topq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_q
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
+ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM mses)
+SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall,
+       round(mean_mse::DOUBLE, 9) AS mean_mse
+FROM base CROSS JOIN ov CROSS JOIN ms
+"""
+
+
+QUERIES["ann_pq_residual_recall"] = q_ann_pq_residual_recall
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
     "ann_sq8_recall": _sq8_oracle_sql,
     "ann_pq_recall": _pq_oracle_sql,
     "ann_pq_adc_recall": _pq_adc_oracle_sql,
+    "ann_pq_residual_recall": _pq_residual_oracle_sql,
 }
 
 
@@ -4427,6 +4593,7 @@ _GATE_PRIORITY = [
     # r6 new code: PQ tier (+ADC probe), audio decode, percentile twins
     "ann_pq_recall",
     "ann_pq_adc_recall",
+    "ann_pq_residual_recall",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4464,7 +4631,6 @@ _GATE_PRIORITY = [
     "corpus_stats",
     "train_split",
     "events_moving_avg",
-    "value_histogram",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -356,3 +356,13 @@ def test_pq_adc_probe_matches_reconstruction_ranking(spark, sf_dir):
     # the ADC report itself: one sane row
     row = similarity.ivf_pq_adc_recall(emb).collect()[0]
     assert 0.0 <= row.recall <= 1.0 and row.n_float == row.n_queries * row.k
+
+
+def test_residual_pq_beats_plain_pq_recall(spark, sf_dir):
+    # the point of residual coding: same m x ksub budget, higher recall
+    # and lower reconstruction error than raw-vector codes
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = similarity.ivf_pq_recall(emb).collect()[0]
+    res = similarity.ivf_pq_residual_recall(emb).collect()[0]
+    assert res.recall >= plain.recall
+    assert res.mean_mse <= plain.mean_mse
