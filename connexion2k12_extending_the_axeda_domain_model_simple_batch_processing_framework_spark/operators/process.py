@@ -116,6 +116,8 @@ def scd2_build(
     key_col: str = "user_id",
     ts_col: str = "valid_from",
     tie_col: str = "event_id",
+    op_col: str | None = None,
+    delete_value: str = "D",
 ) -> DataFrame:
     """Build an SCD2 (slowly-changing-dimension type 2) history from an
     update stream: one validity interval per update, closed by the key's
@@ -133,12 +135,33 @@ def scd2_build(
 
     ONE shuffle on the key; version numbering and the interval close are
     chained Window ops over the same partitioning (single Exchange).
+
+    **Deletes (CDC tombstones).** With ``op_col`` set, rows whose op
+    equals ``delete_value`` are tombstones: a tombstone closes the
+    predecessor's interval at its timestamp and produces NO version row —
+    the key has no current version until its next upsert (re-versioning
+    then continues the count). Same-instant ties keep the zero-width-
+    interval convention: an upsert immediately tombstoned at the same ts
+    gets a zero-width interval no point-in-time probe matches. Plan cost
+    is unchanged — the interval close sees all events, the version
+    numbering windows over the filtered upserts, both on the SAME
+    partitioning (one Exchange, one sort).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    if op_col is None:
+        return (
+            updates.withColumn("dim_version", F.row_number().over(w).cast("long"))
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+    # ANY event (upsert or tombstone) closes the previous interval;
+    # only upserts become version rows
+    closed = updates.withColumn("valid_to", F.lead(ts_col).over(w))
+    live = closed.filter(F.col(op_col) != F.lit(delete_value))
     return (
-        updates.withColumn("dim_version", F.row_number().over(w).cast("long"))
+        live.withColumn("dim_version", F.row_number().over(w).cast("long"))
         .withColumn("valid_from", F.col(ts_col))
-        .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
 
@@ -152,10 +175,15 @@ def scd2_point_in_time(
     fact_ts_col: str = "ts",
     fact_tie_col: str = "fact_id",
     attr_cols: tuple[str, ...] = ("score",),
+    op_col: str | None = None,
+    delete_value: str = "D",
 ) -> DataFrame:
     """Enrich each fact with the dimension version valid AT the fact's
     timestamp ("the attribute as of the order date") — the point-in-time
-    read over the ``scd2_build`` history.
+    read over the ``scd2_build`` history. With ``op_col`` set, tombstone
+    updates (CDC deletes) are honored: a fact falling between a delete
+    and the key's next upsert resolves to NULL dimension columns, exactly
+    as if the key had never existed in that gap.
 
     Scale shape: the naive plan joins facts to intervals on key +
     containment (equi-join then per-key interval filter) — fine when
@@ -176,10 +204,17 @@ def scd2_point_in_time(
     (LEFT point-in-time join). Output: all ``facts`` columns +
     (dim_version, valid_from, *attr_cols).
     """
-    versioned = scd2_build(dim_updates, key_col, dim_ts_col, dim_tie_col)
+    versioned = scd2_build(
+        dim_updates, key_col, dim_ts_col, dim_tie_col, op_col, delete_value
+    )
+    tombstones = (
+        dim_updates.filter(F.col(op_col) == F.lit(delete_value))
+        if op_col is not None
+        else None
+    )
     return scd2_point_in_time_from(
         versioned, facts, key_col, dim_ts_col, dim_tie_col,
-        fact_ts_col, fact_tie_col, attr_cols,
+        fact_ts_col, fact_tie_col, attr_cols, tombstones,
     )
 
 
@@ -192,6 +227,7 @@ def scd2_point_in_time_from(
     fact_ts_col: str = "ts",
     fact_tie_col: str = "fact_id",
     attr_cols: tuple[str, ...] = ("score",),
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The enrichment half of ``scd2_point_in_time`` over an ALREADY-built
     SCD2 history (``scd2_build`` output, or a maintained table read back
@@ -199,8 +235,17 @@ def scd2_point_in_time_from(
     a live CDC-maintained dimension: the stream keeps the table current,
     batch consumers enrich facts against it without replaying the update
     log. Same union/carry-forward plan (facts shuffle once, never
-    replicated across version history)."""
+    replicated across version history).
+
+    ``tombstones`` (rows with at least ``key_col``/``dim_ts_col``/
+    ``dim_tie_col``) ride the dim side as carried DELETED markers: a fact
+    whose last-carried dim event is a tombstone resolves to NULL
+    dimension columns — ignore-nulls ``last`` alone cannot express a
+    delete, because a NULL payload would be skipped instead of carried.
+    """
+    attr_types = {f.name: f.dataType for f in versioned.schema.fields}
     payload = F.struct(
+        F.lit(False).alias("__del"),
         F.col("dim_version"),
         F.col("valid_from"),
         *[F.col(c) for c in attr_cols],
@@ -213,6 +258,26 @@ def scd2_point_in_time_from(
         payload.alias("__dim"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in facts.schema.fields],
     )
+    if tombstones is not None:
+        tomb_payload = F.struct(
+            F.lit(True).alias("__del"),
+            F.lit(None).cast("long").alias("dim_version"),
+            F.lit(None).cast(attr_types[dim_ts_col]).alias("valid_from"),
+            *[F.lit(None).cast(attr_types[c]).alias(c) for c in attr_cols],
+        )
+        dim_side = dim_side.unionByName(
+            tombstones.select(
+                F.col(key_col).alias("__key"),
+                F.col(dim_ts_col).alias("__ts"),
+                F.lit(0).alias("__tag"),
+                F.col(dim_tie_col).cast("long").alias("__tie"),
+                tomb_payload.alias("__dim"),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in facts.schema.fields
+                ],
+            )
+        )
     fact_side = facts.select(
         F.col(key_col).alias("__key"),
         F.col(fact_ts_col).alias("__ts"),
@@ -227,14 +292,21 @@ def scd2_point_in_time_from(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("__dim", ignorenulls=True).over(order)
+    # a fact is "covered" only when the last-carried dim event is a live
+    # version (no event yet → NULL condition → NULL output; tombstone →
+    # explicitly NULL output)
+    alive = ~F.col("__carried.__del")
     return (
         dim_side.unionByName(fact_side)
         .withColumn("__carried", carried)
         .filter(F.col("__tag") == 1)
         .select(
             *[F.col(f.name) for f in facts.schema.fields],
-            F.col("__carried.dim_version").alias("dim_version"),
-            F.col("__carried.valid_from").alias("valid_from"),
-            *[F.col(f"__carried.{c}").alias(c) for c in attr_cols],
+            F.when(alive, F.col("__carried.dim_version")).alias("dim_version"),
+            F.when(alive, F.col("__carried.valid_from")).alias("valid_from"),
+            *[
+                F.when(alive, F.col(f"__carried.{c}")).alias(c)
+                for c in attr_cols
+            ],
         )
     )

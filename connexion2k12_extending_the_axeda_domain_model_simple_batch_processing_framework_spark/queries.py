@@ -4374,6 +4374,80 @@ QUERIES["scd2_point_in_time"] = q_scd2_point_in_time
 ORACLE["scd2_point_in_time"] = SQL_SCD2_POINT_IN_TIME
 
 
+def q_scd2_point_in_time_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware SCD2 point-in-time read (operators.process, op_col):
+    clicks are profile upserts, ERROR events are CDC tombstones (the
+    account-reset), purchases are facts — a purchase falling between a
+    tombstone and the user's next click resolves to NULL profile columns.
+    The oracle is again a genuinely independent implementation: interval
+    containment where any event closes an interval and tombstones emit
+    no version row, vs Spark's carried-tombstone union/carry-forward."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    out = process.scd2_point_in_time(
+        dim,
+        facts,
+        fact_ts_col="purchase_ts",
+        fact_tie_col="purchase_id",
+        op_col="op",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("amount").cast("double").alias("amount"),
+        "dim_version",
+        "valid_from",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+SQL_SCD2_POINT_IN_TIME_DELETES = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, value, (event_type = 'error') AS del
+  FROM events WHERE event_type IN ('click', 'error')
+),
+closed AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ev
+),
+dim AS (
+  SELECT user_id, event_id, ts AS valid_from, value AS score, valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dim_version
+  FROM closed WHERE NOT del
+),
+f AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.purchase_id::BIGINT AS purchase_id, f.user_id::BIGINT AS user_id,
+       f.purchase_ts, f.amount::DOUBLE AS amount,
+       d.dim_version::BIGINT AS dim_version, d.valid_from,
+       d.score::DOUBLE AS score
+FROM f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.purchase_ts
+ AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+"""
+
+QUERIES["scd2_point_in_time_deletes"] = q_scd2_point_in_time_deletes
+ORACLE["scd2_point_in_time_deletes"] = SQL_SCD2_POINT_IN_TIME_DELETES
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode over the multimodal tier
     (operators.multimodal.decode_image): render each doc's text into a
@@ -4594,6 +4668,7 @@ _GATE_PRIORITY = [
     "ann_pq_recall",
     "ann_pq_adc_recall",
     "ann_pq_residual_recall",
+    "scd2_point_in_time_deletes",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4630,7 +4705,6 @@ _GATE_PRIORITY = [
     "repetition_score",
     "corpus_stats",
     "train_split",
-    "events_moving_avg",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

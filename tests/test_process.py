@@ -135,3 +135,54 @@ def test_scd2_point_in_time_semantics(spark):
     assert out[102] == (2, 2.0)
     # the zero-width interval (event 12) is skipped; event 13's version wins
     assert out[103] == (2, 8.0)
+
+
+def test_scd2_tombstones_close_intervals_and_null_facts(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.process import (
+        scd2_build,
+        scd2_point_in_time,
+    )
+
+    # user 1: v1 at 10:00, DELETED at 12:00, v2 at 14:00 (re-versioned)
+    # user 2: only a delete (no prior version) — degenerate tombstone
+    updates = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 1, 1.0, "U"),
+            (1, "2026-01-01 12:00:00", 2, 0.0, "D"),
+            (1, "2026-01-01 14:00:00", 3, 3.0, "U"),
+            (2, "2026-01-01 09:00:00", 4, 0.0, "D"),
+        ],
+        "user_id long, valid_from string, event_id long, score double, op string",
+    ).selectExpr(
+        "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "event_id", "score", "op",
+    )
+    hist = scd2_build(updates, op_col="op")
+    rows = {(r.user_id, r.dim_version): r for r in hist.collect()}
+    # tombstones emit no version rows; the delete closed v1 at 12:00
+    assert set(rows) == {(1, 1), (1, 2)}
+    assert str(rows[(1, 1)].valid_to) == "2026-01-01 12:00:00"
+    assert rows[(1, 1)].is_current is False
+    assert rows[(1, 2)].valid_to is None and rows[(1, 2)].is_current
+
+    facts = spark.createDataFrame(
+        [
+            (1, "2026-01-01 11:00:00", 10),  # inside v1
+            (1, "2026-01-01 13:00:00", 11),  # in the deleted gap -> NULLs
+            (1, "2026-01-01 12:00:00", 12),  # exactly at the delete -> NULLs
+            (1, "2026-01-01 15:00:00", 13),  # inside v2
+            (2, "2026-01-01 10:00:00", 14),  # after a bare delete -> NULLs
+        ],
+        "user_id long, ts string, fact_id long",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "fact_id")
+    got = {
+        r.fact_id: (r.dim_version, r.score)
+        for r in scd2_point_in_time(updates, facts, op_col="op").collect()
+    }
+    assert got[10] == (1, 1.0)
+    assert got[11] == (None, None)
+    assert got[12] == (None, None)
+    assert got[13] == (2, 3.0)
+    assert got[14] == (None, None)
+    # without op_col the same updates behave as pure upserts (3 versions)
+    assert scd2_build(updates.drop("op")).filter("user_id = 1").count() == 3
