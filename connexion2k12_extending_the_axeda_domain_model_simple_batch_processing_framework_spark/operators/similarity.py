@@ -1029,8 +1029,8 @@ def ivf_pq_recall(
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
 
-    books = pq_train(embeddings, m, ksub)
-    recon = pq_reconstruct(pq_encode(embeddings, books), books)
+    books, codes = pq_codes_cached(embeddings, m, ksub)
+    recon = pq_reconstruct(codes, books)
     inv_pq = assignments.select("vid", "centroid_id").join(
         recon.select(F.col("vec_id").alias("vid"), F.col("rv").alias("cv")),
         "vid",
@@ -1256,6 +1256,38 @@ def ivf_pq_residual_recall(
     )
 
 
+def pq_codes_cached(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes) memoized per (session, canonical corpus plan,
+    geometry) in the shared relation cache — the PQ twin of
+    ``ivf_build_cached``: the plain-PQ recall report and the ADC probe
+    consume the same deterministic artifacts, so they share ONE train +
+    encode. Codes are persist-backed; the codebooks are a driver-built
+    LocalRelation (m·ksub rows)."""
+    from ..functions.dfcache import memo, persist_df
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        books = pq_train(embeddings, m, ksub, id_col=id_col, vec_col=vec_col)
+        return books, persist_df(pq_encode(embeddings, books, id_col, vec_col))
+
+    try:
+        key = (
+            "pq",
+            embeddings.sparkSession,
+            embeddings.select(id_col, vec_col).semanticHash(),
+            m,
+            ksub,
+        )
+    except Exception:
+        return build()
+    return memo(embeddings.sparkSession, key, build)
+
+
 def pq_adc_probe(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -1376,8 +1408,7 @@ def ivf_pq_adc_recall(
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
 
-    books = pq_train(embeddings, m, ksub)
-    codes = pq_encode(embeddings, books)
+    books, codes = pq_codes_cached(embeddings, m, ksub)
     top_adc = pq_adc_probe(
         centroids, assignments, codes, books, queries, k, nprobe
     )

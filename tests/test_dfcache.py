@@ -107,3 +107,16 @@ def test_stale_session_entries_pruned(spark):
     assert 999_999 not in dfcache.persistent_exempt_ids()
     assert ("fake", 1) not in dfcache._CACHE
     assert dfcache.persistent_exempt_ids() == live_ids
+
+
+def test_pq_consumers_share_one_train_encode(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark import (
+        queries as q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dfcache._CACHE.clear()
+    q.QUERIES["ann_pq_recall"](spark, sf).collect()
+    n = len(dfcache._CACHE)
+    q.QUERIES["ann_pq_adc_recall"](spark, sf).collect()
+    assert len(dfcache._CACHE) == n  # ADC rode the shared books+codes
