@@ -96,6 +96,8 @@ def scd2_stream_writer(
     tie_col: str = "event_id",
     n_buckets: int = SCD2_BUCKETS,
     compact_every: int | None = None,
+    op_col: str | None = None,
+    delete_value: str = "D",
 ):
     """A configured ``writeStream`` (foreachBatch) keeping the SCD2 table
     at ``table_path`` current under a CDC update stream; the caller picks
@@ -116,7 +118,8 @@ def scd2_stream_writer(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         applied = scd2_apply_batch(
-            batch_df, batch_id, table_path, key_col, ts_col, tie_col, n_buckets
+            batch_df, batch_id, table_path, key_col, ts_col, tie_col,
+            n_buckets, op_col, delete_value,
         )
         if (
             applied
@@ -139,6 +142,8 @@ def scd2_apply_batch(
     ts_col: str = "valid_from",
     tie_col: str = "event_id",
     n_buckets: int = SCD2_BUCKETS,
+    op_col: str | None = None,
+    delete_value: str = "D",
 ) -> bool:
     """One CDC apply step (the foreachBatch body, callable directly for
     replay tests): rewrite only the buckets the batch touches, to the
@@ -187,7 +192,25 @@ def scd2_apply_batch(
     # defensive against an at-least-once SOURCE replaying rows across
     # different batch ids: one (key, ts, tie) update is one version
     log = log.dropDuplicates([key_col, ts_col, tie_col])
-    rebuilt = scd2_build(log, key_col, ts_col, tie_col)
+    rebuilt = scd2_build(log, key_col, ts_col, tie_col, op_col, delete_value)
+    if op_col is not None:
+        # tombstones must SURVIVE in the stored table: the apply protocol
+        # reads rows back AS the update log, and without the stored
+        # delete a future rewrite would resurrect the pre-delete
+        # versions. They ride the version schema with dim_version NULL
+        # (how current-readers filter them out); the op column already in
+        # raw_cols keeps the read-back log lossless.
+        ts_type = dict(zip(rebuilt.schema.names, rebuilt.schema.fields))[
+            "valid_to"
+        ].dataType
+        tombs = (
+            log.filter(F.col(op_col) == F.lit(delete_value))
+            .withColumn("dim_version", F.lit(None).cast("long"))
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lit(None).cast(ts_type))
+            .withColumn("is_current", F.lit(False))
+        )
+        rebuilt = rebuilt.unionByName(tombs)
     # overwrite the batch's own snapshot dir: replays converge on
     # identical output instead of appending duplicates
     rebuilt.write.mode("overwrite").partitionBy("kb").parquet(

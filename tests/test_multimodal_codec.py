@@ -168,3 +168,55 @@ def test_with_wav_payload_decodes_cleanly(spark):
     assert all(r.n_frames == mm.WAV_FRAMES for r in rows.values())
     # empty/null text tiles the zero byte: constant -16384 samples
     assert rows[2].rms_l == 16384.0 and rows[3].rms_r == 16384.0
+
+
+def test_wav_roundtrip_property():
+    """Pure-python property check (no Spark): any whole-frame PCM byte
+    payload round-trips encode_wav -> _decode_wav identically, for mono
+    and stereo and across sample rates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        nch=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        frames=st.integers(min_value=1, max_value=64),
+        data=st.data(),
+    )
+    def check(nch, rate, frames, data):
+        pcm = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=frames * nch * 2,
+                    max_size=frames * nch * 2,
+                )
+            )
+        )
+        got = mm._decode_wav(mm.encode_wav(nch, rate, pcm))
+        assert got == (nch, rate, pcm)
+
+    check()
+
+
+def test_ppm_roundtrip_property():
+    """Any raster of w*h*3 bytes round-trips encode_ppm -> _decode_ppm."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8),
+        h=st.integers(min_value=1, max_value=8),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        raster = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+            )
+        )
+        assert mm._decode_ppm(mm.encode_ppm(w, h, raster)) == (w, h, 255, raster)
+
+    check()

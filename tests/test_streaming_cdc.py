@@ -280,3 +280,57 @@ def test_stream_writer_compacts_on_cadence(spark, tmp_path):
     want = scd2_build(all_updates)
     got = cdc.read_scd2(spark, table).drop("kb")
     assert _snapshot(got) == _snapshot(want)
+
+
+DROWS = [
+    # batch 0: users 1, 2 get versions
+    [dict(_u(1, "2026-01-01T10:00:00", 1, 1.0), op="U"),
+     dict(_u(2, "2026-01-01T09:00:00", 2, 5.0), op="U")],
+    # batch 1: user 1 DELETED; user 2 updated
+    [dict(_u(1, "2026-01-01T12:00:00", 3, 0.0), op="D"),
+     dict(_u(2, "2026-01-01T13:00:00", 4, 6.0), op="U")],
+    # batch 2: user 1 returns (re-versioned after the tombstone)
+    [dict(_u(1, "2026-01-01T14:00:00", 5, 9.0), op="U")],
+]
+
+
+def _dbatch(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "user_id long, valid_from string, event_id long, score double, op string",
+    ).selectExpr(
+        "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "event_id", "score", "op",
+    )
+
+
+def test_cdc_apply_with_tombstones_matches_batch_rebuild(spark, tmp_path):
+    # the read-back-as-update-log protocol must stay lossless under
+    # deletes: stored tombstones reconstruct the log, so later rewrites
+    # of the bucket do NOT resurrect pre-delete versions
+    table = str(tmp_path / "scd2_del")
+    for i, rows in enumerate(DROWS):
+        cdc.scd2_apply_batch(_dbatch(spark, rows), i, table, op_col="op")
+    got = cdc.read_scd2(spark, table)
+    # current-readers drop the stored tombstone markers
+    versions = got.filter("dim_version IS NOT NULL").drop("kb", "op")
+    all_log = _dbatch(spark, [r for b in DROWS for r in b])
+    want = scd2_build(all_log, op_col="op").drop("op")
+    assert _snapshot(versions) == _snapshot(want)
+    # user 1: v1 closed by the tombstone at 12:00, v2 current from 14:00
+    u1 = {r.dim_version: (str(r.valid_from), str(r.valid_to), r.is_current)
+          for r in versions.filter("user_id = 1").collect()}
+    assert u1[1] == ("2026-01-01 10:00:00", "2026-01-01 12:00:00", False)
+    assert u1[2][0] == "2026-01-01 14:00:00" and u1[2][2] is True
+    # the tombstone itself is stored (dim_version NULL, op = D)
+    t = got.filter("dim_version IS NULL").collect()
+    assert len(t) == 1 and t[0].op == "D" and t[0].user_id == 1
+    # replay idempotence holds with deletes too
+    before = _snapshot(got.drop("kb", "op"))
+    cdc.scd2_apply_batch(_dbatch(spark, DROWS[2]), 2, table, op_col="op")
+    assert _snapshot(cdc.read_scd2(spark, table).drop("kb", "op")) == before
+    # and compaction preserves tombstones (the log stays lossless)
+    cdc.scd2_compact(spark, table)
+    after = cdc.read_scd2(spark, table)
+    assert _snapshot(after.drop("kb", "op")) == before
+    assert after.filter("dim_version IS NULL").count() == 1
