@@ -262,6 +262,23 @@ def scd2_compact(spark, table_path: str) -> None:
             shutil.rmtree(os.path.join(table_path, d))
 
 
+def read_scd2_current(
+    spark,
+    table_path: str,
+    buckets: list[int] | None = None,
+    max_version: int | None = None,
+) -> DataFrame | None:
+    """The dimension-consumer view of a maintained table: resolved rows
+    WITHOUT the stored tombstone markers (dim_version NULL rows a
+    delete-carrying apply keeps for log losslessness — see
+    ``scd2_apply_batch``). Use ``read_scd2`` only when you need the raw
+    stored rows (the apply's own read-back, audits)."""
+    raw = read_scd2(spark, table_path, buckets, max_version)
+    if raw is None:
+        return None
+    return raw.filter(F.col("dim_version").isNotNull())
+
+
 def read_scd2(
     spark,
     table_path: str,

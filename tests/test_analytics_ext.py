@@ -46,12 +46,16 @@ def test_price_quantiles_exact(spark):
         [("N", float(x)) for x in range(1, 101)],
         "l_returnflag string, l_extendedprice double",
     )
-    r = analytics.price_quantiles(lineitem).collect()[0]
+    r = analytics.price_quantiles(lineitem, exact=True).collect()[0]
     # exact interpolated percentiles over 1..100
     assert r.p25 == 25.75
     assert r.p50 == 50.5
     assert r.p75 == 75.25
     assert r.p95 == 95.05
+    # the scale default (approx_percentile sketch) returns the discrete
+    # value at rank ceil(p*n) — exact below the sketch accuracy
+    s = analytics.price_quantiles(lineitem).collect()[0]
+    assert (s.p25, s.p50, s.p75, s.p95) == (25.0, 50.0, 75.0, 95.0)
 
 
 def test_value_anomalies_flags_outlier_only(spark):

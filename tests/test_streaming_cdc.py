@@ -313,7 +313,7 @@ def test_cdc_apply_with_tombstones_matches_batch_rebuild(spark, tmp_path):
         cdc.scd2_apply_batch(_dbatch(spark, rows), i, table, op_col="op")
     got = cdc.read_scd2(spark, table)
     # current-readers drop the stored tombstone markers
-    versions = got.filter("dim_version IS NOT NULL").drop("kb", "op")
+    versions = cdc.read_scd2_current(spark, table).drop("kb", "op")
     all_log = _dbatch(spark, [r for b in DROWS for r in b])
     want = scd2_build(all_log, op_col="op").drop("op")
     assert _snapshot(versions) == _snapshot(want)
