@@ -1199,8 +1199,9 @@ def ivf_pq_residual_recall(
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
 
-    books = pq_train_residual(embeddings, centroids, m, ksub)
-    codes = pq_encode_residual(assignments, centroids, books)
+    books, codes = pq_residual_codes_cached(
+        embeddings, centroids, assignments, m, ksub
+    )
     r_hat = pq_reconstruct(codes, books)  # decoded residuals
     # candidate vector = its bucket centroid + decoded residual
     recon = (
@@ -1280,6 +1281,38 @@ def pq_codes_cached(
             "pq",
             embeddings.sparkSession,
             embeddings.select(id_col, vec_col).semanticHash(),
+            m,
+            ksub,
+        )
+    except Exception:
+        return build()
+    return memo(embeddings.sparkSession, key, build)
+
+
+def pq_residual_codes_cached(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> tuple[DataFrame, DataFrame]:
+    """(residual codebooks, residual codes) memoized like
+    ``pq_codes_cached`` — keyed additionally on the IVF geometry the
+    residuals are taken against (same corpus + same nlist ⇒ same
+    centroids ⇒ identical artifacts)."""
+    from ..functions.dfcache import memo, persist_df
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        books = pq_train_residual(embeddings, centroids, m, ksub)
+        return books, persist_df(
+            pq_encode_residual(assignments, centroids, books)
+        )
+
+    try:
+        key = (
+            "pqr",
+            embeddings.sparkSession,
+            embeddings.select("vec_id", "embedding").semanticHash(),
             m,
             ksub,
         )
