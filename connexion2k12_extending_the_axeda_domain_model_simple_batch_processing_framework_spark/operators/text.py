@@ -268,3 +268,180 @@ def lang_fertility(documents: DataFrame) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE: learned merges (not the regex approximation of bpe_token_count)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 60
+BPE_WORD_CAP = 50_000
+
+
+def bpe_learn_merges(
+    word_counts: list[tuple[str, int]], n_merges: int = BPE_MERGES
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, frequency) table — the
+    sentencepiece/GPT-2 shape: training never touches the corpus again
+    after word counting, so the expensive loop runs on a vocabulary-sized
+    input. Pure python and fully deterministic (best pair = max summed
+    frequency, ties to the lexicographically smallest pair), shared
+    verbatim by the Spark trainer and the DuckDB oracle builder — the
+    trained-constant-folding pattern of the IVF/PQ oracles.
+
+    Incremental pair-count maintenance: each merge touches only the
+    words containing the merged pair, so learning is O(n_merges ×
+    candidate pairs), not O(n_merges × Σ|word|)."""
+    from collections import defaultdict
+
+    seqs = [list(w) for w, _c in word_counts]
+    freqs = [c for _w, c in word_counts]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+
+    def index_word(i: int, sign: int) -> None:
+        s = seqs[i]
+        for a, b in zip(s, s[1:]):
+            pair_counts[(a, b)] += sign * freqs[i]
+            if sign > 0:
+                pair_words[(a, b)].add(i)
+            else:
+                pair_words[(a, b)].discard(i)
+
+    for i in range(len(seqs)):
+        index_word(i, +1)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        for i in list(pair_words[(a, b)]):
+            index_word(i, -1)
+            s, new, j = seqs[i], [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                    new.append(a + b)
+                    j += 2
+                else:
+                    new.append(s[j])
+                    j += 1
+            seqs[i] = new
+            index_word(i, +1)
+    return merges
+
+
+def bpe_segment(word: str, rank: dict) -> list[str]:
+    """Segment one word with learned merges: repeatedly merge the
+    present pair of LOWEST rank (greedy left-to-right within a pass) —
+    the standard BPE tokenizer apply, deterministic, shared by the
+    distributed apply and the oracle builder."""
+    s = list(word)
+    while len(s) > 1:
+        best = None
+        for a, b in zip(s, s[1:]):
+            r = rank.get((a, b))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, a, b)
+        if best is None:
+            break
+        _r, a, b = best
+        new, j = [], 0
+        while j < len(s):
+            if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                new.append(a + b)
+                j += 2
+            else:
+                new.append(s[j])
+                j += 1
+        s = new
+    return s
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    word_cap: int = BPE_WORD_CAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train BPE merges on a corpus: ONE distributed word-count
+    (map-side-combined groupBy — the only pass that sees the corpus),
+    collect the capped frequency table (vocabulary-sized, ordered by
+    (count desc, word) so the cap is deterministic), learn merges on the
+    driver. Returns (rank, left, right) — the persistable tokenizer
+    artifact, m rows, always broadcastable. At 100 TB the word count is
+    the same one shuffle any token-frequency job pays; training cost is
+    independent of corpus size."""
+    wc = (
+        spread(documents)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(word_cap)
+        .collect()
+    )
+    merges = bpe_learn_merges([(r.w, int(r.c)) for r in wc], n_merges)
+    return documents.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def bpe_subword_stats(documents: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply learned merges corpus-wide and report per-doc subword
+    stats (n_words, n_subwords, fertility = subwords/word).
+
+    Scale shape: segmentation (the python part) runs ONCE PER DISTINCT
+    WORD — an Arrow pass over the vocabulary, not the corpus — and the
+    per-token cost is a broadcast hash join of the exploded tokens
+    against the (word → n_subwords) map. A 100 TB corpus pays one
+    explode + one broadcast join in the JVM; python cost is O(|vocab|).
+    Docs with no tokens report zeros (LEFT join back to the doc list)."""
+    import pandas as pd
+
+    rank = {(r.left, r.right): int(r.rank) for r in merges.collect()}
+    toks = spread(documents).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vocab = toks.select("w").distinct()
+
+    def seg_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [len(bpe_segment(w, rank)) for w in pdf["w"]],
+                }
+            )
+
+    seg = vocab.mapInPandas(seg_batches, "w string, n_sub long")
+    per_doc = (
+        toks.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_subwords") / F.col("n_words"), 6),
+            ).otherwise(F.lit(0.0)).alias("fertility"),
+        )
+    )

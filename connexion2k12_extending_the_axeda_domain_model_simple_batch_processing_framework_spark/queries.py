@@ -1904,6 +1904,67 @@ FROM base CROSS JOIN ov CROSS JOIN ms
 QUERIES["ann_pq_residual_recall"] = q_ann_pq_residual_recall
 
 
+def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-BPE subword stats (operators.text.bpe_train /
+    bpe_subword_stats): merges trained on the corpus's word-frequency
+    table (one distributed word count + driver merge loop), applied once
+    per DISTINCT word (Arrow over the vocabulary) and broadcast-joined
+    back to the exploded tokens. The oracle independently re-trains the
+    identical merges from the parquet word counts (shared
+    `bpe_learn_merges`/`bpe_segment` code — the IVF trained-constant
+    pattern) and folds the word → n_subwords map in as literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_subword_stats(docs, text.bpe_train(docs))
+
+
+def _bpe_stats_oracle_sql(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        wc = con.execute(
+            f"SELECT w, count(*)::BIGINT AS c FROM ("
+            f"SELECT unnest({_TOKS}) AS w "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+            f") GROUP BY w ORDER BY c DESC, w LIMIT {text.BPE_WORD_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    if not wc:
+        return (
+            "SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS n_words, "
+            "0::BIGINT AS n_subwords, 0.0 AS fertility FROM documents WHERE FALSE"
+        )
+    merges = text.bpe_learn_merges(
+        [(w, int(c)) for w, c in wc], text.BPE_MERGES
+    )
+    rank = {p: i for i, p in enumerate(merges)}
+    # the vocabulary-sized map the Spark side derives distributed; words
+    # are [a-z0-9]+ by the tokenizer contract, so plain quoting is safe
+    vals = ",\n    ".join(
+        f"('{w}', {len(text.bpe_segment(w, rank))})" for w, _c in wc
+    )
+    return f"""
+WITH m(w, n_sub) AS (VALUES
+    {vals}
+),
+t AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subwords
+  FROM t JOIN m USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
+       CASE WHEN coalesce(a.n_words, 0) > 0
+            THEN round(a.n_subwords / a.n_words, 6) ELSE 0.0 END AS fertility
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES["bpe_subword_stats"] = q_bpe_subword_stats
+
+
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
@@ -1911,6 +1972,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_pq_recall": _pq_oracle_sql,
     "ann_pq_adc_recall": _pq_adc_oracle_sql,
     "ann_pq_residual_recall": _pq_residual_oracle_sql,
+    "bpe_subword_stats": _bpe_stats_oracle_sql,
 }
 
 
@@ -4669,6 +4731,7 @@ _GATE_PRIORITY = [
     "ann_pq_adc_recall",
     "ann_pq_residual_recall",
     "scd2_point_in_time_deletes",
+    "bpe_subword_stats",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4704,7 +4767,6 @@ _GATE_PRIORITY = [
     "contamination_check",
     "repetition_score",
     "corpus_stats",
-    "train_split",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

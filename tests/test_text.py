@@ -167,3 +167,49 @@ def test_lang_fertility_ratio_of_sums(spark):
     assert en["sum_bpe_tokens"] > en["sum_ws_tokens"]  # fragmentation > 1
     assert en["fertility"] == round(en["sum_bpe_tokens"] / en["sum_ws_tokens"], 6)
     assert out["und"]["fertility"] is None  # zero words -> no ratio
+
+
+def test_bpe_learn_merges_deterministic_and_frequency_ordered():
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    wc = [("the", 100), ("then", 20), ("than", 15), ("cat", 5)]
+    m1 = bpe_learn_merges(wc, 8)
+    m2 = bpe_learn_merges(list(wc), 8)
+    assert m1 == m2  # deterministic
+    # most frequent pair merges first: 't','h' appears in the/then/than
+    assert m1[0] == ("t", "h")
+    rank = {p: i for i, p in enumerate(m1)}
+    # trained word collapses fully; OOV word reuses learned subwords
+    assert bpe_segment("the", rank) == ["the"]
+    seg = bpe_segment("thence", rank)  # unseen word
+    assert "".join(seg) == "thence" and len(seg) < len("thence")
+    # merges exhaust gracefully when fewer pairs exist than requested
+    assert len(bpe_learn_merges([("ab", 1)], 10)) == 1
+
+
+def test_bpe_subword_stats_spark(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        bpe_subword_stats,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, ""),          # zero tokens -> zeros
+            (3, None),        # null text -> zeros
+            (4, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=20)
+    out = {r.doc_id: r for r in bpe_subword_stats(docs, merges).collect()}
+    assert out[2].n_words == 0 and out[2].fertility == 0.0
+    assert out[3].n_subwords == 0
+    assert out[4].n_words == 3
+    # 'the' is the most frequent word: it must collapse to ONE subword
+    assert out[4].n_subwords == 3 and out[4].fertility == 1.0
+    assert out[1].n_words == 5 and out[1].n_subwords >= 5
