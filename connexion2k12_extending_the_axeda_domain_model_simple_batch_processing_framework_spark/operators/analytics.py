@@ -381,6 +381,94 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return row.select(F.inline(entries))
 
 
+def table_profile_scaled(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """The 100 TB variant of ``table_profile``: distinct cardinality via
+    the engine's deterministic KMV sketch instead of exact countDistinct
+    — per-column aggregate state is k hash longs regardless of
+    cardinality, where the exact form shuffles EVERY distinct value
+    through the multi-distinct Expand. The documented trade made code,
+    like the approx-percentile twins (17p): the md5-derived sketch is
+    engine-reproducible, so the estimate itself is oracle-checked.
+
+    Plan: one Expand-free base aggregate (counts/nulls/min/max), plus a
+    melted (column, value-hash) distinct stream reduced by the salted
+    two-phase top-k of ``sketches.kmv_distinct_tokens`` — no column ever
+    funnels through one task. Estimate = (k-1)·2⁶⁰ / kth-min hash, exact
+    when a column has < k distinct values. Output matches
+    ``table_profile`` with ``n_distinct`` replaced by ``distinct_est``
+    (double)."""
+    from ..functions.hashing import hex_hash64
+    from .sketches import HASH_SPACE, KMV_K, KMV_SALT_BUCKETS
+
+    cols = cols or df.columns
+    k, salt_buckets = KMV_K, KMV_SALT_BUCKETS
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__null_{c}").cast("long").alias("n_null"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    base = row.select(F.inline(entries))
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        hex_hash64(F.col(c).cast("string")).alias("h"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.h").where(F.col("h").isNotNull())
+    hs = pairs.distinct()
+    w1 = Window.partitionBy("column", "_salt").orderBy(F.col("h").asc())
+    w2 = Window.partitionBy("column").orderBy(F.col("h").asc())
+    topk = (
+        hs.withColumn("_salt", F.col("h") % salt_buckets)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .groupBy("column")
+        .agg(
+            F.max("h").alias("__kth"),
+            F.count(F.lit(1)).alias("__k_actual"),
+        )
+    )
+    est = F.when(
+        F.col("__k_actual") < k, F.col("__k_actual").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth"), 4)
+    )
+    return base.join(topk, "column", "left").select(
+        "column",
+        "n_rows",
+        "n_null",
+        F.coalesce(est, F.lit(0.0)).alias("distinct_est"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q10_returned_items(tables: dict, date_from: str, date_to: str, k: int = 20) -> DataFrame:
     """TPC-H Q10 shape: top-k customers by revenue lost to returned items
     in a quarter — the reference's error-anchor reporting

@@ -3029,6 +3029,45 @@ FROM events"""
 
 SQL_EVENTS_PROFILE = _profile_oracle()
 
+
+def q_events_profile_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of the table profile
+    (operators.analytics.table_profile_scaled): KMV distinct estimates
+    (k hash longs of state per column) instead of the exact
+    multi-distinct Expand — the documented trade made code, and still
+    oracle-checked because the sketch is md5-deterministic."""
+    return analytics.table_profile_scaled(
+        load_table(spark, sf_dir, "events"), _PROFILE_COLS
+    )
+
+
+def _profile_scaled_oracle() -> str:
+    from .operators.sketches import HASH_SPACE, KMV_K
+
+    legs = []
+    for c in _PROFILE_COLS:
+        h = _HEX64.format(expr=f"{c}::VARCHAR")
+        est = (
+            f"(SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE "
+            f"ELSE round({float(KMV_K - 1)} * {HASH_SPACE} / max(h), 4) END "
+            f"FROM (SELECT h FROM (SELECT DISTINCT {h} AS h FROM events "
+            f"WHERE {c} IS NOT NULL) ORDER BY h LIMIT {KMV_K}))"
+        )
+        legs.append(
+            f"""SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       {est} AS distinct_est,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM events"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+SQL_EVENTS_PROFILE_SCALED = _profile_scaled_oracle()
+
+QUERIES["events_profile_scaled"] = q_events_profile_scaled
+ORACLE["events_profile_scaled"] = SQL_EVENTS_PROFILE_SCALED
+
 QUERIES["events_profile"] = q_events_profile
 ORACLE["events_profile"] = SQL_EVENTS_PROFILE
 
@@ -4732,6 +4771,7 @@ _GATE_PRIORITY = [
     "ann_pq_residual_recall",
     "scd2_point_in_time_deletes",
     "bpe_subword_stats",
+    "events_profile_scaled",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4765,7 +4805,6 @@ _GATE_PRIORITY = [
     "doc_chunks",
     "tfidf_top_terms",
     "contamination_check",
-    "repetition_score",
     "corpus_stats",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]

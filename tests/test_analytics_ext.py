@@ -96,3 +96,17 @@ def test_table_profile_stats(spark):
     assert rows["tag"].n_null == 1
     assert rows["tag"].n_distinct == 1  # nulls don't count as a value
     assert rows["tag"].max_value == "a"
+
+
+def test_table_profile_scaled_estimates(spark):
+    df = spark.createDataFrame(
+        [(i % 10, None if i % 5 == 0 else f"v{i % 3}") for i in range(100)],
+        "k long, s string",
+    )
+    out = {r.column: r for r in analytics.table_profile_scaled(df).collect()}
+    # columns with < k distinct values: the sketch holds them all and the
+    # estimate IS the exact count
+    assert out["k"].distinct_est == 10.0
+    assert out["s"].distinct_est == 3.0  # v0/v1/v2; nulls not a value
+    assert out["s"].n_null == 20 and out["k"].n_rows == 100
+    assert out["k"].min_value == "0" and out["k"].max_value == "9"

@@ -452,3 +452,11 @@ def test_percentile_scale_twins_use_mergeable_sketch(dfs):
     assert "approx_percentile" in plan, plan
     # exact references unchanged
     assert exact_pctl.search(checks.plan_string(dfs["price_quantiles"]))
+
+
+def test_profile_scale_twin_has_no_multi_distinct_expand(dfs):
+    """The exact profile pays the multi-distinct Expand (rows × columns
+    replicated into the shuffle); the KMV scale twin must not — its
+    distinct stream is the melted hash pairs reduced by bounded top-k."""
+    assert "Expand" in checks.plan_string(dfs["events_profile"])
+    assert "Expand" not in checks.plan_string(dfs["events_profile_scaled"])
