@@ -236,6 +236,55 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_scaled(documents: DataFrame) -> DataFrame:
+    """``corpus_stats`` with the distinct-token leg on the deterministic
+    KMV sketch — the exact leg's one-shuffle-of-every-distinct-token cost
+    replaced by a bounded top-k of k hash longs (the prose trade of
+    ``corpus_stats`` made code, cf. analytics.table_profile_scaled; the
+    md5 sketch keeps the estimate oracle-checkable). Output matches
+    ``corpus_stats`` with ``distinct_tokens`` replaced by
+    ``distinct_tokens_est`` (double)."""
+    from ..functions.hashing import hex_hash64
+    from .sketches import HASH_SPACE, KMV_K, KMV_SALT_BUCKETS
+
+    k = KMV_K
+    toked = spread(documents).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    per_doc = toked.select(F.size("__toks").alias("n"))
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_doc_tokens"),
+    )
+    hs = (
+        toked.select(F.explode("__toks").alias("t"))
+        .select(hex_hash64(F.col("t")).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("_salt").orderBy(F.col("h").asc())
+    w2 = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc())
+    topk = (
+        hs.withColumn("_salt", F.col("h") % KMV_SALT_BUCKETS)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .agg(F.max("h").alias("__kth"), F.count(F.lit(1)).alias("__k_actual"))
+    )
+    est = F.when(
+        F.col("__k_actual") < k, F.col("__k_actual").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth"), 4)
+    )
+    return base.crossJoin(F.broadcast(topk)).select(
+        "n_docs",
+        "total_tokens",
+        F.coalesce(est, F.lit(0.0)).alias("distinct_tokens_est"),
+        "avg_doc_tokens",
+    )
+
+
 N_SHARDS = 32
 
 
@@ -599,7 +648,7 @@ def sequence_pack(
     )
 
 
-def quality_bands(documents: DataFrame) -> DataFrame:
+def quality_bands(documents: DataFrame, exact: bool = True) -> DataFrame:
     """Assign each document a corpus-relative quality quartile (q1 worst …
     q4 best) — the banding a curation pass uses to set per-band sampling.
 
@@ -607,17 +656,32 @@ def quality_bands(documents: DataFrame) -> DataFrame:
     numbers (the quartile cutoffs, a 1-row aggregate), pass 2 assigns bands
     by comparing against the broadcast cutoffs — no global sort, no ntile
     over a total order (which would funnel 100 TB through one sort).
-    Cutoffs here are exact percentiles for oracle parity; at 100 TB swap
-    ``percentile`` for ``approx_percentile`` (same plan shape).
+    Cutoffs: ``exact=True`` (default — the registered reference) uses the
+    interpolated ``percentile``, whose 1-row reduce buffers every quality
+    value; ``exact=False`` is the scale twin on ``approx_percentile``'s
+    fixed-size mergeable sketch (discrete value-at-rank cutoffs,
+    engine-exact below the sketch accuracy, so the twin stays
+    oracle-checked — cf. analytics.price_quantiles).
     """
+    from .analytics import PCTL_ACCURACY
     from .text import quality_score
 
     q = quality_score(documents).select("doc_id", "quality")
-    cuts = q.agg(
-        F.percentile("quality", 0.25).alias("p25"),
-        F.percentile("quality", 0.50).alias("p50"),
-        F.percentile("quality", 0.75).alias("p75"),
-    )
+    if exact:
+        cuts = q.agg(
+            F.percentile("quality", 0.25).alias("p25"),
+            F.percentile("quality", 0.50).alias("p50"),
+            F.percentile("quality", 0.75).alias("p75"),
+        )
+    else:
+        ap = F.expr(
+            f"approx_percentile(quality, array(0.25D, 0.5D, 0.75D), {PCTL_ACCURACY})"
+        )
+        cuts = q.agg(ap.alias("__q")).select(
+            F.col("__q")[0].alias("p25"),
+            F.col("__q")[1].alias("p50"),
+            F.col("__q")[2].alias("p75"),
+        )
     band = (
         F.when(F.col("quality") <= F.col("p25"), F.lit("q1"))
         .when(F.col("quality") <= F.col("p50"), F.lit("q2"))

@@ -2379,6 +2379,77 @@ QUERIES["quality_bands"] = q_quality_bands
 ORACLE["quality_bands"] = SQL_QUALITY_BANDS
 
 
+def q_quality_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality banding with approx_percentile cutoffs
+    (operators.corpus.quality_bands, exact=False) — the scale twin whose
+    1-row cutoff reduce never buffers the quality column."""
+    return corpus.quality_bands(
+        load_table(spark, sf_dir, "documents"), exact=False
+    )
+
+
+SQL_QUALITY_BANDS_SCALED = f"""
+WITH qx AS ({{quality}}),
+q AS (SELECT doc_id, quality FROM qx),
+cuts AS (
+  SELECT quantile_disc(quality, 0.25) AS p25,
+         quantile_disc(quality, 0.50) AS p50,
+         quantile_disc(quality, 0.75) AS p75
+  FROM q
+)
+SELECT doc_id, quality,
+       CASE WHEN quality <= p25 THEN 'q1'
+            WHEN quality <= p50 THEN 'q2'
+            WHEN quality <= p75 THEN 'q3'
+            ELSE 'q4' END AS band
+FROM q CROSS JOIN cuts
+"""
+
+QUERIES["quality_bands_scaled"] = q_quality_bands_scaled
+ORACLE["quality_bands_scaled"] = SQL_QUALITY_BANDS_SCALED.format(
+    quality=SQL_QUALITY_SCORE
+)
+
+
+def q_corpus_stats_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus summary with the KMV distinct-token estimate
+    (operators.corpus.corpus_stats_scaled) — no shuffle of every
+    distinct token; the md5 sketch keeps the estimate oracle-checked."""
+    return corpus.corpus_stats_scaled(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_stats_scaled_oracle() -> str:
+    from .operators.sketches import HASH_SPACE, KMV_K
+
+    h = _HEX64.format(expr="t")
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+per AS (SELECT len(toks) AS n FROM d),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(n)::BIGINT AS total_tokens,
+         round(avg(n::DOUBLE), 6) AS avg_doc_tokens
+  FROM per
+),
+hs AS (SELECT DISTINCT {h} AS h FROM (SELECT unnest(toks) AS t FROM d)),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}),
+est AS (
+  SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+         ELSE round({float(KMV_K - 1)} * {HASH_SPACE} / max(h), 4) END
+         AS distinct_tokens_est
+  FROM topk
+)
+SELECT n_docs, total_tokens,
+       coalesce(distinct_tokens_est, 0.0) AS distinct_tokens_est,
+       avg_doc_tokens
+FROM base CROSS JOIN est
+"""
+
+
+QUERIES["corpus_stats_scaled"] = q_corpus_stats_scaled
+ORACLE["corpus_stats_scaled"] = _corpus_stats_scaled_oracle()
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing manifest for the fixed-length-sequence training stream
     (operators.corpus.sequence_pack)."""
@@ -4772,6 +4843,8 @@ _GATE_PRIORITY = [
     "scd2_point_in_time_deletes",
     "bpe_subword_stats",
     "events_profile_scaled",
+    "corpus_stats_scaled",
+    "quality_bands_scaled",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4804,8 +4877,6 @@ _GATE_PRIORITY = [
     "price_quantiles",
     "doc_chunks",
     "tfidf_top_terms",
-    "contamination_check",
-    "corpus_stats",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority
