@@ -1257,6 +1257,56 @@ def ivf_pq_residual_recall(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 5,
+    candidate_pad: int = 5,
+    query_mod: int = 50,
+    near_threshold: float = 0.35,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-``k`` most-similar neighbors that are NOT near-duplicates —
+    similar enough to be hard, distinct enough to be true negatives (the
+    standard retrieval-training recipe: ANN candidates minus the dup
+    set).
+
+    Pure composition of the engine's shared artifacts — which is the
+    point: candidates come from the session-shared IVF index
+    (partition-pruned probe, over-fetched by ``candidate_pad`` so the
+    exclusion cannot starve the top-k), the exclusion set is the
+    LSH-bucketed near-dup pair list (same blocking the dedup tier uses,
+    no new all-pairs work), the anti-join is a broadcast of the
+    (queries-touching) pair subset, and the final re-rank is a bounded
+    window over ≤ k+pad rows per query. Nothing here scans the corpus
+    beyond what the index probe already prunes.
+
+    Output: (query_id, neighbor_id, cosine, rk) with rk ≤ k.
+    """
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    cands = ivf_probe(
+        centroids, assignments, queries, k + candidate_pad, nprobe
+    ).drop("rk")
+    near = embedding_near_dup_pairs(embeddings, threshold=near_threshold)
+    ex = near.select(
+        F.col("vec_a").alias("query_id"), F.col("vec_b").alias("neighbor_id")
+    ).unionByName(
+        near.select(
+            F.col("vec_b").alias("query_id"),
+            F.col("vec_a").alias("neighbor_id"),
+        )
+    )
+    kept = cands.join(ex, ["query_id", "neighbor_id"], "left_anti")
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return kept.withColumn(
+        "rk", F.row_number().over(rank).cast("long")
+    ).filter(F.col("rk") <= k)
+
+
 def pq_codes_cached(
     embeddings: DataFrame,
     m: int = PQ_M,

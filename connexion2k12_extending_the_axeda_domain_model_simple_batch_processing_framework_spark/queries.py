@@ -1739,6 +1739,87 @@ FROM base CROSS JOIN ov
 QUERIES["ann_pq_adc_recall"] = q_ann_pq_adc_recall
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives):
+    per query, the most-similar neighbors that are NOT LSH near-dups —
+    ANN candidates (shared IVF, over-fetched) minus the dedup tier's
+    pair list, re-ranked to top-k. The oracle composes the folded-
+    centroid probe with the hyperplane near-pair fragment and replays
+    the exclusion as NOT EXISTS."""
+    return similarity.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hard_negatives_oracle_sql(sf_dir: str) -> str:
+    cent_rows = _ivf_centroid_values(sf_dir)
+    if cent_rows is None:
+        return (
+            "SELECT vec_id::BIGINT AS query_id, vec_id::BIGINT AS neighbor_id, "
+            "0.0 AS cosine, 0::BIGINT AS rk FROM embeddings WHERE FALSE"
+        )
+    k, pad = 5, 5
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topc AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {k + pad}
+),
+sigs AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+near AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35
+),
+ex AS (SELECT va, vb FROM near UNION ALL SELECT vb AS va, va AS vb FROM near),
+kept AS (
+  SELECT t.* FROM topc t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex WHERE ex.va = t.query_id AND ex.vb = t.neighbor_id
+  )
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rk
+FROM kept
+QUALIFY rk <= {k}
+"""
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+
 def q_ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-coded PQ probe recall
     (operators.similarity.ivf_pq_residual_recall) — codes the vector's
@@ -1973,6 +2054,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_pq_adc_recall": _pq_adc_oracle_sql,
     "ann_pq_residual_recall": _pq_residual_oracle_sql,
     "bpe_subword_stats": _bpe_stats_oracle_sql,
+    "hard_negatives": _hard_negatives_oracle_sql,
 }
 
 
@@ -4845,6 +4927,7 @@ _GATE_PRIORITY = [
     "events_profile_scaled",
     "corpus_stats_scaled",
     "quality_bands_scaled",
+    "hard_negatives",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4876,7 +4959,6 @@ _GATE_PRIORITY = [
     "orders_rollup",
     "price_quantiles",
     "doc_chunks",
-    "tfidf_top_terms",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -366,3 +366,22 @@ def test_residual_pq_beats_plain_pq_recall(spark, sf_dir):
     res = similarity.ivf_pq_residual_recall(emb).collect()[0]
     assert res.recall >= plain.recall
     assert res.mean_mse <= plain.mean_mse
+
+
+def test_hard_negatives_excludes_near_dups(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(emb, k=5)
+    pairs = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert pairs
+    # no emitted pair may be an LSH near-dup (either orientation)
+    near = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    banned = set()
+    for r in near.collect():
+        banned.add((r.vec_a, r.vec_b))
+        banned.add((r.vec_b, r.vec_a))
+    assert not (pairs & banned)
+    # per query at most k rows, ranked 1..n by cosine
+    import collections
+
+    per_q = collections.Counter(q for q, _n in pairs)
+    assert max(per_q.values()) <= 5
