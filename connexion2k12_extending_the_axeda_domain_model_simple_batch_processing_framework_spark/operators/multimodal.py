@@ -230,6 +230,74 @@ def with_ppm_payload(documents: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_W = 8
+RESIZE_H = 8
+
+RESIZED_SCHEMA = (
+    "doc_id long, width long, height long, payload binary, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def resize_image(
+    media: DataFrame,
+    out_w: int = RESIZE_W,
+    out_h: int = RESIZE_H,
+    on_error: str = "route",
+) -> DataFrame:
+    """Resize the payload column's PPM images by nearest-neighbor
+    sampling — the thumbnail/normalization stage of an image-training
+    pipeline, behind the same Arrow ``mapInPandas`` contract as
+    ``decode_image`` (columnar batches, partition preserved, no
+    shuffle). Source pixel for output (x, y) is (⌊x·W/w'⌋, ⌊y·H/h'⌋) —
+    pure integer index math, so the resized raster (re-encoded as a
+    valid P6 payload) and its channel means are deterministic and the
+    oracle replays them from the synthesized corpus. Same
+    reject-routing/fail-fast error topology as the decoders.
+
+    Output: (doc_id, width, height, payload, mean_r/g/b, err) where
+    width/height/payload describe the RESIZED image.
+    """
+    import numpy as np
+
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "payload", "mean_r", "mean_g", "mean_b", "err")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", *cols)}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, mx, raster = _decode_ppm(bytes(buf))
+                    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                    rows = (np.arange(out_h) * h) // out_h
+                    colsel = (np.arange(out_w) * w) // out_w
+                    rz = px[rows][:, colsel]
+                    sums = rz.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    n = out_w * out_h
+                    means = [
+                        float(np.floor(s / n * 1e6 + 0.5) / 1e6) for s in sums
+                    ]
+                    vals = [
+                        out_w, out_h,
+                        encode_ppm(out_w, out_h, rz.tobytes(), mx),
+                        *means, None,
+                    ]
+                except (UnsupportedCodecError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    vals = [None] * 6 + [str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # audio tier: real WAV (RIFF/PCM-16) decode behind the same Arrow contract
 # ---------------------------------------------------------------------------

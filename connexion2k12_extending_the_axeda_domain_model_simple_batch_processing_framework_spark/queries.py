@@ -4794,6 +4794,56 @@ QUERIES["audio_decode"] = q_audio_decode
 ORACLE["audio_decode"] = SQL_AUDIO_DECODE
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over the multimodal tier
+    (operators.multimodal.resize_image): 16×16 synthesized PPMs to 8×8
+    thumbnails; the registered row reports the RESIZED dimensions and
+    channel means (the binary thumbnail payload is dropped for the
+    gate — its correctness is pinned by the decode-roundtrip pytest).
+    The oracle replays the integer source-index math (sx=2x, sy=2y for
+    the 16→8 case) over the tiled character codes."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.resize_image(multimodal.with_ppm_payload(docs))
+    return out.select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "err"
+    )
+
+
+_RZ_POS = 8 * 8 * 3
+
+SQL_IMAGE_RESIZE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_RZ_POS})) AS i FROM nz),
+codes AS (
+  SELECT doc_id, (i % 3)::INT AS ch,
+         unicode(substr(raw,
+           ((((((i // 24) * 2) * 16 + ((i % 24) // 3) * 2) * 3 + (i % 3)) % n) + 1)::INT,
+           1)) AS code
+  FROM pos
+),
+agg AS (SELECT doc_id, ch, sum(code)::BIGINT AS s FROM codes GROUP BY 1, 2),
+means AS (
+  SELECT doc_id,
+         max(CASE WHEN ch = 0 THEN floor(s / {_RZ_POS // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_r,
+         max(CASE WHEN ch = 1 THEN floor(s / {_RZ_POS // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_g,
+         max(CASE WHEN ch = 2 THEN floor(s / {_RZ_POS // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_b
+  FROM agg GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       mean_r, mean_g, mean_b, NULL::VARCHAR AS err
+FROM means
+UNION ALL
+SELECT doc_id::BIGINT, 8::BIGINT, 8::BIGINT, 0.0, 0.0, 0.0, NULL::VARCHAR
+FROM d WHERE length(raw) = 0
+"""
+
+QUERIES["image_resize"] = q_image_resize
+ORACLE["image_resize"] = SQL_IMAGE_RESIZE
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
     (operators.analytics.key_skew_report), exact-percentile reference."""
@@ -4928,6 +4978,7 @@ _GATE_PRIORITY = [
     "corpus_stats_scaled",
     "quality_bands_scaled",
     "hard_negatives",
+    "image_resize",
     "audio_decode",
     "price_quantiles_scaled",
     "events_key_skew_scaled",
@@ -4958,7 +5009,6 @@ _GATE_PRIORITY = [
     "events_props_metric",
     "orders_rollup",
     "price_quantiles",
-    "doc_chunks",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -220,3 +220,26 @@ def test_ppm_roundtrip_property():
         assert mm._decode_ppm(mm.encode_ppm(w, h, raster)) == (w, h, 255, raster)
 
     check()
+
+
+def test_resize_image_roundtrip_and_means(spark):
+    import numpy as np
+
+    # 4x4 image with a known gradient; 2x2 nearest-neighbor keeps the
+    # (0,0),(0,2),(2,0),(2,2) source pixels
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = mm.encode_ppm(4, 4, px.tobytes())
+    out = mm.resize_image(
+        _media(spark, [(1, payload), (2, b"not an image")]),
+        out_w=2, out_h=2,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    r1 = rows[1]
+    assert (r1.width, r1.height) == (2, 2) and r1.err is None
+    # resized payload is itself a valid P6 and decodes to the kept pixels
+    w, h, mx, raster = mm._decode_ppm(bytes(r1.payload))
+    kept = px[[0, 2]][:, [0, 2]]
+    assert (w, h) == (2, 2) and raster == kept.tobytes()
+    want = kept.reshape(-1, 3).astype(int).sum(axis=0) / 4
+    assert (r1.mean_r, r1.mean_g, r1.mean_b) == tuple(want)
+    assert rows[2].err is not None and rows[2].payload is None
