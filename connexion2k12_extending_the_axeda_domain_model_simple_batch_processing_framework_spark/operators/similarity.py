@@ -266,10 +266,18 @@ def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
 
 def _seq_norms(M: "np.ndarray") -> "np.ndarray":
     """Left-fold L2 norms (the l2_norm_expr twin of _seq_dot)."""
+    return np.sqrt(_seq_sq_sums(M))
+
+
+def _seq_sq_sums(M: "np.ndarray") -> "np.ndarray":
+    """Left-fold sums of squares (norm² WITHOUT the sqrt): the exact twin
+    of the SQL ``Σ v[i]·v[i]`` fold — callers needing norm² must use this,
+    not ``_seq_norms(..)**2``, whose sqrt-then-square can differ by 1 ulp
+    from the raw fold."""
     acc = np.zeros(M.shape[0])
     for i in range(M.shape[1]):
         acc += M[:, i] * M[:, i]
-    return np.sqrt(acc)
+    return acc
 
 
 def _exact_pairs_arrow(
@@ -1419,9 +1427,10 @@ def pq_adc_probe(
             d = _seq_dot(qv[None, s * dsub : (s + 1) * dsub], C)[0]
             luts.append({int(i): float(x) for i, x in zip(ids, d)})
         dot_lut[int(r.qid)] = luts
-    # query-independent codeword norm² table (per-codeword left fold)
+    # query-independent codeword norm² table (per-codeword left fold —
+    # the RAW fold sum, not a squared sqrt, for bit-parity with the SQL)
     norm_lut = [
-        {int(i): float(n * n) for i, n in zip(ids, _seq_norms(C))}
+        {int(i): float(s) for i, s in zip(ids, _seq_sq_sums(C))}
         for ids, C in books
     ]
 
@@ -1468,6 +1477,179 @@ def pq_adc_probe(
     return scored.withColumn(
         "rk", F.row_number().over(rank).cast("long")
     ).filter(F.col("rk") <= k)
+
+
+def pq_residual_adc_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC probe over RESIDUAL codes — the probe a production faiss
+    IVFPQ actually runs: candidates are ranked from their m-byte
+    residual codes and three tiny lookup tables, never reconstructed.
+    Because subspaces partition the dimensions, dot(q, c + r̂) and
+    |c + r̂|² decompose exactly:
+
+        dot   = dot(q, c)            (per query × centroid — nlist entries)
+              + Σ_s dot(q_s, cw_s)   (per query × subspace × codeword)
+        norm² = |c|²                 (per centroid)
+              + Σ_s (2·dot(c_s, cw_s) + |cw_s|²)   (per centroid × s × codeword)
+
+    All tables are KBs (nlist + q·m·ksub + nlist·m·ksub entries) and
+    ship in the task closure; per candidate the scorer does 2m lookups,
+    two adds and a sqrt. Accumulation is subspace-ordered left folds, so
+    the DuckDB twin replays every cosine bit-for-bit with ordered
+    ``list_reduce``. ``codes`` is ``pq_encode_residual`` output
+    (vec_id, centroid_id, codes); bucket selection and the candidate
+    equi-join are unchanged from ``pq_adc_probe``.
+    """
+    books = _collect_codebooks(codebooks)
+    m = len(books)
+    dsub = books[0][1].shape[1]
+    C, cidx = _centroid_matrix(centroids)
+    c_norm2 = {
+        cid: float(_seq_sq_sums(C[i][None, :])[0]) for cid, i in cidx.items()
+    }
+    # cross table: dot(c_s, cw) per (centroid, subspace, codeword)
+    cross = {
+        cid: [
+            {
+                int(code): float(
+                    _seq_dot(C[i][None, s * dsub : (s + 1) * dsub], Cb)[0][j]
+                )
+                for j, code in enumerate(ids)
+            }
+            for s, (ids, Cb) in enumerate(books)
+        ]
+        for cid, i in cidx.items()
+    }
+    norm_lut = [
+        {int(i): float(s) for i, s in zip(ids, _seq_sq_sums(Cb))}
+        for ids, Cb in books
+    ]
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    dot_lut: dict[int, list[dict[int, float]]] = {}
+    qc_dot: dict[int, dict[int, float]] = {}
+    q_norm: dict[int, float] = {}
+    for r in q_rows:
+        qv = np.array(r.qv, dtype=np.float64)
+        q_norm[int(r.qid)] = float(_seq_norms(qv[None, :])[0])
+        dot_lut[int(r.qid)] = [
+            {
+                int(i): float(
+                    _seq_dot(qv[None, s * dsub : (s + 1) * dsub], Cb)[0][j]
+                )
+                for j, i in enumerate(ids)
+            }
+            for s, (ids, Cb) in enumerate(books)
+        ]
+        qc_dot[int(r.qid)] = {
+            cid: float(_seq_dot(qv[None, :], C[i][None, :])[0][0])
+            for cid, i in cidx.items()
+        }
+
+    probes = _probe_buckets(centroids, queries, nprobe, id_col, vec_col)
+    cand = (
+        F.broadcast(probes.select("query_id", "centroid_id"))
+        .join(codes.select(F.col("vec_id").alias("vid"), "centroid_id", "codes"), "centroid_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", "vid", "centroid_id", "codes")
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cos = []
+            for qid, cid, cs in zip(
+                pdf["query_id"], pdf["centroid_id"], pdf["codes"]
+            ):
+                qid, cid = int(qid), int(cid)
+                luts, ct = dot_lut[qid], cross[cid]
+                # fold the per-subspace sums FIRST, then add the
+                # centroid-level terms — the association the SQL twin's
+                # `qcdot + list_reduce(...)` replays exactly
+                dsum, n2sum = 0.0, 0.0
+                for s in range(m):  # subspace-order left folds
+                    code = int(cs[s])
+                    dsum += luts[s][code]
+                    n2sum += 2.0 * ct[s][code] + norm_lut[s][code]
+                dot = qc_dot[qid][cid] + dsum
+                n2 = c_norm2[cid] + n2sum
+                c = dot / (q_norm[qid] * float(np.sqrt(n2)))
+                cos.append(float(_round_half_away(np.array([c]), 6)[0]))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vid"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cosine double"
+    )
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(rank).cast("long")
+    ).filter(F.col("rk") <= k)
+
+
+def ivf_pq_residual_adc_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Recall of the residual-ADC probe (the full production IVFPQ
+    combination: best-recall residual codes, LUT-only scan) against the
+    float probe of the same shared index. Completes the compression ×
+    probe matrix alongside ``ivf_pq_recall`` / ``ivf_pq_adc_recall`` /
+    ``ivf_pq_residual_recall``; oracle-checked with centroids AND
+    residual codebooks folded into SQL.
+
+    Output (1 row): n_queries, k, n_float, n_overlap, recall.
+    """
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    books, codes = pq_residual_codes_cached(
+        embeddings, centroids, assignments, m, ksub
+    )
+    top_adc = pq_residual_adc_probe(
+        centroids, assignments, codes, books, queries, k, nprobe
+    )
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_adc.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return base.crossJoin(hits).select(
+        "n_queries",
+        F.lit(k).cast("long").alias("k"),
+        "n_float",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+    )
 
 
 def ivf_pq_adc_recall(

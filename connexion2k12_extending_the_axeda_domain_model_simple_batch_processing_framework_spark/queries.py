@@ -1985,6 +1985,149 @@ FROM base CROSS JOIN ov CROSS JOIN ms
 QUERIES["ann_pq_residual_recall"] = q_ann_pq_residual_recall
 
 
+def q_ann_pq_residual_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-ADC probe recall
+    (operators.similarity.ivf_pq_residual_adc_recall) — the production
+    IVFPQ combination: residual codes ranked LUT-only via the exact
+    subspace decomposition of dot(q, c+r̂) and |c+r̂|²; candidates never
+    reconstructed."""
+    return similarity.ivf_pq_residual_adc_recall(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+_DOT64 = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _pq_residual_adc_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_pq_residual_adc_recall``: float side as in
+    ``_ivf_oracle_sql``; the ADC side re-derives residual codes, then
+    scores candidates purely from the decomposition — per-subspace dot
+    and norm² terms folded in subspace order (ordered ``list_reduce``),
+    added to the centroid-level dot/norm² folds — exactly the Arrow
+    scorer's association."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    book_rows = _pq_residual_book_values(sf_dir)
+    if cent_rows is None or book_rows is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall FROM embeddings WHERE FALSE"
+        )
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    res_sqdist = " + ".join(
+        f"((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        f" * ((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        for i in range(1, dsub + 1)
+    )
+    qdot = " + ".join(
+        f"p.qv[b.subspace*{dsub} + {i}]::DOUBLE * b.cw[{i}]"
+        for i in range(1, dsub + 1)
+    )
+    ctdot = " + ".join(
+        f"aw.ctr[b.subspace*{dsub} + {i}] * b.cw[{i}]"
+        for i in range(1, dsub + 1)
+    )
+    cwn = " + ".join(f"b.cw[{i}] * b.cw[{i}]" for i in range(1, dsub + 1))
+    return f"""
+WITH cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+pqc(subspace, code_id, cw) AS (VALUES
+    {book_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+aw AS (SELECT a.vec_id, a.embedding, a.centroid_id, ct.ctr
+       FROM assigned a JOIN cent ct USING (centroid_id)),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {similarity.IVF_NPROBE}
+),
+scored_f AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f
+  ) WHERE rk <= 5
+),
+codes AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT aw.vec_id, b.subspace, b.code_id,
+           row_number() OVER (
+             PARTITION BY aw.vec_id, b.subspace
+             ORDER BY {res_sqdist}, b.code_id
+           ) AS rn
+    FROM aw CROSS JOIN pqc b
+  ) WHERE rn = 1
+),
+term AS (
+  SELECT p.query_id, aw.vec_id, kk.subspace,
+         {qdot} AS dterm,
+         2.0 * ({ctdot}) + ({cwn}) AS n2term
+  FROM probes p
+  JOIN aw ON aw.centroid_id = p.centroid_id
+  JOIN codes kk ON kk.vec_id = aw.vec_id
+  JOIN pqc b ON b.subspace = kk.subspace AND b.code_id = kk.code_id
+  WHERE p.query_id <> aw.vec_id
+),
+acc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(dterm ORDER BY subspace), (x, y) -> x + y) AS dsum,
+         list_reduce(list(n2term ORDER BY subspace), (x, y) -> x + y) AS nsum
+  FROM term GROUP BY query_id, vec_id
+),
+scored_adc AS (
+  SELECT acc.query_id, acc.vec_id AS neighbor_id,
+         round(({_DOT64.format(a='q.qv', b='aw.ctr')} + acc.dsum)
+               / (sqrt({_DOT64.format(a='q.qv', b='q.qv')})
+                  * sqrt({_DOT64.format(a='aw.ctr', b='aw.ctr')} + acc.nsum)),
+               6) AS cosine
+  FROM acc
+  JOIN q ON q.query_id = acc.query_id
+  JOIN aw ON aw.vec_id = acc.vec_id
+),
+topa AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_adc
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topa USING (query_id, neighbor_id))
+SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall
+FROM base CROSS JOIN ov
+"""
+
+
+QUERIES["ann_pq_residual_adc_recall"] = q_ann_pq_residual_adc_recall
+
+
 def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL learned-BPE subword stats (operators.text.bpe_train /
     bpe_subword_stats): merges trained on the corpus's word-frequency
@@ -2055,6 +2198,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_pq_residual_recall": _pq_residual_oracle_sql,
     "bpe_subword_stats": _bpe_stats_oracle_sql,
     "hard_negatives": _hard_negatives_oracle_sql,
+    "ann_pq_residual_adc_recall": _pq_residual_adc_oracle_sql,
 }
 
 
@@ -4972,6 +5116,7 @@ _GATE_PRIORITY = [
     "ann_pq_recall",
     "ann_pq_adc_recall",
     "ann_pq_residual_recall",
+    "ann_pq_residual_adc_recall",
     "scd2_point_in_time_deletes",
     "bpe_subword_stats",
     "events_profile_scaled",
@@ -5007,7 +5152,6 @@ _GATE_PRIORITY = [
     "events_sessionize",
     "purchase_attribution",
     "events_props_metric",
-    "orders_rollup",
     "price_quantiles",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]

@@ -385,3 +385,34 @@ def test_hard_negatives_excludes_near_dups(spark, sf_dir):
 
     per_q = collections.Counter(q for q, _n in pairs)
     assert max(per_q.values()) <= 5
+
+
+def test_residual_adc_matches_reconstruction_ranking(spark, sf_dir):
+    # the subspace decomposition is EXACT (disjoint dims), so the LUT-only
+    # residual-ADC probe must produce the same top-k as the reconstruction
+    # probe over centroid + decoded residual, up to fold re-association on
+    # exact cosine ties
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = similarity.ivf_build_cached(emb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    books, codes = similarity.pq_residual_codes_cached(
+        emb, centroids, assignments
+    )
+    adc = similarity.pq_residual_adc_probe(
+        centroids, assignments, codes, books, queries
+    )
+    r_hat = similarity.pq_reconstruct(codes, books)
+    recon = (
+        codes.select("vec_id", "centroid_id")
+        .join(r_hat, "vec_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col("vec_id").alias("vid"),
+            "centroid_id",
+            F.zip_with("centroid", "rv", lambda c, r: c + r).alias("cv"),
+        )
+    )
+    rp = similarity.ivf_probe(centroids, recon, queries)
+    a = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in rp.collect()}
+    assert a and len(a & b) / len(a | b) > 0.95
