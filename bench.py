@@ -90,11 +90,14 @@ def main() -> None:
     times: dict[str, float] = {}
     wall0 = time.perf_counter()
     for name in HEADLINE:
-        cache_before = len(dfcache._CACHE)
+        # count build() INVOCATIONS, not cache-size growth: an eviction
+        # during the query would net the length delta back toward zero
+        # and silently under-count who paid a build
+        builds_before = dfcache.build_count()
         t0 = time.perf_counter()
         force(q.QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
-        built = len(dfcache._CACHE) - cache_before
+        built = dfcache.build_count() - builds_before
         if built > 0:
             index_builds[name] = built
         release_checkpoints(spark)  # untimed inter-query cleanup

@@ -33,6 +33,16 @@ from pyspark.sql import DataFrame
 
 _CACHE: dict = {}
 _CACHE_MAX = 16
+#: monotone count of cache MISSES (build() invocations). Unlike the cache
+#: length, this never decreases, so callers measuring "did this query pay
+#: an index build" (bench.py) see builds even when an eviction during the
+#: same query nets the cache length back to zero.
+_BUILDS = 0
+
+
+def build_count() -> int:
+    """Total build() invocations since process start (monotone)."""
+    return _BUILDS
 
 
 def _persistent_rdd_ids(spark) -> set[int]:
@@ -76,9 +86,11 @@ def memo(spark, key, build: Callable[[], tuple]) -> tuple:
     """Return the cached value for ``key``, else run ``build()`` (which
     persists its own DataFrames via ``persist_df``), record the storage
     ids it created, and cache. ``key`` must include the SparkSession."""
+    global _BUILDS
     _prune_stale()
     if key in _CACHE:
         return _CACHE[key][0]
+    _BUILDS += 1
     before = _persistent_rdd_ids(spark)
     value = build()
     entry_ids = _persistent_rdd_ids(spark) - before

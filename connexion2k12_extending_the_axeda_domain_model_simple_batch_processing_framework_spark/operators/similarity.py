@@ -1367,10 +1367,15 @@ def pq_residual_codes_cached(
         )
 
     try:
+        # the residual artifacts depend on WHICH centroids the residuals
+        # are taken against, so the key pins the centroid relation's
+        # canonical plan — two quantizers over the same corpus (different
+        # nlist, or a foreign corpus's centroids) never alias
         key = (
             "pqr",
             embeddings.sparkSession,
             embeddings.select("vec_id", "embedding").semanticHash(),
+            centroids.select("centroid_id", "centroid").semanticHash(),
             m,
             ksub,
         )
@@ -1401,9 +1406,16 @@ def pq_adc_probe(
 
     Plan: bucket selection as in ``ivf_probe`` (broadcast centroid rank,
     partition-pruned equi-join on centroid_id against the code file),
-    then one Arrow pass over the joined candidates with the LUTs in the
-    task closure (queries × m × ksub floats — KBs). Accumulation is in
-    subspace order (left fold), so the DuckDB twin's ordered list_reduce
+    carrying each query's vector through the join exactly as ``ivf_probe``
+    does; one Arrow pass over the joined candidates builds the per-query
+    dot LUTs IN the task (vectorized ``_seq_dot`` over the batch's
+    distinct queries against the closure-shipped codebooks — m·ksub
+    doubles, KBs, independent of query count), then scores whole batches
+    with dense ``np.ndarray`` fancy-indexed LUT gathers. Queries stay
+    distributed — nothing is collected to the driver, so query-set size
+    is unbounded. Accumulation stays in subspace order (one vectorized
+    add per subspace — each element sees the identical left-fold chain
+    the scalar loop produced), so the DuckDB twin's ordered list_reduce
     reproduces every cosine bit-for-bit. Ranking ties out with the
     reconstruction probe up to float re-association between the two
     fold shapes — which is why the recall report ranks both sides with
@@ -1412,31 +1424,20 @@ def pq_adc_probe(
     books = _collect_codebooks(codebooks)
     m = len(books)
     dsub = books[0][1].shape[1]
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    # per query: dot LUT (m × ksub, left-fold dot of each q sub-vector
-    # with each codeword); query norms are 64-dim left folds
-    dot_lut: dict[int, list[dict[int, float]]] = {}
-    q_norm: dict[int, float] = {}
-    for r in q_rows:
-        qv = np.array(r.qv, dtype=np.float64)
-        q_norm[int(r.qid)] = float(_seq_norms(qv[None, :])[0])
-        luts = []
-        for s, (ids, C) in enumerate(books):
-            d = _seq_dot(qv[None, s * dsub : (s + 1) * dsub], C)[0]
-            luts.append({int(i): float(x) for i, x in zip(ids, d)})
-        dot_lut[int(r.qid)] = luts
-    # query-independent codeword norm² table (per-codeword left fold —
-    # the RAW fold sum, not a squared sqrt, for bit-parity with the SQL)
-    norm_lut = [
-        {int(i): float(s) for i, s in zip(ids, _seq_sq_sums(C))}
-        for ids, C in books
-    ]
+    # dense closure tables: code id -> codebook row (ids can be sparse
+    # after empty-cell drops), padded per-subspace codeword norm² (RAW
+    # left-fold sums — not a squared sqrt, for bit-parity with the SQL)
+    kmax = max(len(ids) for ids, _C in books)
+    idmax = max(int(ids.max()) for ids, _C in books) + 1
+    posmap = np.zeros((m, idmax), dtype=np.int64)
+    norm_lut = np.zeros((m, kmax))
+    for s, (ids, C) in enumerate(books):
+        posmap[s, ids] = np.arange(len(ids))
+        norm_lut[s, : len(ids)] = _seq_sq_sums(C)
 
     probes = _probe_buckets(centroids, queries, nprobe, id_col, vec_col)
     cand = (
-        F.broadcast(probes.select("query_id", "centroid_id"))
+        F.broadcast(probes.select("query_id", "q_vec", "centroid_id"))
         .join(
             assignments.select("vid", "centroid_id").join(
                 codes.select(F.col(id_col).alias("vid"), "codes"), "vid"
@@ -1444,22 +1445,36 @@ def pq_adc_probe(
             "centroid_id",
         )
         .filter(F.col("query_id") != F.col("vid"))
-        .select("query_id", "vid", "codes")
+        .select("query_id", "q_vec", "vid", "codes")
     )
 
     def score_batches(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            cos = []
-            for qid, cs in zip(pdf["query_id"], pdf["codes"]):
-                dot, rn2 = 0.0, 0.0
-                luts = dot_lut[int(qid)]
-                for s in range(m):  # subspace-order left folds
-                    dot += luts[s][int(cs[s])]
-                    rn2 += norm_lut[s][int(cs[s])]
-                c = dot / (q_norm[int(qid)] * float(np.sqrt(rn2)))
-                cos.append(float(_round_half_away(np.array([c]), 6)[0]))
+            qids = pdf["query_id"].to_numpy()
+            uq, first, qinv = np.unique(
+                qids, return_index=True, return_inverse=True
+            )
+            Q = np.array(
+                [pdf["q_vec"].iloc[i] for i in first], dtype=np.float64
+            )
+            q_norm = _seq_norms(Q)
+            # per-distinct-query dot LUT (nq × m × ksub): the same
+            # _seq_dot left folds the driver build produced per query
+            dot_lut = np.zeros((len(uq), m, kmax))
+            for s, (ids, C) in enumerate(books):
+                dot_lut[:, s, : len(ids)] = _seq_dot(
+                    Q[:, s * dsub : (s + 1) * dsub], C
+                )
+            CS = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dot = np.zeros(len(pdf))
+            rn2 = np.zeros(len(pdf))
+            for s in range(m):  # subspace-order left folds
+                pos = posmap[s, CS[:, s]]
+                dot += dot_lut[qinv, s, pos]
+                rn2 += norm_lut[s, pos]
+            cos = _round_half_away(dot / (q_norm[qinv] * np.sqrt(rn2)), 6)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -1501,91 +1516,84 @@ def pq_residual_adc_probe(
         norm² = |c|²                 (per centroid)
               + Σ_s (2·dot(c_s, cw_s) + |cw_s|²)   (per centroid × s × codeword)
 
-    All tables are KBs (nlist + q·m·ksub + nlist·m·ksub entries) and
-    ship in the task closure; per candidate the scorer does 2m lookups,
-    two adds and a sqrt. Accumulation is subspace-ordered left folds, so
-    the DuckDB twin replays every cosine bit-for-bit with ordered
-    ``list_reduce``. ``codes`` is ``pq_encode_residual`` output
-    (vec_id, centroid_id, codes); bucket selection and the candidate
-    equi-join are unchanged from ``pq_adc_probe``.
+    The query-independent tables are KBs (nlist + nlist·m·ksub entries)
+    and ship in the task closure as dense ``np.ndarray``s; the per-query
+    dot LUT and query-centroid dots are built IN the Arrow pass from the
+    batch's distinct queries (vectorized ``_seq_dot`` — queries stay
+    distributed, nothing collected to the driver, query-set size
+    unbounded). Per candidate the scorer does 2m dense-gather lookups,
+    two adds and a sqrt, batched with fancy indexing. Accumulation is
+    subspace-ordered left folds (one vectorized add per subspace — each
+    element sees the scalar loop's exact chain), so the DuckDB twin
+    replays every cosine bit-for-bit with ordered ``list_reduce``.
+    ``codes`` is ``pq_encode_residual`` output (vec_id, centroid_id,
+    codes); bucket selection and the candidate equi-join are unchanged
+    from ``pq_adc_probe``.
     """
     books = _collect_codebooks(codebooks)
     m = len(books)
     dsub = books[0][1].shape[1]
     C, cidx = _centroid_matrix(centroids)
-    c_norm2 = {
-        cid: float(_seq_sq_sums(C[i][None, :])[0]) for cid, i in cidx.items()
-    }
-    # cross table: dot(c_s, cw) per (centroid, subspace, codeword)
-    cross = {
-        cid: [
-            {
-                int(code): float(
-                    _seq_dot(C[i][None, s * dsub : (s + 1) * dsub], Cb)[0][j]
-                )
-                for j, code in enumerate(ids)
-            }
-            for s, (ids, Cb) in enumerate(books)
-        ]
-        for cid, i in cidx.items()
-    }
-    norm_lut = [
-        {int(i): float(s) for i, s in zip(ids, _seq_sq_sums(Cb))}
-        for ids, Cb in books
-    ]
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    dot_lut: dict[int, list[dict[int, float]]] = {}
-    qc_dot: dict[int, dict[int, float]] = {}
-    q_norm: dict[int, float] = {}
-    for r in q_rows:
-        qv = np.array(r.qv, dtype=np.float64)
-        q_norm[int(r.qid)] = float(_seq_norms(qv[None, :])[0])
-        dot_lut[int(r.qid)] = [
-            {
-                int(i): float(
-                    _seq_dot(qv[None, s * dsub : (s + 1) * dsub], Cb)[0][j]
-                )
-                for j, i in enumerate(ids)
-            }
-            for s, (ids, Cb) in enumerate(books)
-        ]
-        qc_dot[int(r.qid)] = {
-            cid: float(_seq_dot(qv[None, :], C[i][None, :])[0][0])
-            for cid, i in cidx.items()
-        }
+    nlist_rows = C.shape[0]
+    # dense closure tables (code ids can be sparse after empty-cell
+    # drops; centroid ids likewise — both map through id -> row arrays)
+    kmax = max(len(ids) for ids, _Cb in books)
+    idmax = max(int(ids.max()) for ids, _Cb in books) + 1
+    posmap = np.zeros((m, idmax), dtype=np.int64)
+    norm_lut = np.zeros((m, kmax))
+    cross = np.zeros((nlist_rows, m, kmax))  # dot(c_s, cw)
+    for s, (ids, Cb) in enumerate(books):
+        posmap[s, ids] = np.arange(len(ids))
+        norm_lut[s, : len(ids)] = _seq_sq_sums(Cb)
+        cross[:, s, : len(ids)] = _seq_dot(
+            C[:, s * dsub : (s + 1) * dsub], Cb
+        )
+    c_norm2 = _seq_sq_sums(C)
+    cmax = max(cidx) + 1
+    cmap = np.zeros(cmax, dtype=np.int64)
+    for cid, i in cidx.items():
+        cmap[cid] = i
 
     probes = _probe_buckets(centroids, queries, nprobe, id_col, vec_col)
     cand = (
-        F.broadcast(probes.select("query_id", "centroid_id"))
+        F.broadcast(probes.select("query_id", "q_vec", "centroid_id"))
         .join(codes.select(F.col("vec_id").alias("vid"), "centroid_id", "codes"), "centroid_id")
         .filter(F.col("query_id") != F.col("vid"))
-        .select("query_id", "vid", "centroid_id", "codes")
+        .select("query_id", "q_vec", "vid", "centroid_id", "codes")
     )
 
     def score_batches(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            cos = []
-            for qid, cid, cs in zip(
-                pdf["query_id"], pdf["centroid_id"], pdf["codes"]
-            ):
-                qid, cid = int(qid), int(cid)
-                luts, ct = dot_lut[qid], cross[cid]
-                # fold the per-subspace sums FIRST, then add the
-                # centroid-level terms — the association the SQL twin's
-                # `qcdot + list_reduce(...)` replays exactly
-                dsum, n2sum = 0.0, 0.0
-                for s in range(m):  # subspace-order left folds
-                    code = int(cs[s])
-                    dsum += luts[s][code]
-                    n2sum += 2.0 * ct[s][code] + norm_lut[s][code]
-                dot = qc_dot[qid][cid] + dsum
-                n2 = c_norm2[cid] + n2sum
-                c = dot / (q_norm[qid] * float(np.sqrt(n2)))
-                cos.append(float(_round_half_away(np.array([c]), 6)[0]))
+            qids = pdf["query_id"].to_numpy()
+            uq, first, qinv = np.unique(
+                qids, return_index=True, return_inverse=True
+            )
+            Q = np.array(
+                [pdf["q_vec"].iloc[i] for i in first], dtype=np.float64
+            )
+            q_norm = _seq_norms(Q)
+            qc_dot = _seq_dot(Q, C)  # (nq, nlist) full-dim left folds
+            dot_lut = np.zeros((len(uq), m, kmax))
+            for s, (ids, Cb) in enumerate(books):
+                dot_lut[:, s, : len(ids)] = _seq_dot(
+                    Q[:, s * dsub : (s + 1) * dsub], Cb
+                )
+            CS = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ci = cmap[pdf["centroid_id"].to_numpy()]
+            # fold the per-subspace sums FIRST, then add the
+            # centroid-level terms — the association the SQL twin's
+            # `qcdot + list_reduce(...)` replays exactly
+            dsum = np.zeros(len(pdf))
+            n2sum = np.zeros(len(pdf))
+            for s in range(m):  # subspace-order left folds
+                pos = posmap[s, CS[:, s]]
+                dsum += dot_lut[qinv, s, pos]
+                n2sum += 2.0 * cross[ci, s, pos] + norm_lut[s, pos]
+            dot = qc_dot[qinv, ci] + dsum
+            n2 = c_norm2[ci] + n2sum
+            cos = _round_half_away(dot / (q_norm[qinv] * np.sqrt(n2)), 6)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],

@@ -117,16 +117,12 @@ def scd2_stream_writer(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied = scd2_apply_batch(
+        scd2_apply_batch(
             batch_df, batch_id, table_path, key_col, ts_col, tie_col,
             n_buckets, op_col, delete_value,
         )
-        if (
-            applied
-            and compact_every
-            and batch_id % compact_every == compact_every - 1
-        ):
-            scd2_compact(batch_df.sparkSession, table_path)
+        if compact_every:
+            scd2_maybe_compact(batch_df.sparkSession, table_path, compact_every)
 
     return (
         updates.writeStream.foreachBatch(_apply)
@@ -220,6 +216,22 @@ def scd2_apply_batch(
     # conservative and the replay converges (overwrite is idempotent)
     meta["high_water"] = max(meta["high_water"], batch_id)
     _write_meta(table_path, meta)
+    return True
+
+
+def scd2_maybe_compact(spark, table_path: str, compact_every: int) -> bool:
+    """Compact when the UNCOMPACTED DEPTH (high_water − compacted_through)
+    reaches ``compact_every`` — not when a boundary batch id arrives:
+    keying the cadence on ``batch_id % compact_every`` skipped a whole
+    cycle whenever the boundary batch happened to be empty or an
+    already-folded replay, letting snapshot-dir growth exceed the
+    retention bound. The meta gap measures exactly the snapshot dirs a
+    compact would fold, whoever advanced them. Returns True if a
+    compaction ran."""
+    meta = _read_meta(table_path)
+    if meta["high_water"] - meta["compacted_through"] < compact_every:
+        return False
+    scd2_compact(spark, table_path)
     return True
 
 

@@ -334,3 +334,34 @@ def test_cdc_apply_with_tombstones_matches_batch_rebuild(spark, tmp_path):
     after = cdc.read_scd2(spark, table)
     assert _snapshot(after.drop("kb", "op")) == before
     assert after.filter("dim_version IS NULL").count() == 1
+
+
+def test_compact_cadence_survives_empty_boundary_batches(spark, tmp_path):
+    # the cadence keys on UNCOMPACTED DEPTH (high_water - compacted_through),
+    # so an empty or already-folded boundary batch cannot skip a whole
+    # compaction cycle: the next applied batch triggers the overdue fold
+    table = str(tmp_path / "scd2_cad")
+    every = 3
+    empty = _batch_df(spark, []).limit(0)
+    for i in range(12):
+        # every 3rd batch id is EMPTY -- under boundary-id keying with
+        # compact_every=3 these are exactly the batches that would have
+        # compacted (ids 2, 5, 8, 11), so compaction would never run
+        batch = empty if i % every == every - 1 else _batch_df(
+            spark, [_u(i % 4, f"2026-01-01T{i:02d}:00:00", 100 + i, float(i))]
+        )
+        cdc.scd2_apply_batch(batch, i, table)
+        cdc.scd2_maybe_compact(spark, table, every)
+    # depth-keyed cadence compacted anyway: a base exists and the live
+    # snapshot-dir count respects the retention bound
+    assert len(_dirs(table, "base=")) == 1
+    assert len(_dirs(table, "v=")) <= every
+    # reads unaffected
+    all_rows = [
+        _u(i % 4, f"2026-01-01T{i:02d}:00:00", 100 + i, float(i))
+        for i in range(12)
+        if i % every != every - 1
+    ]
+    want = scd2_build(_batch_df(spark, all_rows))
+    got = cdc.read_scd2(spark, table).drop("kb")
+    assert _snapshot(got) == _snapshot(want)
