@@ -1,4 +1,5 @@
-"""Streaming maintenance of a persisted IVF ANN index.
+"""Streaming maintenance of a persisted IVF ANN index — exactly-once by
+idempotence.
 
 The batch side builds and persists the index once (``similarity.ivf_build``
 → ``ivf_save``: tiny centroid table + inverted file partitioned by
@@ -6,27 +7,186 @@ centroid_id). Under a live ingest pipeline the index goes stale as new
 vectors land; retraining per batch is wasteful (the coarse quantizer is
 trained on a sample and drifts slowly — faiss's train-once/add-many
 design). This module wires ``similarity.ivf_add``'s assignment step into a
-Structured Streaming ``foreachBatch`` sink: each micro-batch assigns ONLY
-the arriving vectors against the frozen centroids (one Arrow pass over the
-batch — nothing touches the stored corpus) and appends them to the
-inverted file, preserving the partitioned-by-centroid layout so probes
-stay partition-pruned.
+Structured Streaming ``foreachBatch`` sink with the same snapshot protocol
+``streaming/cdc.py`` uses for SCD2 tables:
 
-Delivery semantics: the checkpoint gives at-least-once ``foreachBatch``
-invocations — a crash between the parquet append and the checkpoint
-commit can replay one micro-batch, duplicating its vectors in the
-inverted file (duplicate neighbor rows in probes, ranks unchanged for
-distinct ids). Production hardening is the standard idempotent-sink
-pattern: write each micro-batch to a ``batch_id``-keyed subdirectory (or
-a transactional table format) so replays overwrite instead of append.
+- each micro-batch assigns ONLY the arriving vectors against the frozen
+  centroids (one Arrow pass over the batch — nothing touches the stored
+  corpus) and writes them to its OWN ``deltas/v=<batch_id>`` directory
+  with ``mode=overwrite``, still partitioned by centroid_id. The
+  checkpoint gives at-least-once ``foreachBatch`` invocations; because a
+  replayed batch overwrites its own delta dir instead of appending to the
+  shared file, replays converge on identical bytes — **exactly-once by
+  idempotence** (the former plain append duplicated a replayed batch's
+  vectors in the inverted file);
+- readers (``read_ivf_assignments``) resolve the index as the newest
+  ``base=<C>`` generation (else the original ``ivf_save`` file) plus
+  every delta newer than ``compacted_through`` — deltas are disjoint
+  appends, so resolution is a union, no version arbitration needed;
+- **compaction** (``ivf_stream_compact``) folds base + deltas into one
+  ``base=<C>`` generation and expires the folded delta dirs, keeping
+  read-side file listing O(1 + batches-since-compact) instead of growing
+  with every batch ever streamed; the stream runs it every
+  ``compact_every`` batches (cadence keyed on uncompacted depth, like
+  ``cdc.scd2_maybe_compact``);
+- an ``_ivf_meta.json`` high-water mark pins the batch-id epoch exactly
+  as the CDC table's does: a replay at-or-below ``compacted_through`` is
+  a no-op (its vectors are already folded into the base), a replay AT
+  the high water legitimately overwrites its own delta, and a batch id
+  BELOW the high water (reset/foreign checkpoint) is refused loudly.
+
+At 100 TB: per-batch work is O(batch), reads prune on centroid_id through
+every generation (the partition layout survives the delta dirs), and
+compaction is O(index) but amortized on the ``compact_every`` cadence —
+the OPTIMIZE step of the table-format analogy, same as the CDC twin.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import similarity
+
+_META = "_ivf_meta.json"
+
+
+def _read_meta(index_path: str) -> dict:
+    """``high_water`` = max batch_id ever applied (epoch pin),
+    ``compacted_through`` = max delta folded into a base generation.
+    Both -1 for an index that has never seen a stream batch."""
+    p = os.path.join(index_path, _META)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"high_water": -1, "compacted_through": -1}
+
+
+def _write_meta(index_path: str, meta: dict) -> None:
+    os.makedirs(index_path, exist_ok=True)
+    tmp = os.path.join(index_path, _META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, _META))  # atomic on POSIX
+
+
+def _delta_versions(index_path: str) -> list[int]:
+    d = os.path.join(index_path, "deltas")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(d)
+        if name.startswith("v=")
+    )
+
+
+def _base_generations(index_path: str) -> list[int]:
+    if not os.path.isdir(index_path):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(index_path)
+        if name.startswith("base=")
+    )
+
+
+def ivf_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One idempotent append step (the foreachBatch body, callable
+    directly for replay tests): assign the batch against the frozen
+    centroids and overwrite the batch's own delta dir. Returns True when
+    a delta was written (False for empty / already-compacted batches).
+
+    Epoch guard: see ``cdc.scd2_apply_batch`` — the identical protocol.
+    """
+    if not batch_df.head(1):
+        return False
+    meta = _read_meta(index_path)
+    if batch_id <= meta["compacted_through"]:
+        return False  # replay of a folded batch: effect already in base
+    if batch_id < meta["high_water"]:
+        raise ValueError(
+            f"batch_id {batch_id} below index high water {meta['high_water']}: "
+            f"the checkpoint driving {index_path!r} was reset or swapped; "
+            "index and checkpoint must live and die together"
+        )
+    spark = batch_df.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    batch = batch_df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")
+    )
+    similarity._assign(batch, centroids).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{index_path}/deltas/v={batch_id}")
+    # meta AFTER the delta: a crash between leaves high_water conservative
+    # and the replay converges (overwrite is idempotent)
+    meta["high_water"] = max(meta["high_water"], batch_id)
+    _write_meta(index_path, meta)
+    return True
+
+
+def read_ivf_assignments(spark, index_path: str) -> DataFrame:
+    """Resolve the stream-maintained inverted file: newest ``base=<C>``
+    generation (else the original ``ivf_save`` file) + every delta newer
+    than ``compacted_through``. Deltas are disjoint new-vector appends,
+    so resolution is a union — probe-compatible with
+    ``similarity.ivf_probe`` (columns vid, cv, centroid_id; the parquet
+    partition layout keeps centroid_id pruning through every
+    generation)."""
+    meta = _read_meta(index_path)
+    bases = _base_generations(index_path)
+    if bases:
+        df = spark.read.parquet(f"{index_path}/base={bases[-1]}")
+    else:
+        df = spark.read.parquet(f"{index_path}/assignments")
+    for v in _delta_versions(index_path):
+        if v > meta["compacted_through"]:
+            df = df.unionByName(
+                spark.read.parquet(f"{index_path}/deltas/v={v}")
+            )
+    return df
+
+
+def ivf_stream_compact(spark, index_path: str) -> None:
+    """Fold the current resolution (base/original + live deltas) into one
+    ``base=<C>`` generation and expire the folded delta dirs and older
+    bases. Crash-ordering as in ``cdc.scd2_compact``: (1) write the new
+    base — readers still resolve from the old dirs while it lands;
+    (2) write meta (``compacted_through=C``) so replays of folded batches
+    no-op; (3) prune. A crash between any two steps leaves an index that
+    still resolves correctly. The original ``assignments`` file from
+    ``ivf_save`` is left in place (it is the batch API's artifact;
+    readers ignore it once a base exists)."""
+    versions = _delta_versions(index_path)
+    if not versions:
+        return
+    meta = _read_meta(index_path)
+    live = [v for v in versions if v > meta["compacted_through"]]
+    if not live:
+        return
+    new_c = max(live)
+    full = read_ivf_assignments(spark, index_path)
+    full.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{index_path}/base={new_c}"
+    )
+    meta["compacted_through"] = new_c
+    _write_meta(index_path, meta)
+    for v in versions:
+        if v <= new_c:
+            shutil.rmtree(os.path.join(index_path, "deltas", f"v={v}"))
+    for b in _base_generations(index_path):
+        if b < new_c:
+            shutil.rmtree(os.path.join(index_path, f"base={b}"))
 
 
 def ivf_stream_writer(
@@ -35,30 +195,26 @@ def ivf_stream_writer(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """A configured ``writeStream`` (foreachBatch) that keeps the persisted
     IVF index at ``index_path`` fresh under a vector ingest stream; the
     caller picks the trigger and calls ``.start()``.
 
-    Per micro-batch: load the frozen centroid table (nlist rows), assign
-    the batch with the same sequential-fold Arrow pass the batch path uses
-    (``similarity._assign`` — bit-identical to ``ivf_add``), and append
-    the new rows to the inverted file's centroid_id partitions. Probe
-    results over the maintained index equal the batch ``ivf_add`` result
-    for the same vectors (asserted in tests).
+    Per micro-batch: ``ivf_append_batch`` (idempotent delta overwrite —
+    same assignment math as the batch ``ivf_add``, asserted equal in
+    tests), then depth-keyed compaction when ``compact_every`` is set.
+    Probe results over ``read_ivf_assignments`` equal the batch
+    ``ivf_add`` result for the same vectors, including under micro-batch
+    replays (tests/test_zorder_ivfadd.py).
     """
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        spark = batch_df.sparkSession
-        centroids = spark.read.parquet(f"{index_path}/centroids")
-        batch = batch_df.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")
-        )
-        similarity._assign(batch, centroids).write.mode("append").partitionBy(
-            "centroid_id"
-        ).parquet(f"{index_path}/assignments")
+        ivf_append_batch(batch_df, batch_id, index_path, id_col, vec_col)
+        if compact_every:
+            meta = _read_meta(index_path)
+            if meta["high_water"] - meta["compacted_through"] >= compact_every:
+                ivf_stream_compact(batch_df.sparkSession, index_path)
 
     return (
         vectors.writeStream.foreachBatch(_append_batch)

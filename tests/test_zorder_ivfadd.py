@@ -143,9 +143,9 @@ def test_ivf_stream_maintenance_matches_batch_ivf_add(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
-    cent2, assign2 = similarity.ivf_load(spark, str(idx))
+    assign2 = ann_index.read_ivf_assignments(spark, str(idx))
     queries = emb.filter(F.col("vec_id") % 100 == 1)
-    streamed = similarity.ivf_probe(cent2, assign2, queries, k=5).collect()
+    streamed = similarity.ivf_probe(cent, assign2, queries, k=5).collect()
 
     new_df = emb.filter(F.col("vec_id") >= 400)
     batch_assign = similarity.ivf_add(cent, base_assign, new_df)
@@ -155,3 +155,95 @@ def test_ivf_stream_maintenance_matches_batch_ivf_add(spark, sf_dir, tmp_path):
     assert sorted(streamed, key=key) == sorted(batch, key=key)
     # the maintained file actually contains the streamed vectors
     assert assign2.filter(F.col("vid") >= 400).count() == len(new_rows)
+
+
+def _mini_index(spark, sf_dir, tmp_path, name):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+        ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cent, base_assign = similarity.ivf_build(base, nlist=8, iters=2)
+    idx = tmp_path / name
+    similarity.ivf_save(cent, base_assign, str(idx))
+    new_df = emb.filter(F.col("vec_id") >= 400)
+    return ann_index, emb, cent, base_assign, new_df, str(idx)
+
+
+def test_ivf_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """An at-least-once replay of a micro-batch (crash between delta
+    write and checkpoint commit) must NOT duplicate its vectors: the
+    replay overwrites its own delta dir, so probes over the maintained
+    index equal the exactly-once batch ivf_add result."""
+    ann_index, emb, cent, base_assign, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_replay"
+    )
+    b0 = new_df.filter(F.col("vec_id") % 2 == 0)
+    b1 = new_df.filter(F.col("vec_id") % 2 == 1)
+    assert ann_index.ivf_append_batch(b0, 0, idx)
+    assert ann_index.ivf_append_batch(b1, 1, idx)
+    # replay batch 1 (the crash-recovery re-delivery)
+    assert ann_index.ivf_append_batch(b1, 1, idx)
+
+    maintained = ann_index.read_ivf_assignments(spark, idx)
+    # no duplicate rows for any vector id
+    n_new = new_df.count()
+    assert maintained.filter(F.col("vid") >= 400).count() == n_new
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    got = similarity.ivf_probe(cent, maintained, queries, k=5).collect()
+    want_assign = similarity.ivf_add(cent, base_assign, new_df)
+    want = similarity.ivf_probe(cent, want_assign, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_ivf_append_refuses_reset_checkpoint_epoch(spark, sf_dir, tmp_path):
+    import pytest
+
+    ann_index, _emb, _cent, _ba, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_epoch"
+    )
+    b = new_df.limit(20)
+    ann_index.ivf_append_batch(b, 0, idx)
+    ann_index.ivf_append_batch(new_df.limit(40), 1, idx)
+    with pytest.raises(ValueError, match="high water"):
+        ann_index.ivf_append_batch(b, 0, idx)
+
+
+def test_ivf_stream_compact_preserves_probes_and_bounds_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Compaction folds base + deltas into one base=<C> generation:
+    probes identical before/after, delta-dir count bounded under a long
+    stream, and replays of folded batches no-op."""
+    import os
+
+    ann_index, emb, cent, base_assign, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_compact"
+    )
+    every = 4
+    for i in range(12):
+        b = new_df.filter(F.col("vec_id") % 12 == i)
+        ann_index.ivf_append_batch(b, i, idx)
+        meta = ann_index._read_meta(idx)
+        if meta["high_water"] - meta["compacted_through"] >= every:
+            ann_index.ivf_stream_compact(spark, idx)
+    assert len(ann_index._delta_versions(idx)) <= every
+    assert len(ann_index._base_generations(idx)) == 1
+
+    maintained = ann_index.read_ivf_assignments(spark, idx)
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    got = similarity.ivf_probe(cent, maintained, queries, k=5).collect()
+    want_assign = similarity.ivf_add(cent, base_assign, new_df)
+    want = similarity.ivf_probe(cent, want_assign, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # a replay of an already-folded batch is a no-op (not an error, no
+    # resurrected delta dir)
+    folded = ann_index._read_meta(idx)["compacted_through"]
+    assert folded >= 0
+    assert not ann_index.ivf_append_batch(
+        new_df.filter(F.col("vec_id") % 12 == 0), 0, idx
+    )
+    assert not os.path.isdir(os.path.join(idx, "deltas", "v=0"))
