@@ -1704,6 +1704,128 @@ def ivf_pq_adc_recall(
     )
 
 
+def ivf_pq_refine_recall(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    refine: int = 4,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Two-stage refined probe (the faiss ``IVFPQR`` / re-ranking
+    deployment shape): the residual-ADC probe produces a ``k·refine``
+    shortlist from m-byte codes alone, then ONLY the shortlist rows
+    fetch their float vectors and re-rank by exact cosine. This is how a
+    production IVFPQ recovers recall without widening the code budget —
+    the exact pass touches k·refine vectors per query instead of every
+    candidate in the probed buckets (at nprobe/nlist of a 100 TB corpus
+    that ratio is the whole game). Measured here: recall climbs from the
+    code-only 0.52 to ≈1 at refine=4 while the scan stays code-only.
+
+    The refine join is declarative: shortlist ⋈ corpus on neighbor_id
+    (AQE sizes the build side — the shortlist is |q|·k·refine rows) and
+    the cosine is the JVM fold-chain expression, so the report stays
+    oracle-checkable end to end.
+
+    Output (1 row): n_queries, k, refine, n_float, n_overlap, recall.
+    """
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+
+    books, codes = pq_residual_codes_cached(
+        embeddings, centroids, assignments, m, ksub
+    )
+    shortlist = pq_residual_adc_probe(
+        centroids, assignments, codes, books, queries, k * refine, nprobe
+    )
+    qn = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
+    nv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_vec"),
+    ).withColumn("n_norm", l2_norm_expr("n_vec", EMBEDDING_DIM))
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top_r = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(nv, "neighbor_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rank).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+    overlap = top_f.select("query_id", "neighbor_id").join(
+        top_r.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return base.crossJoin(hits).select(
+        "n_queries",
+        F.lit(k).cast("long").alias("k"),
+        F.lit(refine).cast("long").alias("refine"),
+        "n_float",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+    )
+
+
+def ann_recall_sweep(
+    embeddings: DataFrame,
+    nprobes: tuple[int, ...] = (2, 4, 8),
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """The nprobe tuning curve of the production (residual-ADC) probe —
+    one row per swept ``nprobe``, the table an IVFPQ deployment is tuned
+    from: larger nprobe scans more buckets on BOTH the float reference
+    and the compressed side, so the column read together with
+    ``scan_frac = nprobe/nlist`` is the recall-vs-probe-cost trade. All
+    sweep points share ONE IVF build and ONE residual encode (the
+    session caches); only the bucket-selection fan-out and the candidate
+    scans differ, exactly like re-running a deployed index with a
+    different runtime knob.
+
+    Output (len(nprobes) rows): nprobe, scan_frac, n_queries, k,
+    n_float, n_overlap, recall.
+    """
+    out = None
+    for np_ in nprobes:
+        row = ivf_pq_residual_adc_recall(
+            embeddings, query_mod, k, nlist, np_, m, ksub
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.round(F.lit(np_ / nlist), 6).alias("scan_frac"),
+            "n_queries",
+            "k",
+            "n_float",
+            "n_overlap",
+            "recall",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def rag_retrieve(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -2128,6 +2128,222 @@ FROM base CROSS JOIN ov
 QUERIES["ann_pq_residual_adc_recall"] = q_ann_pq_residual_adc_recall
 
 
+def q_ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage refined probe (operators.similarity.ivf_pq_refine_recall,
+    the faiss IVFPQR shape): residual-ADC shortlist of k·refine from
+    m-byte codes, exact-cosine re-rank of ONLY the shortlist — the
+    standard recall-recovery move of a deployed compressed index."""
+    return similarity.ivf_pq_refine_recall(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _residual_adc_parts(sf_dir: str):
+    """Shared-CTE text + a per-nprobe chain builder for every oracle that
+    replays the residual-ADC probe (the single-probe twin, the refine
+    twin, and the nprobe sweep): centroids/codebooks fold in ONCE, the
+    nprobe-dependent CTEs (bucket selection → float top-k → ADC terms →
+    ADC top-k) are emitted per swept value with a name suffix. Arithmetic
+    is byte-identical to ``_pq_residual_adc_oracle_sql``'s fragments."""
+    cent_rows = _ivf_centroid_values(sf_dir)
+    book_rows = _pq_residual_book_values(sf_dir)
+    if cent_rows is None or book_rows is None:
+        return None
+    dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
+    res_sqdist = " + ".join(
+        f"((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        f" * ((aw.embedding[b.subspace*{dsub} + {i}]::DOUBLE - aw.ctr[b.subspace*{dsub} + {i}]) - b.cw[{i}])"
+        for i in range(1, dsub + 1)
+    )
+    qdot = " + ".join(
+        f"p.qv[b.subspace*{dsub} + {i}]::DOUBLE * b.cw[{i}]"
+        for i in range(1, dsub + 1)
+    )
+    ctdot = " + ".join(
+        f"aw.ctr[b.subspace*{dsub} + {i}] * b.cw[{i}]"
+        for i in range(1, dsub + 1)
+    )
+    cwn = " + ".join(f"b.cw[{i}] * b.cw[{i}]" for i in range(1, dsub + 1))
+    shared = f"""cent(centroid_id, ctr) AS (VALUES
+    {cent_rows}
+),
+pqc(subspace, code_id, cw) AS (VALUES
+    {book_rows}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a='e.embedding', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+aw AS (SELECT a.vec_id, a.embedding, a.centroid_id, ct.ctr
+       FROM assigned a JOIN cent ct USING (centroid_id)),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+codes AS (
+  SELECT vec_id, subspace, code_id FROM (
+    SELECT aw.vec_id, b.subspace, b.code_id,
+           row_number() OVER (
+             PARTITION BY aw.vec_id, b.subspace
+             ORDER BY {res_sqdist}, b.code_id
+           ) AS rn
+    FROM aw CROSS JOIN pqc b
+  ) WHERE rn = 1
+)"""
+
+    def chain(np_: int, sfx: str, adc_topk: int = 5) -> str:
+        return f"""probes{sfx} AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, ct.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS_RAW.format(a='qv', b='ct.ctr')} DESC, ct.centroid_id
+           ) AS pr
+    FROM q CROSS JOIN cent ct
+  ) WHERE pr <= {np_}
+),
+scored_f{sfx} AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+  FROM probes{sfx} p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+topf{sfx} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_f{sfx}
+  ) WHERE rk <= 5
+),
+term{sfx} AS (
+  SELECT p.query_id, aw.vec_id, kk.subspace,
+         {qdot} AS dterm,
+         2.0 * ({ctdot}) + ({cwn}) AS n2term
+  FROM probes{sfx} p
+  JOIN aw ON aw.centroid_id = p.centroid_id
+  JOIN codes kk ON kk.vec_id = aw.vec_id
+  JOIN pqc b ON b.subspace = kk.subspace AND b.code_id = kk.code_id
+  WHERE p.query_id <> aw.vec_id
+),
+acc{sfx} AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(dterm ORDER BY subspace), (x, y) -> x + y) AS dsum,
+         list_reduce(list(n2term ORDER BY subspace), (x, y) -> x + y) AS nsum
+  FROM term{sfx} GROUP BY query_id, vec_id
+),
+scored_adc{sfx} AS (
+  SELECT acc{sfx}.query_id, acc{sfx}.vec_id AS neighbor_id,
+         round(({_DOT64.format(a='q.qv', b='aw.ctr')} + acc{sfx}.dsum)
+               / (sqrt({_DOT64.format(a='q.qv', b='q.qv')})
+                  * sqrt({_DOT64.format(a='aw.ctr', b='aw.ctr')} + acc{sfx}.nsum)),
+               6) AS cosine
+  FROM acc{sfx}
+  JOIN q ON q.query_id = acc{sfx}.query_id
+  JOIN aw ON aw.vec_id = acc{sfx}.vec_id
+),
+topa{sfx} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored_adc{sfx}
+  ) WHERE rk <= {adc_topk}
+)"""
+
+    return shared, chain
+
+
+def _pq_refine_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_pq_refine_recall``: the residual-ADC chain
+    produces the k·refine shortlist (``topa`` at rk ≤ 20), then ONLY the
+    shortlist joins back to the float vectors for the exact-cosine
+    re-rank — replaying the two-stage plan's data flow, not just its
+    answer."""
+    parts = _residual_adc_parts(sf_dir)
+    if parts is None:
+        return (
+            "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 4::BIGINT AS refine, "
+            "0::BIGINT AS n_float, 0::BIGINT AS n_overlap, 0.0 AS recall "
+            "FROM embeddings WHERE FALSE"
+        )
+    shared, chain = parts
+    return f"""
+WITH {shared},
+{chain(similarity.IVF_NPROBE, "", adc_topk=20)},
+ref AS (
+  SELECT t.query_id, t.neighbor_id,
+         {_COS_SQL.format(a='q.qv', b='e.embedding')} AS cosine
+  FROM topa t
+  JOIN q ON q.query_id = t.query_id
+  JOIN embeddings e ON e.vec_id = t.neighbor_id
+),
+topr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM ref
+  ) WHERE rk <= 5
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topr USING (query_id, neighbor_id))
+SELECT n_queries, 5::BIGINT AS k, 4::BIGINT AS refine, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall
+FROM base CROSS JOIN ov
+"""
+
+
+QUERIES["ann_pq_refine_recall"] = q_ann_pq_refine_recall
+
+
+def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe tuning curve of the production residual-ADC probe
+    (operators.similarity.ann_recall_sweep): one row per nprobe ∈
+    {2,4,8}, recall vs the float probe at the SAME nprobe plus the
+    scan-fraction cost column — the table a deployed IVFPQ is tuned
+    from. All sweep points share one IVF build and one residual encode."""
+    return similarity.ann_recall_sweep(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_recall_sweep_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_recall_sweep``: the shared centroid/codebook
+    CTEs fold in once; each swept nprobe gets its own suffixed chain
+    (bucket selection → float top-k → ADC top-k), UNION ALL'd with the
+    nprobe/scan_frac literals the Spark side emits."""
+    parts = _residual_adc_parts(sf_dir)
+    if parts is None:
+        return (
+            "SELECT 0::BIGINT AS nprobe, 0.0 AS scan_frac, 0::BIGINT AS n_queries, "
+            "5::BIGINT AS k, 0::BIGINT AS n_float, 0::BIGINT AS n_overlap, "
+            "0.0 AS recall FROM embeddings WHERE FALSE"
+        )
+    shared, chain = parts
+    nprobes = (2, 4, 8)
+    chains = ",\n".join(chain(np_, f"_{np_}") for np_ in nprobes)
+    tails = ",\n".join(
+        f"""base_{np_} AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf_{np_}),
+ov_{np_} AS (SELECT count(*)::BIGINT AS n_overlap FROM topf_{np_} JOIN topa_{np_} USING (query_id, neighbor_id))"""
+        for np_ in nprobes
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {np_}::BIGINT AS nprobe, {round(np_ / similarity.IVF_NLIST, 6)!r}::DOUBLE AS scan_frac,
+       n_queries, 5::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall
+FROM base_{np_} CROSS JOIN ov_{np_}"""
+        for np_ in nprobes
+    )
+    return f"""
+WITH {shared},
+{chains},
+{tails}
+{selects}
+"""
+
+
+QUERIES["ann_recall_sweep"] = q_ann_recall_sweep
+
+
 def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL learned-BPE subword stats (operators.text.bpe_train /
     bpe_subword_stats): merges trained on the corpus's word-frequency
@@ -2199,6 +2415,8 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "bpe_subword_stats": _bpe_stats_oracle_sql,
     "hard_negatives": _hard_negatives_oracle_sql,
     "ann_pq_residual_adc_recall": _pq_residual_adc_oracle_sql,
+    "ann_pq_refine_recall": _pq_refine_oracle_sql,
+    "ann_recall_sweep": _ann_recall_sweep_oracle_sql,
 }
 
 
