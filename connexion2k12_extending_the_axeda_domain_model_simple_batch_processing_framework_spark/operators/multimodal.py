@@ -299,6 +299,261 @@ def resize_image(
 
 
 # ---------------------------------------------------------------------------
+# compressed-image tier: real PNG decode (stdlib zlib) behind the Arrow
+# contract — PPM above is uncompressed; PNG is the representative
+# compressed format real corpora actually carry, decodable here with no
+# media libraries (DEFLATE via zlib + the five scanline filters).
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel (only 8-bit depths are supported;
+#: palette (3) and 16-bit images route as unsupported codecs)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4): pick whichever of
+    left/up/up-left is closest to a+b−c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int, height: int, raster: bytes, color_type: int = 2
+) -> bytes:
+    """Serialize an 8-bit PNG — the test-vector generator for the real
+    decode below (``encode_ppm``'s compressed sibling). Each scanline is
+    filtered with type ``row % 5``, cycling through None/Sub/Up/Average/
+    Paeth, so a corpus of tiles ≥5 rows tall forces the decoder to
+    reverse EVERY filter type — the decode is exercised for real, while
+    decoded pixels (and therefore the oracle's channel means) are
+    filter-independent."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raster) != stride * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, need {width}x{height}x{ch}"
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = raster[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        else:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                up = prior[i]
+                ul = prior[i - ch] if i >= ch else 0
+                pred = (
+                    left if ft == 1
+                    else up if ft == 2
+                    else (left + up) // 2 if ft == 3
+                    else _paeth(left, up, ul)
+                )
+                raw.append((line[i] - pred) & 0xFF)
+        prior = line
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """A REAL (pure-python, stdlib-only) PNG decoder: signature, chunk
+    walk with CRC verification, IHDR validation, IDAT concatenation +
+    zlib inflate, and per-scanline un-filtering of all five filter types
+    (None/Sub/Up/Average/Paeth). Supports 8-bit gray/RGB/gray-alpha/RGBA;
+    palette, 16-bit, and interlaced images raise UnsupportedCodecError
+    (the route a full decoder build would widen), malformed streams raise
+    ValueError. Returns (width, height, channels, unfiltered raster)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise UnsupportedCodecError(
+            f"unsupported codec magic {payload[:4]!r} (PNG signature expected)"
+        )
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) != size or pos + 12 + size > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size : pos + 12 + size]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + size
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND chunk")
+    if len(ihdr) != 13:
+        raise ValueError(f"IHDR is {len(ihdr)} bytes, expected 13")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions {width}x{height}")
+    if color == 3:
+        raise UnsupportedCodecError("palette PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad color type {color}")
+    if depth != 8:
+        raise UnsupportedCodecError(f"{depth}-bit PNG not supported (8 only)")
+    if interlace:
+        raise UnsupportedCodecError("interlaced (Adam7) PNG not supported")
+    if comp or filt:
+        raise ValueError(f"bad compression/filter method {comp}/{filt}")
+    if not idat:
+        raise ValueError("missing IDAT chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"inflated stream is {len(raw)} bytes, expected {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft} on scanline {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    return width, height, ch, bytes(out)
+
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def decode_png(media: DataFrame, on_error: str = "route") -> DataFrame:
+    """Decode the payload column as PNG and emit per-channel pixel means —
+    the compressed-format sibling of ``decode_image`` (which reads
+    uncompressed PPM), same Arrow ``mapInPandas`` contract: columnar
+    batches, bounded memory, partition preserved, no shuffle. Channel
+    means use integer sums divided once, rounded half-away at 1e-6 —
+    exact and order-independent, so the registered query is
+    oracle-checkable over the synthesized corpus. Grayscale reports its
+    mean in mean_r with mean_g/mean_b NULL; alpha channels are excluded
+    from the means (they're coverage, not color).
+
+    Same reject-routing/fail-fast error topology as the other decoders.
+    """
+    import numpy as np
+
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "channels", "mean_r", "mean_g", "mean_b", "err")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", *cols)}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, ch, raster = _decode_png(bytes(buf))
+                    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
+                    color = px[:, : 3 if ch >= 3 else 1]  # drop alpha
+                    sums = color.astype(np.int64).sum(axis=0)
+                    n = len(px)
+                    means = [
+                        float(np.floor(s / n * 1e6 + 0.5) / 1e6) for s in sums
+                    ]
+                    while len(means) < 3:
+                        means.append(None)
+                    vals = [w, h, ch, *means, None]
+                except (UnsupportedCodecError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    vals = [None] * 6 + [str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+
+
+def with_png_payload(documents: DataFrame) -> DataFrame:
+    """Deterministic PNG test corpus: the SAME 16×16 RGB raster
+    ``with_ppm_payload`` tiles from each doc's utf-8 text, serialized as
+    a real DEFLATE-compressed PNG with the filter type cycling per
+    scanline (row % 5) — so decoding reverses every PNG filter while the
+    pixel values (and the oracle's channel means) stay identical to the
+    PPM corpus'."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = PPM_TILE_W * PPM_TILE_H * 3
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8") or b"\x00"
+                tiled = (raw * (need // len(raw) + 1))[:need]
+                payloads.append(encode_png(PPM_TILE_W, PPM_TILE_H, tiled))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
 # audio tier: real WAV (RIFF/PCM-16) decode behind the same Arrow contract
 # ---------------------------------------------------------------------------
 

@@ -394,6 +394,25 @@ def bpe_train(
     )
 
 
+def bpe_save(merges: DataFrame, path: str) -> None:
+    """Persist a trained BPE tokenizer (the (rank, left, right) merge
+    table) — the ``ivf_save`` shape for the text tier: a training
+    pipeline freezes the tokenizer once and every downstream job loads
+    the identical artifact, because two corpora tokenized with different
+    merge tables are not comparable. Parquet keeps the exact strings
+    (no CSV escaping hazards) and the rank order."""
+    merges.write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> DataFrame:
+    """Load a persisted BPE tokenizer, segmentation-ready for
+    ``bpe_subword_stats`` (merge application consumes only the
+    (left, right) → rank map, so a loaded tokenizer segments
+    byte-identically to the in-session one — asserted in
+    tests/test_text.py)."""
+    return spark.read.parquet(path).select("rank", "left", "right")
+
+
 def bpe_subword_stats(documents: DataFrame, merges: DataFrame) -> DataFrame:
     """Apply learned merges corpus-wide and report per-doc subword
     stats (n_words, n_subwords, fertility = subwords/word).

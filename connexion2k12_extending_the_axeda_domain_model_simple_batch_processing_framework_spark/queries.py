@@ -5206,6 +5206,52 @@ QUERIES["image_resize"] = q_image_resize
 ORACLE["image_resize"] = SQL_IMAGE_RESIZE
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode over the multimodal tier
+    (operators.multimodal.decode_png): each doc's text tiles into the
+    SAME 16×16 RGB raster the PPM corpus uses, serialized as a real
+    DEFLATE-compressed PNG with the scanline filter cycling row % 5 —
+    the decode walks chunks, verifies CRCs, inflates with stdlib zlib,
+    and reverses all five PNG filters. Pixel values are
+    filter-independent, so the oracle is the ``image_decode`` mean
+    replay over character codes (ASCII corpus ⇒ utf-8 bytes == codes)
+    with the channels column in place of PPM's maxval."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_png(multimodal.with_png_payload(docs))
+
+
+SQL_PNG_DECODE = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_PPM_NEED})) AS i FROM nz),
+codes AS (
+  SELECT doc_id, (i % 3)::INT AS ch,
+         unicode(substr(raw, ((i % n) + 1)::INT, 1)) AS code
+  FROM pos
+),
+agg AS (SELECT doc_id, ch, sum(code)::BIGINT AS s FROM codes GROUP BY 1, 2),
+means AS (
+  SELECT doc_id,
+         max(CASE WHEN ch = 0 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_r,
+         max(CASE WHEN ch = 1 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_g,
+         max(CASE WHEN ch = 2 THEN floor(s / {_PPM_NEED // 3}.0 * 1e6 + 0.5) / 1e6 END) AS mean_b
+  FROM agg GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+       3::BIGINT AS channels, mean_r, mean_g, mean_b, NULL::VARCHAR AS err
+FROM means
+UNION ALL
+SELECT doc_id::BIGINT, 16::BIGINT, 16::BIGINT, 3::BIGINT,
+       0.0, 0.0, 0.0, NULL::VARCHAR
+FROM d WHERE length(raw) = 0
+"""
+
+QUERIES["png_decode"] = q_png_decode
+ORACLE["png_decode"] = SQL_PNG_DECODE
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
     (operators.analytics.key_skew_report), exact-percentile reference."""
@@ -5330,47 +5376,40 @@ ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 # Everything displaced is still verified every round by tools/parity.py
 # (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
-    # r6 new code: PQ tier (+ADC probe), audio decode, percentile twins
-    "ann_pq_recall",
-    "ann_pq_adc_recall",
-    "ann_pq_residual_recall",
-    "ann_pq_residual_adc_recall",
-    "scd2_point_in_time_deletes",
-    "bpe_subword_stats",
-    "events_profile_scaled",
-    "corpus_stats_scaled",
-    "quality_bands_scaled",
-    "hard_negatives",
-    "image_resize",
-    "audio_decode",
-    "price_quantiles_scaled",
-    "events_key_skew_scaled",
-    "price_quantile_sketch_scaled",
-    # rotated in: absent from both the r4 and r5 driver gates
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dup_clusters",
-    "dedup_incremental",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_bytes",
-    "sample_stratified",
-    "pii_redact",
-    "ngram_topk",
-    "events_sessionize",
-    "purchase_attribution",
-    "events_props_metric",
-    "price_quantiles",
+    # r7 new code: refined ANN probe, nprobe sweep, PNG decode
+    "ann_pq_refine_recall",
+    "ann_recall_sweep",
+    "png_decode",
+    # rotated in: the 28 queries NEVER covered by any round's driver gate
+    # (r1-r6) — each has only ever been verified by tools/parity.py runs
+    "events_moving_avg",
+    "value_histogram",
+    "source_mix",
+    "quality_bands",
+    "sequence_pack",
+    "dedup_canonical",
+    "events_funnel",
+    "cohort_retention",
+    "source_cap",
+    "text_normalize",
+    "distinct_kmv",
+    "cms_counts",
+    "range_join_follow",
+    "unigram_logprob",
+    "boilerplate_scrub",
+    "contamination_bloom",
+    "corpus_pipeline",
+    "price_quantile_sketch",
+    "heavy_users_topk",
+    "get_batch",
+    "bpe_token_count",
+    "value_anomalies",
+    "fuzzy_name_pairs",
+    "ann_recall",
+    "events_profile",
+    "doc_pagerank",
+    "multimodal_frames",
+    "corpus_drift",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

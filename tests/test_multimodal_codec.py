@@ -243,3 +243,102 @@ def test_resize_image_roundtrip_and_means(spark):
     want = kept.reshape(-1, 3).astype(int).sum(axis=0) / 4
     assert (r1.mean_r, r1.mean_g, r1.mean_b) == tuple(want)
     assert rows[2].err is not None and rows[2].payload is None
+
+
+# ---------------------------------------------------------------------------
+# PNG tier (r7): real compressed decode — zlib inflate + all five filters
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_property():
+    """Any 8-bit raster round-trips encode_png -> _decode_png for gray,
+    gray-alpha, RGB and RGBA — with heights ≥5 the encoder's row % 5
+    filter cycle forces the decoder through every PNG filter type."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8),
+        h=st.integers(min_value=5, max_value=10),
+        color=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def check(w, h, color, data):
+        ch = mm._PNG_CHANNELS[color]
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        got = mm._decode_png(mm.encode_png(w, h, raster, color))
+        assert got == (w, h, ch, raster)
+
+    check()
+
+
+def test_png_decoder_rejects_malformed_and_unsupported():
+    import struct
+    import zlib
+
+    raster = bytes(range(16 * 3)) * 16
+    good = mm.encode_png(16, 16, raster)
+    # non-PNG magic routes as an unsupported codec (JPEG path)
+    with pytest.raises(mm.UnsupportedCodecError):
+        mm._decode_png(b"\xff\xd8\xff\xe0" + good)
+    # flipped CRC byte is a corruption, not a codec gap
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm._decode_png(bytes(bad))
+    # palette and 16-bit images are declared unsupported
+    def mutate_ihdr(depth=8, color=2):
+        ihdr = struct.pack(">IIBBBBB", 16, 16, depth, color, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return good[:8] + chunk + good[8 + 12 + 13 :]
+
+    with pytest.raises(mm.UnsupportedCodecError, match="palette"):
+        mm._decode_png(mutate_ihdr(color=3))
+    with pytest.raises(mm.UnsupportedCodecError, match="16-bit"):
+        mm._decode_png(mutate_ihdr(depth=16))
+    # truncated IDAT stream
+    with pytest.raises(ValueError):
+        mm._decode_png(good[:60])
+
+
+def test_decode_png_matches_ppm_decode_and_routes(spark):
+    """The PNG corpus tiles the SAME raster as the PPM corpus, so the
+    per-channel means must be identical across the two codecs — a real
+    cross-codec consistency check — and corrupt payloads route."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abcABC123"), (3, "")],
+        "doc_id long, text string",
+    )
+    png = mm.decode_png(mm.with_png_payload(docs)).collect()
+    ppm = {
+        r.doc_id: (r.mean_r, r.mean_g, r.mean_b)
+        for r in mm.decode_image(mm.with_ppm_payload(docs)).collect()
+    }
+    assert len(png) == 3
+    for r in png:
+        assert r.err is None and (r.width, r.height, r.channels) == (16, 16, 3)
+        assert (r.mean_r, r.mean_g, r.mean_b) == ppm[r.doc_id]
+    # route: a JPEG-magic payload lands as an err row, not an exception
+    media = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xe0notapng"))],
+        "doc_id long, payload binary",
+    )
+    routed = mm.decode_png(media).collect()
+    assert len(routed) == 1 and routed[0].width is None
+    assert "unsupported codec" in routed[0].err
+    with pytest.raises(Exception):
+        mm.decode_png(media, on_error="raise").collect()

@@ -213,3 +213,51 @@ def test_bpe_subword_stats_spark(spark):
     # 'the' is the most frequent word: it must collapse to ONE subword
     assert out[4].n_subwords == 3 and out[4].fertility == 1.0
     assert out[1].n_words == 5 and out[1].n_subwords >= 5
+
+
+def test_bpe_save_load_segments_identically(spark, tmp_path):
+    """A frozen tokenizer must be reusable across jobs: bpe_save/bpe_load
+    round-trips the merge table, the loaded tokenizer segments a NEW
+    corpus slice byte-identically to the in-session one, and the stats
+    over that slice are equal row for row."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.text import (
+        bpe_load,
+        bpe_save,
+        bpe_segment,
+        bpe_subword_stats,
+        bpe_train,
+    )
+
+    train_docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat sat on the mat"),
+            (2, "the cats and hats that the rats sat on"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train_docs, n_merges=30)
+    path = str(tmp_path / "bpe_tok")
+    bpe_save(merges, path)
+    loaded = bpe_load(spark, path)
+
+    # the artifact round-trips exactly (rank order + strings)
+    want = sorted((r.rank, r.left, r.right) for r in merges.collect())
+    got = sorted((r.rank, r.left, r.right) for r in loaded.collect())
+    assert got == want
+
+    # frozen-tokenizer apply to a NEW corpus slice (the incremental-dedup
+    # pattern): per-word segmentation is byte-identical
+    rank_mem = {(r.left, r.right): int(r.rank) for r in merges.collect()}
+    rank_ld = {(r.left, r.right): int(r.rank) for r in loaded.collect()}
+    for w in ["the", "cats", "mats", "thatch", "unseen", "sat"]:
+        assert bpe_segment(w, rank_ld) == bpe_segment(w, rank_mem)
+
+    new_docs = spark.createDataFrame(
+        [(10, "the hat that sat"), (11, "brand new unseen words")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: (r.n_words, r.n_subwords, r.fertility)
+         for r in bpe_subword_stats(new_docs, merges).collect()}
+    b = {r.doc_id: (r.n_words, r.n_subwords, r.fertility)
+         for r in bpe_subword_stats(new_docs, loaded).collect()}
+    assert a == b
