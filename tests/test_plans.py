@@ -460,3 +460,44 @@ def test_profile_scale_twin_has_no_multi_distinct_expand(dfs):
     distinct stream is the melted hash pairs reduced by bounded top-k."""
     assert "Expand" in checks.plan_string(dfs["events_profile"])
     assert "Expand" not in checks.plan_string(dfs["events_profile_scaled"])
+
+
+def test_png_decode_is_scan_shaped_arrow_no_shuffle(dfs):
+    """The PNG corpus synthesis + decode must pipeline off the scan as
+    two Arrow passes — no shuffle, no row-Python: the decode tier has to
+    stream at any corpus size."""
+    df = dfs["png_decode"]
+    assert not checks.uses_python_eval(df)
+    assert checks.count_shuffle_exchanges(df) == 0, checks.plan_string(df, "simple")
+    assert "MapInPandas" in checks.plan_string(df)
+
+
+def test_refine_recall_reranks_with_hash_joins_no_row_python(dfs):
+    """The refine stage's vector fetch must be hash equi-joins (AQE-sized)
+    — a nested-loop fallback there would scan the corpus per shortlist
+    row. The only nested-loop joins allowed are the deliberate
+    query × centroid bucket-selection cross joins (nlist-row broadcast
+    side) and the 1-row report assembly crossJoins."""
+    import re
+
+    df = dfs["ann_pq_refine_recall"]
+    assert not checks.uses_python_eval(df)
+    plan = checks.plan_string(df, "simple")
+    nl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    # 2 bucket selections (float probe + ADC probe) + 2 report crossJoins
+    assert nl <= 4, plan
+    assert checks.count_broadcast_joins(df) >= 2
+
+
+def test_recall_sweep_shares_one_index_across_points(spark):
+    """All sweep points must ride the SAME session-cached IVF build and
+    residual encode — the sweep is a runtime-knob scan, not three index
+    builds. Counted via the shared-relation cache's build counter."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+        dfcache,
+    )
+
+    q.QUERIES["ann_pq_residual_adc_recall"](spark, SF_DIR).collect()  # warm
+    before = dfcache.build_count()
+    q.QUERIES["ann_recall_sweep"](spark, SF_DIR).collect()
+    assert dfcache.build_count() == before, "sweep rebuilt a shared index"
