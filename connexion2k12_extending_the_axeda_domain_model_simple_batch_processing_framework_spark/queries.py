@@ -1830,12 +1830,13 @@ def q_ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_residual_book_values(sf_dir: str) -> str | None:
+def _pq_residual_book_values(sf_dir: str, ksub: int | None = None) -> str | None:
     """Residual-PQ codebooks as a SQL VALUES body: the identical sample,
     the identical coarse centroids (``similarity._lloyd``), the identical
     fold-chain assignment arithmetic (``_seq_dot``/``_seq_norms``), then
     ``_pq_train_np`` over the residuals — bit-for-bit the cluster's
-    training path."""
+    training path. ``ksub`` widens the codebooks for the code-budget
+    frontier twin (default: the engine's PQ_KSUB)."""
     import duckdb
 
     import numpy as np
@@ -1857,7 +1858,9 @@ def _pq_residual_book_values(sf_dir: str) -> str | None:
         similarity._seq_norms(V), similarity._seq_norms(C)
     )
     R = V - C[cos.argmax(axis=1)]
-    books = similarity._pq_train_np(R, similarity.PQ_M, similarity.PQ_KSUB, iters=3)
+    books = similarity._pq_train_np(
+        R, similarity.PQ_M, ksub or similarity.PQ_KSUB, iters=3
+    )
     return ",\n    ".join(
         "({}, {}, [{}]::DOUBLE[])".format(
             s, int(cid), ", ".join(repr(float(x)) for x in cw)
@@ -1867,14 +1870,16 @@ def _pq_residual_book_values(sf_dir: str) -> str | None:
     )
 
 
-def _pq_residual_oracle_sql(sf_dir: str) -> str:
+def _pq_residual_oracle_sql(sf_dir: str, ksub: int | None = None) -> str:
     """DuckDB twin of ``q_ann_pq_residual_recall``: the float side is the
     ``_ivf_oracle_sql`` fragments; the compressed side encodes the
     residual (vector − bucket centroid, the (v−c)−cw subtraction order of
     the numpy path), reconstructs as centroid + decoded residual, and
-    ranks on cosines over the reconstructed lists."""
+    ranks on cosines over the reconstructed lists. With ``ksub`` set it
+    twins the code-budget frontier query (wider codebook literals, same
+    replay)."""
     cent_rows = _ivf_centroid_values(sf_dir)
-    book_rows = _pq_residual_book_values(sf_dir)
+    book_rows = _pq_residual_book_values(sf_dir, ksub)
     if cent_rows is None or book_rows is None:
         return (
             "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
@@ -1983,6 +1988,33 @@ FROM base CROSS JOIN ov CROSS JOIN ms
 
 
 QUERIES["ann_pq_residual_recall"] = q_ann_pq_residual_recall
+
+
+#: the code-budget frontier point: 8-bit sub-quantizers (ksub=256) — the
+#: standard faiss PQ configuration. Codes grow 4→8 bits per subspace
+#: (still 64× smaller than float64) and buy code-only recall 0.52→0.80
+#: at sf0.01 — the storage axis of the tuning frontier, complementing
+#: the nprobe sweep (flat) and the refine stage (0.72 at 4-bit codes).
+PQ_KSUB_WIDE = 256
+
+
+def q_ann_pq_ksub_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-PQ recall at the faiss-standard 8-bit code budget
+    (ksub=256): same shared IVF geometry, same residual formulation as
+    `ann_pq_residual_recall`, wider codebooks — the measured point that
+    shows what doubling code storage buys vs probing wider (nothing) or
+    refining (0.72). Oracle folds the 8×256 codebooks as literals."""
+    return similarity.ivf_pq_residual_recall(
+        load_table(spark, sf_dir, "embeddings"), ksub=PQ_KSUB_WIDE
+    ).select(F.lit(PQ_KSUB_WIDE).cast("long").alias("ksub"), "*")
+
+
+def _pq_ksub_oracle_sql(sf_dir: str) -> str:
+    inner = _pq_residual_oracle_sql(sf_dir, ksub=PQ_KSUB_WIDE)
+    return f"SELECT {PQ_KSUB_WIDE}::BIGINT AS ksub, t.* FROM (\n{inner}\n) t"
+
+
+QUERIES["ann_pq_ksub_recall"] = q_ann_pq_ksub_recall
 
 
 def q_ann_pq_residual_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2417,6 +2449,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_pq_residual_adc_recall": _pq_residual_adc_oracle_sql,
     "ann_pq_refine_recall": _pq_refine_oracle_sql,
     "ann_recall_sweep": _ann_recall_sweep_oracle_sql,
+    "ann_pq_ksub_recall": _pq_ksub_oracle_sql,
 }
 
 
@@ -5379,6 +5412,7 @@ _GATE_PRIORITY = [
     # r7 new code: refined ANN probe, nprobe sweep, PNG decode
     "ann_pq_refine_recall",
     "ann_recall_sweep",
+    "ann_pq_ksub_recall",
     "png_decode",
     # rotated in: the 28 queries NEVER covered by any round's driver gate
     # (r1-r6) — each has only ever been verified by tools/parity.py runs
