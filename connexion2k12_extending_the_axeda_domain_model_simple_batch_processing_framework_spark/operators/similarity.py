@@ -1036,7 +1036,9 @@ def ivf_pq_recall(
     d = "double"
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     books, codes = pq_codes_cached(embeddings, m, ksub)
     recon = pq_reconstruct(codes, books)
@@ -1206,7 +1208,9 @@ def ivf_pq_residual_recall(
     d = "double"
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     books, codes = pq_residual_codes_cached(
         embeddings, centroids, assignments, m, ksub
@@ -1541,6 +1545,47 @@ def pq_residual_adc_probe(
     ).filter(F.col("rk") <= k)
 
 
+def float_topf_cached(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """The float-reference probe ranking every compressed-index recall
+    report grades against, memoized per (session, corpus, k, nprobe,
+    query_mod) in the shared relation cache: seven reports (SQ8, PQ,
+    residual-PQ, two ADC probes, refine, wide-ksub) compare their
+    compressed top-k to the SAME float top-k of the SAME shared index,
+    so the reference ranking is computed ONCE per session — exactly how
+    a deployed grading harness amortizes its ground-truth pass across
+    variants. Deterministic probe ⇒ a shared result is bit-identical to
+    a private one; persist-backed, degrades to a rebuild."""
+    from ..functions.dfcache import memo, persist_df
+
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+
+    def build() -> tuple:
+        return (
+            persist_df(ivf_probe(centroids, assignments, queries, k, nprobe)),
+        )
+
+    try:
+        key = (
+            "topf",
+            embeddings.sparkSession,
+            embeddings.select("vec_id", "embedding").semanticHash(),
+            centroids.select("centroid_id", "centroid").semanticHash(),
+            query_mod,
+            k,
+            nprobe,
+        )
+    except Exception:
+        return ivf_probe(centroids, assignments, queries, k, nprobe)
+    return memo(embeddings.sparkSession, key, build)[0]
+
+
 def _score_float_candidates(
     probes: DataFrame, assignments: DataFrame, carry: tuple = ()
 ) -> DataFrame:
@@ -1678,7 +1723,9 @@ def ivf_pq_residual_adc_recall(
     """
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     books, codes = pq_residual_codes_cached(
         embeddings, centroids, assignments, m, ksub
@@ -1724,7 +1771,9 @@ def ivf_pq_adc_recall(
     """
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     books, codes = pq_codes_cached(embeddings, m, ksub)
     top_adc = pq_adc_probe(
@@ -1778,7 +1827,9 @@ def ivf_pq_refine_recall(
     """
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     books, codes = pq_residual_codes_cached(
         embeddings, centroids, assignments, m, ksub
@@ -2025,7 +2076,9 @@ def ivf_sq8_recall(
     d = "double"
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    top_f = ivf_probe(centroids, assignments, queries, k, nprobe)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
 
     qz = embedding_quantize(embeddings)
     recon = qz.select(
