@@ -484,8 +484,11 @@ def test_refine_recall_reranks_with_hash_joins_no_row_python(dfs):
     assert not checks.uses_python_eval(df)
     plan = checks.plan_string(df, "simple")
     nl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-    # 2 bucket selections (float probe + ADC probe) + 2 report crossJoins
-    assert nl <= 4, plan
+    # 2 bucket selections (float probe + ADC probe) + 2 report
+    # crossJoins; the session-cached float reference (float_topf_cached)
+    # may echo its own probe subtree inside the InMemoryRelation text,
+    # adding up to 2 more to the COUNT without adding runtime joins
+    assert nl <= 6, plan
     assert checks.count_broadcast_joins(df) >= 2
 
 
