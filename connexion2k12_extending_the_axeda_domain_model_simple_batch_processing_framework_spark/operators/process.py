@@ -310,3 +310,60 @@ def scd2_point_in_time_from(
             ],
         )
     )
+
+
+def scd2_snapshot_diff(
+    updates: DataFrame,
+    t1: str,
+    t2: str,
+    key_col: str = "user_id",
+    ts_col: str = "valid_from",
+    tie_col: str = "event_id",
+    value_col: str = "score",
+    op_col: str | None = None,
+    delete_value: str = "D",
+) -> DataFrame:
+    """Per-key change report between the dimension's as-of-``t1`` and
+    as-of-``t2`` states — the snapshot-diff a training pipeline runs to
+    answer "what changed since the last data cut" before deciding what
+    to reprocess. Change taxonomy: ``added`` (no version at t1, one at
+    t2), ``changed`` (different versions), ``unchanged`` (same version),
+    ``removed`` (version at t1, none at t2 — reachable only with CDC
+    tombstones via ``op_col``, since without deletes a key's state never
+    disappears).
+
+    Plan: ONE ``scd2_build`` (one keyed shuffle); both as-of states are
+    filters over the SAME interval table, so the exchange is reused
+    across the two branches, and the full-outer diff join is keyed on
+    ``key_col`` — co-partitioned with the build, no extra wide shuffle
+    of the history. Zero-width same-instant intervals match neither
+    probe, the ``scd2_point_in_time`` convention.
+    """
+    hist = scd2_build(updates, key_col, ts_col, tie_col, op_col, delete_value)
+
+    def state_at(t: str, side: str) -> DataFrame:
+        probe = F.lit(t).cast("timestamp")
+        return hist.filter(
+            (F.col("valid_from") <= probe)
+            & (F.col("valid_to").isNull() | (probe < F.col("valid_to")))
+        ).select(
+            F.col(key_col),
+            F.col("dim_version").alias(f"version_{side}"),
+            F.col(value_col).alias(f"value_{side}"),
+        )
+
+    joined = state_at(t1, "t1").join(state_at(t2, "t2"), key_col, "full_outer")
+    change = (
+        F.when(F.col("version_t1").isNull(), F.lit("added"))
+        .when(F.col("version_t2").isNull(), F.lit("removed"))
+        .when(F.col("version_t1") == F.col("version_t2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        key_col,
+        change.alias("change"),
+        "version_t1",
+        "version_t2",
+        "value_t1",
+        "value_t2",
+    )

@@ -5285,6 +5285,70 @@ QUERIES["png_decode"] = q_png_decode
 ORACLE["png_decode"] = SQL_PNG_DECODE
 
 
+SCD2_DIFF_T1 = "2024-01-10 00:00:00"
+SCD2_DIFF_T2 = "2024-01-20 00:00:00"
+
+
+def q_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two data cuts
+    (operators.process.scd2_snapshot_diff): clicks are the user-profile
+    update stream; the report classifies every user as added / changed /
+    unchanged between the Jan-10 and Jan-20 as-of states — the
+    what-changed-since-the-last-cut question a training pipeline asks
+    before reprocessing. One scd2_build, both as-of states filter the
+    same interval table, keyed full-outer diff. The oracle re-derives
+    both states independently with interval containment."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.col("value").alias("score"),
+    )
+    out = process.scd2_snapshot_diff(dim, SCD2_DIFF_T1, SCD2_DIFF_T2)
+    return out.select(
+        "user_id",
+        "change",
+        "version_t1",
+        "version_t2",
+        F.col("value_t1").cast("double").alias("value_t1"),
+        F.col("value_t2").cast("double").alias("value_t2"),
+    )
+
+
+SQL_SCD2_SNAPSHOT_DIFF = f"""
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, value AS score,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dim_version,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'click'
+),
+s1 AS (
+  SELECT user_id, dim_version, score FROM dim
+  WHERE valid_from <= TIMESTAMP '{SCD2_DIFF_T1}'
+    AND (valid_to IS NULL OR TIMESTAMP '{SCD2_DIFF_T1}' < valid_to)
+),
+s2 AS (
+  SELECT user_id, dim_version, score FROM dim
+  WHERE valid_from <= TIMESTAMP '{SCD2_DIFF_T2}'
+    AND (valid_to IS NULL OR TIMESTAMP '{SCD2_DIFF_T2}' < valid_to)
+)
+SELECT coalesce(s1.user_id, s2.user_id)::BIGINT AS user_id,
+       CASE WHEN s1.dim_version IS NULL THEN 'added'
+            WHEN s2.dim_version IS NULL THEN 'removed'
+            WHEN s1.dim_version = s2.dim_version THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       s1.dim_version::BIGINT AS version_t1,
+       s2.dim_version::BIGINT AS version_t2,
+       s1.score::DOUBLE AS value_t1,
+       s2.score::DOUBLE AS value_t2
+FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+QUERIES["scd2_snapshot_diff"] = q_scd2_snapshot_diff
+ORACLE["scd2_snapshot_diff"] = SQL_SCD2_SNAPSHOT_DIFF
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
     (operators.analytics.key_skew_report), exact-percentile reference."""
@@ -5414,6 +5478,7 @@ _GATE_PRIORITY = [
     "ann_recall_sweep",
     "ann_pq_ksub_recall",
     "png_decode",
+    "scd2_snapshot_diff",
     # rotated in: the 28 queries NEVER covered by any round's driver gate
     # (r1-r6) — each has only ever been verified by tools/parity.py runs
     "events_moving_avg",

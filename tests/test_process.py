@@ -186,3 +186,38 @@ def test_scd2_tombstones_close_intervals_and_null_facts(spark):
     assert got[14] == (None, None)
     # without op_col the same updates behave as pure upserts (3 versions)
     assert scd2_build(updates.drop("op")).filter("user_id = 1").count() == 3
+
+
+def test_scd2_snapshot_diff_taxonomy(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.process import (
+        scd2_snapshot_diff,
+    )
+
+    updates = spark.createDataFrame(
+        [
+            # user 1: v1 before t1, v2 between t1 and t2 -> changed
+            (1, "2026-01-01 08:00:00", 1, 1.0, "U"),
+            (1, "2026-01-01 12:00:00", 2, 2.0, "U"),
+            # user 2: single version before t1, untouched -> unchanged
+            (2, "2026-01-01 08:30:00", 3, 5.0, "U"),
+            # user 3: first appears between t1 and t2 -> added
+            (3, "2026-01-01 13:00:00", 4, 7.0, "U"),
+            # user 4: exists at t1, DELETED before t2 -> removed
+            (4, "2026-01-01 09:00:00", 5, 9.0, "U"),
+            (4, "2026-01-01 14:00:00", 6, 0.0, "D"),
+        ],
+        "user_id long, valid_from string, event_id long, score double, op string",
+    ).selectExpr(
+        "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "event_id", "score", "op",
+    )
+    out = {
+        r.user_id: (r.change, r.version_t1, r.version_t2, r.value_t1, r.value_t2)
+        for r in scd2_snapshot_diff(
+            updates, "2026-01-01 10:00:00", "2026-01-01 16:00:00", op_col="op"
+        ).collect()
+    }
+    assert out[1] == ("changed", 1, 2, 1.0, 2.0)
+    assert out[2] == ("unchanged", 1, 1, 5.0, 5.0)
+    assert out[3] == ("added", None, 1, None, 7.0)
+    assert out[4] == ("removed", 1, None, 9.0, None)
