@@ -839,3 +839,57 @@ def dedup_funnel(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
         .unionByName(stage_row(2, "minhash", surv1, surv2))
         .unionByName(stage_row(3, "semantic", surv2, surv3))
     )
+
+
+def minhash_recall_report(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Quality report of the MinHash banding — the dedup twin of the ANN
+    tier's ``ann_recall``: how many of the exact n-gram-Jaccard pairs
+    does the banded index actually surface, and how selective are its
+    candidates? A 100 TB pipeline tunes (bands, rows) from exactly this
+    table before trusting the index, because banding loss is silent —
+    a missed pair is simply never seen again.
+
+    Columns: n_exact (full-enumeration pairs ≥ threshold, over the
+    df-capped universe), n_candidates (band collisions — the pairs the
+    index PAYS to verify), n_verified (candidates whose true Jaccard ≥
+    threshold), n_overlap (verified ∩ exact), recall
+    (n_overlap/n_exact — banding loss plus any capped-vs-uncapped
+    universe disagreement), candidate_precision
+    (n_verified/n_candidates — verification cost efficiency).
+
+    Both legs ride the session-shared indexes (shingle table + band
+    index), so the report adds no corpus scans beyond the two pair
+    listings it grades.
+    """
+    exact = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df)
+    cand = minhash_lsh_pairs(documents, n, bands, rows)
+    verified = cand.filter(F.col("jaccard") >= threshold)
+    overlap = exact.select("doc_a", "doc_b").join(
+        verified.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nv = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    no = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nv)
+        .crossJoin(no)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_verified",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias("recall"),
+            F.round(
+                F.col("n_verified") / F.col("n_candidates"), 6
+            ).alias("candidate_precision"),
+        )
+    )

@@ -5349,6 +5349,38 @@ QUERIES["scd2_snapshot_diff"] = q_scd2_snapshot_diff
 ORACLE["scd2_snapshot_diff"] = SQL_SCD2_SNAPSHOT_DIFF
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding quality report
+    (operators.dedup.minhash_recall_report): recall of the banded index
+    vs the full-enumeration Jaccard pairs, plus candidate-verification
+    precision — the dedup twin of `ann_recall`, and the table (bands,
+    rows) is tuned from. Oracle composes the two existing pair oracles."""
+    return dedup.minhash_recall_report(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_RECALL = f"""
+WITH exact_p AS (
+{SQL_DEDUP_NGRAM_JACCARD}
+),
+lsh_p AS (
+{SQL_DEDUP_MINHASH_LSH}
+),
+ver AS (SELECT doc_a, doc_b FROM lsh_p WHERE jaccard >= 0.5),
+ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact_p),
+nc AS (SELECT count(*)::BIGINT AS n_candidates FROM lsh_p),
+nv AS (SELECT count(*)::BIGINT AS n_verified FROM ver),
+no_ AS (SELECT count(*)::BIGINT AS n_overlap
+        FROM exact_p e JOIN ver v ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b)
+SELECT n_exact, n_candidates, n_verified, n_overlap,
+       round(n_overlap / n_exact, 6) AS recall,
+       round(n_verified / n_candidates, 6) AS candidate_precision
+FROM ne CROSS JOIN nc CROSS JOIN nv CROSS JOIN no_
+"""
+
+QUERIES["minhash_recall"] = q_minhash_recall
+ORACLE["minhash_recall"] = SQL_MINHASH_RECALL
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over events.user_id
     (operators.analytics.key_skew_report), exact-percentile reference."""
@@ -5479,6 +5511,7 @@ _GATE_PRIORITY = [
     "ann_pq_ksub_recall",
     "png_decode",
     "scd2_snapshot_diff",
+    "minhash_recall",
     # rotated in: the 28 queries NEVER covered by any round's driver gate
     # (r1-r6) — each has only ever been verified by tools/parity.py runs
     "events_moving_avg",
