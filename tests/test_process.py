@@ -221,3 +221,79 @@ def test_scd2_snapshot_diff_taxonomy(spark):
     assert out[2] == ("unchanged", 1, 1, 5.0, 5.0)
     assert out[3] == ("added", None, 1, None, 7.0)
     assert out[4] == ("removed", 1, None, 9.0, None)
+
+
+def test_scd2_snapshot_diff_property(spark):
+    """Hypothesis: the diff report agrees with a brute-force per-key
+    replay (latest non-deleted update at or before each probe decides
+    the state) for arbitrary update streams with deletes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.process import (
+        scd2_snapshot_diff,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        ups=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),   # user
+                st.integers(min_value=0, max_value=23),  # hour
+                st.booleans(),                           # delete?
+            ),
+            min_size=1,
+            max_size=14,
+            unique_by=lambda u: (u[0], u[1]),  # one event per (key, ts)
+        ),
+        t1h=st.integers(min_value=0, max_value=23),
+        t2h=st.integers(min_value=0, max_value=23),
+    )
+    def check(ups, t1h, t2h):
+        rows = [
+            (u, f"2026-01-01 {h:02d}:00:00", i + 1, float(i), "D" if d else "U")
+            for i, (u, h, d) in enumerate(ups)
+        ]
+        updates = spark.createDataFrame(
+            rows,
+            "user_id long, valid_from string, event_id long, score double, op string",
+        ).selectExpr(
+            "user_id", "CAST(valid_from AS TIMESTAMP) AS valid_from",
+            "event_id", "score", "op",
+        )
+        t1 = f"2026-01-01 {min(t1h, t2h):02d}:30:00"
+        t2 = f"2026-01-01 {max(t1h, t2h):02d}:30:00"
+        got = {
+            r.user_id: r.change
+            for r in scd2_snapshot_diff(updates, t1, t2, op_col="op").collect()
+        }
+
+        # brute force: state at t = the latest event at-or-before t per
+        # key; deletes clear it. Versions number the upserts in ts order.
+        def state(t):
+            out = {}
+            for u in {r[0] for r in rows}:
+                evs = sorted(
+                    (r for r in rows if r[0] == u and r[1] <= t),
+                    key=lambda r: r[1],
+                )
+                if not evs or evs[-1][4] == "D":
+                    continue
+                version = sum(1 for r in evs if r[4] == "U")
+                out[u] = version
+            return out
+
+        s1, s2 = state(t1), state(t2)
+        want = {}
+        for u in set(s1) | set(s2):
+            if u not in s1:
+                want[u] = "added"
+            elif u not in s2:
+                want[u] = "removed"
+            elif s1[u] == s2[u]:
+                want[u] = "unchanged"
+            else:
+                want[u] = "changed"
+        assert got == want
+
+    check()

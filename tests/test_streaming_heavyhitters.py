@@ -87,3 +87,42 @@ def test_heavy_users_stream_tracks_heavies_across_batches(spark, tmp_path):
     # top ordering: user 1 first
     top = [r for r in rows if r.n_seen == final_n]
     assert top[0].user_id == 1
+
+
+def test_space_saving_fold_property():
+    """Hypothesis: for ANY arrival sequence and capacity, after folding
+    in arbitrary chunkings the Space-Saving invariants hold — every key
+    above n/capacity is tracked, tracked estimates bound the truth
+    (true <= est <= true + error), and the counter set never exceeds
+    capacity."""
+    import collections
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        cap=st.integers(min_value=2, max_value=12),
+        seq=st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=300
+        ),
+        n_chunks=st.integers(min_value=1, max_value=6),
+    )
+    def check(cap, seq, n_chunks):
+        true = collections.Counter(seq)
+        counters: dict = {}
+        size = max(1, len(seq) // n_chunks)
+        for i in range(0, len(seq), size):
+            chunk = seq[i : i + size]
+            hh._space_saving_fold(
+                counters, list(collections.Counter(chunk).items()), cap
+            )
+        assert len(counters) <= cap
+        n = len(seq)
+        for u, c in true.items():
+            if c > n / cap:
+                assert u in counters
+        for u, (est, err) in counters.items():
+            assert true[u] <= est <= true[u] + err
+
+    check()
