@@ -1815,8 +1815,11 @@ def ivf_pq_refine_recall(
     production IVFPQ recovers recall without widening the code budget —
     the exact pass touches k·refine vectors per query instead of every
     candidate in the probed buckets (at nprobe/nlist of a 100 TB corpus
-    that ratio is the whole game). Measured here: recall climbs from the
-    code-only 0.52 to ≈1 at refine=4 while the scan stays code-only.
+    that ratio is the whole game). Measured at sf0.01: recall climbs
+    from the code-only 0.52 to **0.72** at refine=4 (4-bit codes) while
+    the scan stays code-only; composing with ksub=256 codes (the
+    deployable config — see ``queries.ann_pq_refine_ksub_recall``)
+    lifts it further.
 
     The refine join is declarative: shortlist ⋈ corpus on neighbor_id
     (AQE sizes the build side — the shortlist is |q|·k·refine rows) and

@@ -20,9 +20,15 @@ Structured Streaming ``foreachBatch`` sink with the same snapshot protocol
   idempotence** (the former plain append duplicated a replayed batch's
   vectors in the inverted file);
 - readers (``read_ivf_assignments``) resolve the index as the newest
-  ``base=<C>`` generation (else the original ``ivf_save`` file) plus
-  every delta newer than ``compacted_through`` — deltas are disjoint
-  appends, so resolution is a union, no version arbitration needed;
+  COMMITTED ``base=<C>`` generation (else the original ``ivf_save``
+  file) plus every delta newer than
+  ``max(compacted_through, newest base generation)`` — deltas are
+  disjoint appends, so resolution is a union, no version arbitration
+  needed. The base-derived floor (``_delta_floor``) and the
+  ``_SUCCESS``-marker visibility rule (``_committed``) make every
+  compaction crash window safe: a base written without its meta update
+  never double-resolves its folded deltas, and a torn base dir is
+  invisible so readers fall back to the previous generation;
 - **compaction** (``ivf_stream_compact``) folds base + deltas into one
   ``base=<C>`` generation and expires the folded delta dirs, keeping
   read-side file listing O(1 + batches-since-compact) instead of growing
@@ -74,7 +80,16 @@ def _write_meta(index_path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_path, _META))  # atomic on POSIX
 
 
-def _delta_versions(index_path: str) -> list[int]:
+def _committed(path: str) -> bool:
+    """A generation/delta parquet dir is visible only once Spark's job
+    committer wrote its ``_SUCCESS`` marker: a crash mid-write leaves a
+    torn dir (``_temporary`` only) that readers must skip — they fall
+    back to the previous base + deltas instead of failing or silently
+    dropping the whole index base."""
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _delta_versions(index_path: str, committed_only: bool = True) -> list[int]:
     d = os.path.join(index_path, "deltas")
     if not os.path.isdir(d):
         return []
@@ -82,17 +97,33 @@ def _delta_versions(index_path: str) -> list[int]:
         int(name.split("=", 1)[1])
         for name in os.listdir(d)
         if name.startswith("v=")
+        and (not committed_only or _committed(os.path.join(d, name)))
     )
 
 
-def _base_generations(index_path: str) -> list[int]:
+def _base_generations(index_path: str, committed_only: bool = True) -> list[int]:
     if not os.path.isdir(index_path):
         return []
     return sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(index_path)
         if name.startswith("base=")
+        and (not committed_only or _committed(os.path.join(index_path, name)))
     )
+
+
+def _delta_floor(index_path: str, meta: dict) -> int:
+    """Deltas at or below this version are already folded into a base and
+    must NOT be resolved again. The floor is derived from the newest
+    COMMITTED ``base=<C>`` generation, not only from meta: compaction
+    writes the base (step 1) before meta (step 2), so a crash between the
+    two leaves ``compacted_through`` stale while ``base=<C>`` already
+    contains the folded deltas — cutting on meta alone would resolve
+    every folded vector TWICE (and the next compact would bake the
+    duplicates in). Same convention as ``cdc.read_scd2``, which resolves
+    ``v=`` dirs against the base DIRECTORY number."""
+    bases = _base_generations(index_path)
+    return max(meta["compacted_through"], bases[-1] if bases else -1)
 
 
 def ivf_append_batch(
@@ -112,7 +143,7 @@ def ivf_append_batch(
     if not batch_df.head(1):
         return False
     meta = _read_meta(index_path)
-    if batch_id <= meta["compacted_through"]:
+    if batch_id <= _delta_floor(index_path, meta):
         return False  # replay of a folded batch: effect already in base
     if batch_id < meta["high_water"]:
         raise ValueError(
@@ -149,8 +180,9 @@ def read_ivf_assignments(spark, index_path: str) -> DataFrame:
         df = spark.read.parquet(f"{index_path}/base={bases[-1]}")
     else:
         df = spark.read.parquet(f"{index_path}/assignments")
+    floor = _delta_floor(index_path, meta)
     for v in _delta_versions(index_path):
-        if v > meta["compacted_through"]:
+        if v > floor:
             df = df.unionByName(
                 spark.read.parquet(f"{index_path}/deltas/v={v}")
             )
@@ -161,18 +193,31 @@ def ivf_stream_compact(spark, index_path: str) -> None:
     """Fold the current resolution (base/original + live deltas) into one
     ``base=<C>`` generation and expire the folded delta dirs and older
     bases. Crash-ordering as in ``cdc.scd2_compact``: (1) write the new
-    base — readers still resolve from the old dirs while it lands;
-    (2) write meta (``compacted_through=C``) so replays of folded batches
-    no-op; (3) prune. A crash between any two steps leaves an index that
-    still resolves correctly. The original ``assignments`` file from
-    ``ivf_save`` is left in place (it is the batch API's artifact;
-    readers ignore it once a base exists)."""
+    base — readers still resolve from the old dirs while it lands (a
+    torn base has no ``_SUCCESS`` and stays invisible); (2) write meta
+    (``compacted_through=C``) so replays of folded batches no-op —
+    readers are already safe before this lands because the delta floor
+    is base-derived; (3) prune. A crash between any two steps leaves an
+    index that still resolves correctly, and the next compaction
+    finishes the interrupted one (meta catch-up + prune) before folding
+    anything new. The original ``assignments`` file from ``ivf_save`` is
+    left in place (it is the batch API's artifact; readers ignore it
+    once a base exists)."""
     versions = _delta_versions(index_path)
     if not versions:
         return
     meta = _read_meta(index_path)
-    live = [v for v in versions if v > meta["compacted_through"]]
+    floor = _delta_floor(index_path, meta)
+    live = [v for v in versions if v > floor]
     if not live:
+        # nothing new to fold — but a crash between a prior compaction's
+        # base-write and meta-write leaves meta behind the committed base
+        # with the folded (now dead) dirs unpruned: finish that compaction
+        # (meta catch-up, then prune) instead of re-folding.
+        if floor > meta["compacted_through"]:
+            meta["compacted_through"] = floor
+            _write_meta(index_path, meta)
+            _prune_folded(index_path, floor)
         return
     new_c = max(live)
     full = read_ivf_assignments(spark, index_path)
@@ -181,10 +226,17 @@ def ivf_stream_compact(spark, index_path: str) -> None:
     )
     meta["compacted_through"] = new_c
     _write_meta(index_path, meta)
-    for v in versions:
+    _prune_folded(index_path, new_c)
+
+
+def _prune_folded(index_path: str, new_c: int) -> None:
+    """Expire every delta folded into ``base=<new_c>`` and every older
+    base — including TORN (uncommitted) dirs a crashed write left
+    behind, which committed-only listings deliberately hide."""
+    for v in _delta_versions(index_path, committed_only=False):
         if v <= new_c:
             shutil.rmtree(os.path.join(index_path, "deltas", f"v={v}"))
-    for b in _base_generations(index_path):
+    for b in _base_generations(index_path, committed_only=False):
         if b < new_c:
             shutil.rmtree(os.path.join(index_path, f"base={b}"))
 

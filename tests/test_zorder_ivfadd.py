@@ -247,3 +247,141 @@ def test_ivf_stream_compact_preserves_probes_and_bounds_dirs(
         new_df.filter(F.col("vec_id") % 12 == 0), 0, idx
     )
     assert not os.path.isdir(os.path.join(idx, "deltas", "v=0"))
+
+
+def test_ivf_compact_crash_between_base_and_meta_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """The r7 crash window: compaction writes base=<C> (step 1) BEFORE
+    meta (step 2). Simulate a crash exactly between the two — the folded
+    base is committed but ``compacted_through`` is stale and the folded
+    delta dirs are unpruned. Readers must NOT resolve the folded deltas a
+    second time (the delta floor is base-derived, not meta-derived):
+    probes stay identical, no vector id resolves twice, and the next
+    compaction finishes the interrupted one instead of baking duplicates
+    into a new base."""
+    import os
+
+    ann_index, emb, cent, base_assign, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_crash"
+    )
+    # batches 0-2 stream in before the crash; %4==3 is held back so the
+    # post-repair batch appends genuinely NEW vectors (deltas are
+    # disjoint new-vector appends by contract)
+    streamed_df = new_df.filter(F.col("vec_id") % 4 < 3)
+    held_back = new_df.filter(F.col("vec_id") % 4 == 3)
+    for i in range(3):
+        ann_index.ivf_append_batch(
+            new_df.filter(F.col("vec_id") % 4 == i), i, idx
+        )
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    before = sorted(
+        similarity.ivf_probe(
+            cent, ann_index.read_ivf_assignments(spark, idx), queries, k=5
+        ).collect(),
+        key=key,
+    )
+
+    # step 1 of compaction only: write base=<C>, then "crash" — meta is
+    # never updated and the folded deltas are never pruned
+    crash_c = max(ann_index._delta_versions(idx))
+    ann_index.read_ivf_assignments(spark, idx).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{idx}/base={crash_c}")
+    assert ann_index._read_meta(idx)["compacted_through"] < crash_c
+    assert ann_index._delta_versions(idx)  # folded deltas still on disk
+
+    maintained = ann_index.read_ivf_assignments(spark, idx)
+    # every streamed vector resolves exactly once (no duplicate vids)
+    n_new = streamed_df.count()
+    assert maintained.filter(F.col("vid") >= 400).count() == n_new
+    assert (
+        maintained.groupBy("vid").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    after_crash = sorted(
+        similarity.ivf_probe(cent, maintained, queries, k=5).collect(),
+        key=key,
+    )
+    assert after_crash == before
+
+    # a replay of a folded batch is a no-op even with stale meta
+    assert not ann_index.ivf_append_batch(
+        new_df.filter(F.col("vec_id") % 4 == 0), 0, idx
+    )
+
+    # the next compaction finishes the interrupted one: meta catches up,
+    # folded dirs are pruned, nothing is re-folded, probes unchanged
+    ann_index.ivf_stream_compact(spark, idx)
+    assert ann_index._read_meta(idx)["compacted_through"] == crash_c
+    assert ann_index._delta_versions(idx) == []
+    maintained2 = ann_index.read_ivf_assignments(spark, idx)
+    assert maintained2.filter(F.col("vid") >= 400).count() == n_new
+    recompacted = sorted(
+        similarity.ivf_probe(cent, maintained2, queries, k=5).collect(),
+        key=key,
+    )
+    assert recompacted == before
+
+    # and the stream continues cleanly past the repaired state with the
+    # held-back (genuinely new) vectors
+    assert ann_index.ivf_append_batch(held_back, crash_c + 1, idx)
+    final = ann_index.read_ivf_assignments(spark, idx)
+    assert final.filter(F.col("vid") >= 400).count() == new_df.count()
+    assert (
+        final.groupBy("vid").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_ivf_reader_skips_torn_base_dir(spark, sf_dir, tmp_path):
+    """A crash mid-way through the compaction's base=<C> parquet job
+    leaves a torn dir (no _SUCCESS marker). Readers must treat it as
+    invisible — falling back to the previous base + deltas — instead of
+    selecting it and dropping/failing the whole index base."""
+    import os
+
+    ann_index, emb, cent, base_assign, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_torn"
+    )
+    for i in range(2):
+        ann_index.ivf_append_batch(
+            new_df.filter(F.col("vec_id") % 2 == i), i, idx
+        )
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    before = sorted(
+        similarity.ivf_probe(
+            cent, ann_index.read_ivf_assignments(spark, idx), queries, k=5
+        ).collect(),
+        key=key,
+    )
+
+    # a torn base at the generation the crashed compact was writing
+    # (C = max delta version): dir exists, only _temporary, no _SUCCESS
+    crash_c = max(ann_index._delta_versions(idx))
+    torn = os.path.join(idx, f"base={crash_c}")
+    os.makedirs(os.path.join(torn, "_temporary"))
+    assert ann_index._base_generations(idx) == []
+    assert crash_c in ann_index._base_generations(idx, committed_only=False)
+
+    after = sorted(
+        similarity.ivf_probe(
+            cent, ann_index.read_ivf_assignments(spark, idx), queries, k=5
+        ).collect(),
+        key=key,
+    )
+    assert after == before
+
+    # the next compaction replaces/prunes the torn dir and commits for real
+    ann_index.ivf_stream_compact(spark, idx)
+    bases = ann_index._base_generations(idx)
+    assert len(bases) == 1
+    assert ann_index._base_generations(idx, committed_only=False) == bases
+    final = sorted(
+        similarity.ivf_probe(
+            cent, ann_index.read_ivf_assignments(spark, idx), queries, k=5
+        ).collect(),
+        key=key,
+    )
+    assert final == before
