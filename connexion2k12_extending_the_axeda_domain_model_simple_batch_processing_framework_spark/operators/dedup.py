@@ -893,3 +893,135 @@ def minhash_recall_report(
             ).alias("candidate_precision"),
         )
     )
+
+
+def minhash_recall_sweep(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands_sweep: tuple[int, ...] = (1, 2, 4, 8),
+    rows: int = LSH_ROWS,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """The (bands, rows) tuning curve of the MinHash index — the dedup
+    twin of ``similarity.ann_recall_sweep``: one row per swept ``bands``
+    (rows-per-band held at the production value), showing the
+    recall-vs-candidate-cost trade a 100 TB dedup is tuned on. More
+    bands = a longer signature (``sig_len = bands·rows`` seeded mins per
+    doc, the storage/compute cost disclosed per row) and more collision
+    chances = higher recall but more candidate verifications; banding
+    loss is silent, so this table is what justifies a config.
+
+    The whole sweep costs ONE banding pass, not len(bands_sweep):
+    signatures are computed once at ``max(bands_sweep)·rows`` mins, the
+    self-join runs once over all ``max(bands_sweep)`` band hashes with
+    the MINIMUM colliding band index carried, and each sweep point
+    derives its candidate set by filtering ``min_band < bands`` — exact,
+    because seeds are absolute (band b uses mins ``b·rows … b·rows+rows-1``),
+    so the band table at ``bands=B`` is precisely the first B bands of
+    the widest table: collision membership is prefix-monotone, and
+    membership is all that ``bands`` changes (the verified Jaccard of a
+    pair is band-independent). The ``bands=LSH_BANDS`` row therefore
+    grades the PRODUCTION index bit-identically to
+    ``minhash_recall_report``. Rides the session-shared shingle table;
+    the scored candidate set and the exact-pair reference are each
+    persisted once and shared by every sweep point.
+
+    Output (len(bands_sweep) rows): bands, rows_per_band, sig_len,
+    n_exact, n_candidates, n_verified, n_overlap, recall,
+    candidate_precision.
+    """
+    from ..functions.dfcache import persist_df
+
+    bmax = max(bands_sweep)
+    k = bmax * rows
+    sh = shared_shingle_table(documents, n)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(bmax)
+    ]
+    bt = persist_df(
+        sig.select(
+            "doc_id",
+            F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
+        )
+    )
+    a = bt.alias("a")
+    b_ = bt.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.min(F.col("a.band")).alias("min_band"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    scored = persist_df(
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "min_band",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    exact = persist_df(
+        ngram_jaccard_pairs(documents, n, threshold, max_shingle_df).select(
+            "doc_a", "doc_b"
+        )
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for bands in sorted(bands_sweep):
+        pts = scored.filter(F.col("min_band") < bands)
+        ver = pts.filter(F.col("jaccard") >= threshold)
+        ov = exact.join(
+            ver.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        )
+        row = (
+            ne.crossJoin(
+                pts.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            )
+            .crossJoin(
+                ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+            )
+            .crossJoin(
+                ov.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            )
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                F.lit(bands * rows).cast("long").alias("sig_len"),
+                "n_exact",
+                "n_candidates",
+                "n_verified",
+                "n_overlap",
+                F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias(
+                    "recall"
+                ),
+                F.round(
+                    F.col("n_verified") / F.col("n_candidates"), 6
+                ).alias("candidate_precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1819,7 +1819,7 @@ def ivf_pq_refine_recall(
     from the code-only 0.52 to **0.72** at refine=4 (4-bit codes) while
     the scan stays code-only; composing with ksub=256 codes (the
     deployable config — see ``queries.ann_pq_refine_ksub_recall``)
-    lifts it further.
+    reaches recall 1.0.
 
     The refine join is declarative: shortlist ⋈ corpus on neighbor_id
     (AQE sizes the build side — the shortlist is |q|·k·refine rows) and

@@ -2170,15 +2170,17 @@ def q_ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _residual_adc_parts(sf_dir: str):
+def _residual_adc_parts(sf_dir: str, ksub: int | None = None):
     """Shared-CTE text + a per-nprobe chain builder for every oracle that
     replays the residual-ADC probe (the single-probe twin, the refine
-    twin, and the nprobe sweep): centroids/codebooks fold in ONCE, the
-    nprobe-dependent CTEs (bucket selection → float top-k → ADC terms →
-    ADC top-k) are emitted per swept value with a name suffix. Arithmetic
-    is byte-identical to ``_pq_residual_adc_oracle_sql``'s fragments."""
+    twin, the refine×ksub composition, and the nprobe sweep):
+    centroids/codebooks fold in ONCE, the nprobe-dependent CTEs (bucket
+    selection → float top-k → ADC terms → ADC top-k) are emitted per
+    swept value with a name suffix. Arithmetic is byte-identical to
+    ``_pq_residual_adc_oracle_sql``'s fragments. ``ksub`` widens the
+    codebook literals for the 8-bit code-budget twins."""
     cent_rows = _ivf_centroid_values(sf_dir)
-    book_rows = _pq_residual_book_values(sf_dir)
+    book_rows = _pq_residual_book_values(sf_dir, ksub)
     if cent_rows is None or book_rows is None:
         return None
     dsub = similarity.EMBEDDING_DIM // similarity.PQ_M
@@ -2287,13 +2289,14 @@ topa{sfx} AS (
     return shared, chain
 
 
-def _pq_refine_oracle_sql(sf_dir: str) -> str:
+def _pq_refine_oracle_sql(sf_dir: str, ksub: int | None = None) -> str:
     """DuckDB twin of ``q_ann_pq_refine_recall``: the residual-ADC chain
     produces the k·refine shortlist (``topa`` at rk ≤ 20), then ONLY the
     shortlist joins back to the float vectors for the exact-cosine
     re-rank — replaying the two-stage plan's data flow, not just its
-    answer."""
-    parts = _residual_adc_parts(sf_dir)
+    answer. With ``ksub`` set it twins the composed refine×ksub query
+    (wider codebook literals, identical chain)."""
+    parts = _residual_adc_parts(sf_dir, ksub)
     if parts is None:
         return (
             "SELECT 0::BIGINT AS n_queries, 5::BIGINT AS k, 4::BIGINT AS refine, "
@@ -2327,6 +2330,49 @@ FROM base CROSS JOIN ov
 
 
 QUERIES["ann_pq_refine_recall"] = q_ann_pq_refine_recall
+
+
+def _code_bytes(ksub: int) -> int:
+    """Per-vector PQ code storage: m subspaces × log2(ksub) bits."""
+    return similarity.PQ_M * max(1, (ksub - 1).bit_length()) // 8
+
+
+def q_ann_pq_refine_ksub_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE IVFPQ configuration — the two winning frontier
+    moves composed: faiss-standard 8-bit codebooks (ksub=256, the
+    code-budget axis that bought 0.52→0.80 code-only) under the
+    two-stage refine re-rank (the faiss IVFPQR shape that bought
+    0.52→0.72 at 4-bit codes). Each axis was measured separately in r7
+    (`ann_pq_ksub_recall`, `ann_pq_refine_recall`); this row is what a
+    deployment actually ships — **measured recall 1.0 at sf0.01**
+    (0.80 code-only from the 8-bit codes; the k·refine=20 exact re-rank
+    recovers the rest). Cost disclosure columns: `code_bytes`
+    (8 bytes/vector — still 32× smaller than the float64 vector) and
+    `scan_frac` (nprobe/nlist — the fraction of buckets the code scan
+    touches; the exact pass touches only k·refine rows per query)."""
+    nl, np_ = similarity.IVF_NLIST, similarity.IVF_NPROBE
+    return similarity.ivf_pq_refine_recall(
+        load_table(spark, sf_dir, "embeddings"), ksub=PQ_KSUB_WIDE
+    ).select(
+        F.lit(PQ_KSUB_WIDE).cast("long").alias("ksub"),
+        F.lit(_code_bytes(PQ_KSUB_WIDE)).cast("long").alias("code_bytes"),
+        F.lit(round(np_ / nl, 6)).cast("double").alias("scan_frac"),
+        "*",
+    )
+
+
+def _pq_refine_ksub_oracle_sql(sf_dir: str) -> str:
+    nl, np_ = similarity.IVF_NLIST, similarity.IVF_NPROBE
+    inner = _pq_refine_oracle_sql(sf_dir, ksub=PQ_KSUB_WIDE)
+    return (
+        f"SELECT {PQ_KSUB_WIDE}::BIGINT AS ksub, "
+        f"{_code_bytes(PQ_KSUB_WIDE)}::BIGINT AS code_bytes, "
+        f"{round(np_ / nl, 6)!r}::DOUBLE AS scan_frac, t.* "
+        f"FROM (\n{inner}\n) t"
+    )
+
+
+QUERIES["ann_pq_refine_ksub_recall"] = q_ann_pq_refine_ksub_recall
 
 
 def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2450,6 +2496,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_pq_refine_recall": _pq_refine_oracle_sql,
     "ann_recall_sweep": _ann_recall_sweep_oracle_sql,
     "ann_pq_ksub_recall": _pq_ksub_oracle_sql,
+    "ann_pq_refine_ksub_recall": _pq_refine_ksub_oracle_sql,
 }
 
 
@@ -5379,6 +5426,96 @@ FROM ne CROSS JOIN nc CROSS JOIN nv CROSS JOIN no_
 
 QUERIES["minhash_recall"] = q_minhash_recall
 ORACLE["minhash_recall"] = SQL_MINHASH_RECALL
+
+
+MINHASH_SWEEP_BANDS = (1, 2, 4, 8)
+
+
+def q_minhash_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding tuning curve
+    (operators.dedup.minhash_recall_sweep): one row per bands ∈ {1,2,4,8}
+    at the production rows-per-band — recall vs the exact Jaccard pairs
+    plus candidate-verification cost, the dedup twin of
+    `ann_recall_sweep`. One banding pass for the whole sweep (min
+    colliding band index carried; membership is prefix-monotone in
+    bands); the bands=4 row grades the production index bit-identically
+    to `minhash_recall`. The range brackets the knee measured at
+    sf0.01: bands=1 → recall 0.92 / precision 1.0, bands=2 saturates
+    recall at 1.0, bands=8 only adds false candidates (precision
+    1.0→0.96) — the production bands=4 sits on the safe side of the
+    knee at 12 mins/doc."""
+    return dedup.minhash_recall_sweep(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sweep_oracle() -> str:
+    """DuckDB twin of ``q_minhash_recall_sweep`` — mirrors the one-pass
+    plan, not just its answer: one signature at max(bands)·rows mins,
+    one collision join carrying min(band), per-point aggregates by
+    ``min_band < bands`` filters over the same scored set."""
+    rows = dedup.LSH_ROWS
+    bmax = max(MINHASH_SWEEP_BANDS)
+    k = bmax * rows
+    seeded = [_HEX64.format(expr="s || '#' || '%d'" % i) for i in range(k)]
+    mins = ",\n    ".join(f"min({seeded[i]}) AS h{i}" for i in range(k))
+    band_selects = []
+    for b in range(bmax):
+        cols = " || '-' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM mh"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    points = "\nUNION ALL\n".join(
+        f"""SELECT {bands}::BIGINT AS bands, {rows}::BIGINT AS rows_per_band,
+       {bands * rows}::BIGINT AS sig_len,
+       (SELECT count(*) FROM exact_p)::BIGINT AS n_exact,
+       (SELECT count(*) FROM scored WHERE min_band < {bands})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM scored WHERE min_band < {bands} AND jaccard >= 0.5)::BIGINT AS n_verified,
+       (SELECT count(*) FROM exact_p e JOIN scored s
+          ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+         AND s.min_band < {bands} AND s.jaccard >= 0.5)::BIGINT AS n_overlap"""
+        for bands in MINHASH_SWEEP_BANDS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, min(a.band) AS min_band
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.min_band,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+               len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+  FROM cand c
+  JOIN shn sa ON sa.doc_id = c.doc_a
+  JOIN shn sb ON sb.doc_id = c.doc_b
+),
+exact_p AS (
+{SQL_DEDUP_NGRAM_JACCARD}
+)
+SELECT bands, rows_per_band, sig_len, n_exact, n_candidates, n_verified, n_overlap,
+       round(n_overlap / n_exact, 6) AS recall,
+       round(n_verified / n_candidates, 6) AS candidate_precision
+FROM (
+{points}
+)
+"""
+
+
+QUERIES["minhash_recall_sweep"] = q_minhash_recall_sweep
+ORACLE["minhash_recall_sweep"] = _minhash_sweep_oracle()
 
 
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
