@@ -120,14 +120,18 @@ def _ss_group(
     )
 
 
-def heavy_users_stream(events: DataFrame) -> DataFrame:
+def heavy_users_stream(events: DataFrame, trunc: str = "hour") -> DataFrame:
     """Streaming per-window heavy hitters via Space-Saving counters in
     keyed state — bounded state at any user cardinality, with the
     tracked-above-n/capacity and est ∈ [true, true+error] guarantees.
-    Output: (window_start, user_id, est_count, max_error, n_seen),
-    top-``SS_TOPJ`` rows per window, refreshed every micro-batch."""
+    ``trunc`` picks the window granularity (any ``date_trunc`` unit; a
+    coarse unit like "year" makes one window span the whole stream,
+    which is how the drained-stream ≡ batch-top-k test pins equivalence
+    with ``heavy_users_topk``). Output: (window_start, user_id,
+    est_count, max_error, n_seen), top-``SS_TOPJ`` rows per window,
+    refreshed every micro-batch."""
     keyed = events.select(
-        F.date_trunc("hour", F.col("event_time")).cast("string").alias("win"),
+        F.date_trunc(trunc, F.col("event_time")).cast("string").alias("win"),
         F.col("user_id"),
     )
     return keyed.groupBy("win").applyInPandasWithState(

@@ -126,3 +126,72 @@ def test_space_saving_fold_property():
             assert true[u] <= est <= true[u] + err
 
     check()
+
+
+def test_heavy_users_stream_drained_equals_batch_topk(spark, sf_dir, tmp_path):
+    """Drained stream ≡ batch: on a capacity-sufficient stream (the
+    sf0.001 events table has 15 distinct users < SS_CAPACITY=64, so
+    Space-Saving is exact and max_error is 0 everywhere), the drained
+    top-j equals the EXACT top-j of the batch `heavy_users_topk` path
+    (the same two-phase skew-proof count the registered query runs),
+    same tie-break (count desc, user asc) — the equivalence pin every
+    other streaming twin carries."""
+    from pyspark.sql import functions as F
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.skew import (
+        two_phase_count,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        {"user_id": r.user_id, "event_time": r.ts.isoformat()}
+        for r in ev.select("user_id", "ts").collect()
+    ]
+    assert len(rows) == 1000
+    src = tmp_path / "hhbatchsrc"
+    src.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        _write(src / f"f{i}.json", chunk)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # trunc="year": every event lands in ONE window, matching the batch
+    # query's global (un-windowed) top-k scope
+    q = (
+        hh.heavy_users_stream(stream, trunc="year")
+        .writeStream.format("memory")
+        .queryName("hhdrain")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hhdrain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM hhdrain").collect()
+    final_n = max(r.n_seen for r in out)
+    assert final_n == len(rows)  # all three micro-batches folded
+    drained = [r for r in out if r.n_seen == final_n]
+    assert len(drained) == hh.SS_TOPJ
+    # capacity-sufficient ⇒ exact: zero error on every emitted counter
+    assert all(r.max_error == 0 for r in drained)
+
+    counts = two_phase_count(ev, "user_id", salt_source="event_id")
+    want = (
+        counts.orderBy(F.col("count").desc(), F.col("user_id").asc())
+        .limit(hh.SS_TOPJ)
+        .collect()
+    )
+    got = sorted(drained, key=lambda r: (-r.est_count, r.user_id))
+    assert [(r.user_id, r.est_count) for r in got] == [
+        (r.user_id, r["count"]) for r in want
+    ]
