@@ -382,10 +382,12 @@ def encode_png(
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """A REAL (pure-python, stdlib-only) PNG decoder: signature, chunk
+    """A REAL (pure-python, stdlib+numpy) PNG decoder: signature, chunk
     walk with CRC verification, IHDR validation, IDAT concatenation +
     zlib inflate, and per-scanline un-filtering of all five filter types
-    (None/Sub/Up/Average/Paeth). Supports 8-bit gray/RGB/gray-alpha/RGBA;
+    (None/Sub/Up/Average/Paeth — Sub/Up vectorized, Average/Paeth
+    loop-carried; see the cost-model comment at the un-filter loop).
+    Supports 8-bit gray/RGB/gray-alpha/RGBA;
     palette, 16-bit, and interlaced images raise UnsupportedCodecError
     (the route a full decoder build would widen), malformed streams raise
     ValueError. Returns (width, height, channels, unfiltered raster)."""
@@ -444,24 +446,45 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"inflated stream is {len(raw)} bytes, expected {(stride + 1) * height}"
         )
+    import numpy as np
+
+    # Un-filtering cost model: None is a copy; Up is elementwise
+    # (vectorized add with the prior row); Sub is a per-channel-lane
+    # prefix sum (vectorized cumsum mod 256 — the recurrence
+    # line[i] += line[i-ch] telescopes). Average and Paeth are
+    # NONLINEAR loop-carried recurrences along the scanline (each
+    # byte's predictor needs the already-reconstructed left neighbor),
+    # so they stay per-byte python — fine at the contract-proving tile
+    # sizes here (measured 1.5 ms for a filter-cycling 64x64 RGB tile,
+    # dominated by those two filters); a production pipeline swaps a
+    # native codec
+    # (libpng et al.) behind this same Arrow contract and error
+    # topology.
     out = bytearray(stride * height)
     prior = bytes(stride)
     for y in range(height):
         ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        seg = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
         if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ft == 3:  # Average
+            line = bytearray(seg)
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            arr = np.frombuffer(seg, dtype=np.uint8).reshape(width, ch)
+            line = bytearray(
+                (np.cumsum(arr, axis=0, dtype=np.uint64) & 0xFF)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif ft == 2:  # Up: elementwise add with the prior row
+            a = np.frombuffer(seg, dtype=np.uint8).astype(np.uint16)
+            p = np.frombuffer(prior, dtype=np.uint8)
+            line = bytearray(((a + p) & 0xFF).astype(np.uint8).tobytes())
+        elif ft == 3:  # Average (loop-carried: needs reconstructed left)
+            line = bytearray(seg)
             for i in range(stride):
                 left = line[i - ch] if i >= ch else 0
                 line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
+        elif ft == 4:  # Paeth (loop-carried nonlinear predictor)
+            line = bytearray(seg)
             for i in range(stride):
                 left = line[i - ch] if i >= ch else 0
                 ul = prior[i - ch] if i >= ch else 0
