@@ -1972,6 +1972,107 @@ def ann_recall_sweep(
     return out
 
 
+def ann_refine_sweep(
+    embeddings: DataFrame,
+    refines: tuple[int, ...] = (1, 2, 4, 8),
+    query_mod: int = 50,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = 256,
+) -> DataFrame:
+    """The refine-cost axis of the DEPLOYABLE config: recall of the
+    two-stage probe (``ivf_pq_refine_recall``) at each shortlist factor
+    ``refine`` ∈ {1,2,4,8}, over the 8-bit (ksub=256) residual codes —
+    the last tuning table of the IVFPQ frontier: how many exact float
+    fetches per query buy how much recall, at the code budget a
+    deployment ships. refine=1 is the code-only floor re-ordered (same
+    k-set, so recall equals the pure ADC probe's); each doubling costs
+    k more float rows per query (``shortlist = k·refine``, disclosed).
+
+    The whole sweep costs ONE probe and ONE exact pass, not
+    len(refines): the ADC probe runs once at ``k·max(refines)`` with
+    its rank carried (``adc_rk``), the exact cosine of every max-
+    shortlist row is computed once, and each sweep point derives its
+    result by filtering ``adc_rk ≤ k·refine`` before re-ranking —
+    exact, because the ADC ranking is what defines every shorter
+    shortlist (prefix-monotone membership, the ``ann_recall_sweep`` /
+    ``minhash_recall_sweep`` argument), and a row's exact cosine is
+    refine-independent.
+
+    Output (len(refines) rows): refine, ksub, shortlist, n_queries, k,
+    n_float, n_overlap, recall.
+    """
+    from ..functions.dfcache import persist_df
+
+    centroids, assignments = ivf_build_cached(embeddings, nlist)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    top_f = float_topf_cached(
+        embeddings, centroids, assignments, query_mod, k, nprobe
+    )
+    books, codes = pq_residual_codes_cached(
+        embeddings, centroids, assignments, m, ksub
+    )
+    rmax = max(refines)
+    shortlist = pq_residual_adc_probe(
+        centroids, assignments, codes, books, queries, k * rmax, nprobe
+    )
+    qn = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
+    nv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_vec"),
+    ).withColumn("n_norm", l2_norm_expr("n_vec", EMBEDDING_DIM))
+    scored = persist_df(
+        shortlist.select("query_id", "neighbor_id", F.col("rk").alias("adc_rk"))
+        .join(nv, "neighbor_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rk",
+            F.round(
+                dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    base = top_f.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_float"),
+    )
+    out = None
+    for r in sorted(refines):
+        rank = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        top_r = (
+            scored.filter(F.col("adc_rk") <= k * r)
+            .withColumn("rk", F.row_number().over(rank))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        overlap = top_f.select("query_id", "neighbor_id").join(
+            top_r, ["query_id", "neighbor_id"], "left_semi"
+        )
+        hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        row = base.crossJoin(hits).select(
+            F.lit(r).cast("long").alias("refine"),
+            F.lit(ksub).cast("long").alias("ksub"),
+            F.lit(k * r).cast("long").alias("shortlist"),
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "n_float",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def rag_retrieve(
     documents: DataFrame,
     embeddings: DataFrame,

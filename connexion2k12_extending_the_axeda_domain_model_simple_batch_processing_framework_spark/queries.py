@@ -2228,7 +2228,10 @@ codes AS (
   ) WHERE rn = 1
 )"""
 
-    def chain(np_: int, sfx: str, adc_topk: int = 5) -> str:
+    def chain(
+        np_: int, sfx: str, adc_topk: int = 5, keep_rank: bool = False
+    ) -> str:
+        rank_col = ", rk" if keep_rank else ""
         return f"""probes{sfx} AS (
   SELECT query_id, qv, centroid_id FROM (
     SELECT q.query_id, q.qv, ct.centroid_id,
@@ -2279,7 +2282,7 @@ scored_adc{sfx} AS (
   JOIN aw ON aw.vec_id = acc{sfx}.vec_id
 ),
 topa{sfx} AS (
-  SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id{rank_col} FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
     FROM scored_adc{sfx}
@@ -2422,6 +2425,78 @@ WITH {shared},
 QUERIES["ann_recall_sweep"] = q_ann_recall_sweep
 
 
+ANN_REFINE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ann_refine_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refine-cost curve of the deployable config
+    (operators.similarity.ann_refine_sweep): recall at shortlist factor
+    refine ∈ {1,2,4,8} over the 8-bit residual codes — how many exact
+    float fetches per query buy how much recall. One ADC probe at
+    max(refines) with its rank carried + one exact pass; each point
+    filters adc_rk ≤ k·refine (prefix-monotone shortlist membership).
+    Measured at sf0.01: 0.80 / 0.94 / 1.0 / 1.0 at refine 1/2/4/8 —
+    refine=1 equals the code-only `ann_pq_ksub_recall` floor (a
+    re-ranked k-set is the same set), and refine=4 is the knee the
+    deployable config ships at."""
+    return similarity.ann_refine_sweep(
+        load_table(spark, sf_dir, "embeddings"), refines=ANN_REFINE_SWEEP
+    )
+
+
+def _ann_refine_sweep_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_refine_sweep``: the ksub=256 residual-ADC
+    chain runs once at the max shortlist with rank kept; the exact
+    cosines of that shortlist are computed once (``ref``); each sweep
+    point re-ranks its ``adc_rk ≤ k·refine`` prefix — mirroring the
+    one-probe-pair plan, not just its answer."""
+    k = 5
+    rmax = max(ANN_REFINE_SWEEP)
+    parts = _residual_adc_parts(sf_dir, ksub=PQ_KSUB_WIDE)
+    if parts is None:
+        return (
+            "SELECT 0::BIGINT AS refine, 0::BIGINT AS ksub, 0::BIGINT AS shortlist, "
+            "0::BIGINT AS n_queries, 5::BIGINT AS k, 0::BIGINT AS n_float, "
+            "0::BIGINT AS n_overlap, 0.0 AS recall FROM embeddings WHERE FALSE"
+        )
+    shared, chain = parts
+    points_ctes = ",\n".join(
+        f"""topr_{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk2
+    FROM ref WHERE adc_rk <= {k * r}
+  ) WHERE rk2 <= {k}
+),
+ov_{r} AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topr_{r} USING (query_id, neighbor_id))"""
+        for r in ANN_REFINE_SWEEP
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {r}::BIGINT AS refine, {PQ_KSUB_WIDE}::BIGINT AS ksub, {k * r}::BIGINT AS shortlist,
+       n_queries, {k}::BIGINT AS k, n_float, n_overlap,
+       round(n_overlap / n_float, 6) AS recall
+FROM base CROSS JOIN ov_{r}"""
+        for r in ANN_REFINE_SWEEP
+    )
+    return f"""
+WITH {shared},
+{chain(similarity.IVF_NPROBE, "", adc_topk=k * rmax, keep_rank=True)},
+ref AS (
+  SELECT t.query_id, t.neighbor_id, t.rk AS adc_rk,
+         {_COS_SQL.format(a='q.qv', b='e.embedding')} AS cosine
+  FROM topa t
+  JOIN q ON q.query_id = t.query_id
+  JOIN embeddings e ON e.vec_id = t.neighbor_id
+),
+base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
+{points_ctes}
+{selects}
+"""
+
+
+QUERIES["ann_refine_sweep"] = q_ann_refine_sweep
+
+
 def q_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL learned-BPE subword stats (operators.text.bpe_train /
     bpe_subword_stats): merges trained on the corpus's word-frequency
@@ -2497,6 +2572,7 @@ DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_sweep": _ann_recall_sweep_oracle_sql,
     "ann_pq_ksub_recall": _pq_ksub_oracle_sql,
     "ann_pq_refine_ksub_recall": _pq_refine_ksub_oracle_sql,
+    "ann_refine_sweep": _ann_refine_sweep_oracle_sql,
 }
 
 
