@@ -5718,43 +5718,54 @@ ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 # Everything displaced is still verified every round by tools/parity.py
 # (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
-    # r7 new code: refined ANN probe, nprobe sweep, PNG decode
-    "ann_pq_refine_recall",
-    "ann_recall_sweep",
-    "ann_pq_ksub_recall",
-    "png_decode",
-    "scd2_snapshot_diff",
-    "minhash_recall",
-    # rotated in: the 28 queries NEVER covered by any round's driver gate
-    # (r1-r6) — each has only ever been verified by tools/parity.py runs
-    "events_moving_avg",
-    "value_histogram",
-    "source_mix",
-    "quality_bands",
-    "sequence_pack",
-    "dedup_canonical",
-    "events_funnel",
-    "cohort_retention",
-    "source_cap",
-    "text_normalize",
-    "distinct_kmv",
-    "cms_counts",
-    "range_join_follow",
-    "unigram_logprob",
-    "boilerplate_scrub",
-    "contamination_bloom",
-    "corpus_pipeline",
-    "price_quantile_sketch",
-    "heavy_users_topk",
-    "get_batch",
-    "bpe_token_count",
-    "value_anomalies",
-    "fuzzy_name_pairs",
-    "ann_recall",
-    "events_profile",
-    "doc_pagerank",
-    "multimodal_frames",
-    "corpus_drift",
+    # r8 new code: the composed deployable IVFPQ config, its refine-cost
+    # sweep, and the MinHash banding sweep
+    "ann_pq_refine_ksub_recall",
+    "ann_refine_sweep",
+    "minhash_recall_sweep",
+    # re-verification rotation (r7 verdict #3): every query has ≥1
+    # driver-verified row, so the non-new slots now go to the entries
+    # whose last driver gate is OLDEST — nothing stays >3 rounds stale
+    # against a registry that keeps refactoring shared infrastructure.
+    # Last gated r3:
+    "orders_rollup",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "contamination_check",
+    "repetition_score",
+    "corpus_shuffle",
+    "corpus_stats",
+    "train_split",
+    # last gated r4:
+    "customers_without_orders",
+    "events_type_pivot",
+    # last gated r5 (oldest 26 in registry order):
+    "rag_retrieve",
+    "ann_sq8_recall",
+    "q10_returned_items",
+    "q18_large_volume",
+    "substring_dedup",
+    "semantic_dedup",
+    "bigram_logprob",
+    "domain_cap",
+    "q7_nation_volume",
+    "q16_supplier_diversity",
+    "mixture_sample",
+    "embedding_quantize",
+    "blocklist_filter",
+    "frame_dedup",
+    "dedup_funnel",
+    "lang_fertility",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discount_revenue",
+    "q22_dormant_customers",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority
