@@ -504,3 +504,35 @@ def test_recall_sweep_shares_one_index_across_points(spark):
     before = dfcache.build_count()
     q.QUERIES["ann_recall_sweep"](spark, SF_DIR).collect()
     assert dfcache.build_count() == before, "sweep rebuilt a shared index"
+
+
+def test_deployable_config_and_refine_sweep_share_session_indexes(spark):
+    """The r8 compositions must ride the session caches end to end: after
+    the code-only ksub=256 report warms the IVF build, the 8-bit residual
+    codes, and the float-reference ranking, neither the deployable-config
+    report nor the refine-cost sweep may rebuild ANY shared index —
+    they are probe/re-rank compositions over existing artifacts."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+        dfcache,
+    )
+
+    q.QUERIES["ann_pq_ksub_recall"](spark, SF_DIR).collect()  # warm
+    q.QUERIES["ann_pq_refine_recall"](spark, SF_DIR).collect()  # warm 4-bit path
+    before = dfcache.build_count()
+    q.QUERIES["ann_pq_refine_ksub_recall"](spark, SF_DIR).collect()
+    q.QUERIES["ann_refine_sweep"](spark, SF_DIR).collect()
+    assert dfcache.build_count() == before, "composition rebuilt a shared index"
+
+
+def test_minhash_sweep_rides_shared_shingles(spark):
+    """The banding sweep builds its own (wide) signature but must reuse
+    the session-shared shingle table — the dominant tokenize+shingle pass
+    is shared with every other minhash/Jaccard consumer."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+        dfcache,
+    )
+
+    q.QUERIES["minhash_recall"](spark, SF_DIR).collect()  # warm shingles+bands
+    before = dfcache.build_count()
+    q.QUERIES["minhash_recall_sweep"](spark, SF_DIR).collect()
+    assert dfcache.build_count() == before, "sweep rebuilt the shingle table"
