@@ -676,6 +676,34 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def pq_save(codebooks: DataFrame, codes: DataFrame, path: str) -> None:
+    """Persist the PQ half of a deployed IVFPQ index (the ``ivf_save``
+    shape for the compression tier): the tiny codebook table plus the
+    m-byte codes PARTITIONED BY centroid_id. Together with the
+    ``ivf_save`` centroids this is the complete on-disk artifact a
+    deployment ships to query nodes — the ADC probe reads
+    nprobe/nlist code *directories* (partition pruning does bucket
+    selection at the storage layer, exactly as for the float inverted
+    file) and the codebooks are KBs that ride the task closure. Train
+    once, encode once, probe from the frozen artifact everywhere — the
+    faiss write_index/read_index lifecycle, like ``bpe_save`` for the
+    text tier."""
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load persisted PQ artifacts → (codebooks, codes), probe-ready for
+    ``pq_adc_probe`` / ``pq_residual_adc_probe`` against the matching
+    ``ivf_load`` geometry."""
+    return (
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )
+
+
 #: semantic-dedup pair threshold for the registered query. Production
 #: SemDeDup prunes at tight cosine (≥0.9) on real embedding spaces; the
 #: synthetic test corpus has no pairs above 0.5, so the registered query

@@ -416,3 +416,33 @@ def test_residual_adc_matches_reconstruction_ranking(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in adc.collect()}
     b = {(r.query_id, r.neighbor_id) for r in rp.collect()}
     assert a and len(a & b) / len(a | b) > 0.95
+
+
+def test_pq_save_load_probe_equivalence(spark, sf_dir, tmp_path):
+    """The complete frozen IVFPQ artifact (ivf_save centroids +
+    pq_save codebooks/codes) probes identically to the in-session
+    artifacts — the cross-job lifecycle a deployment runs: train once,
+    encode once, ADC-probe everywhere from the persisted index. The
+    code file round-trips its centroid_id partition layout (bucket
+    selection stays at the storage layer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cent, assign = similarity.ivf_build_cached(emb)
+    books, codes = similarity.pq_residual_codes_cached(emb, cent, assign)
+    mem = similarity.pq_residual_adc_probe(
+        cent, assign, codes, books, queries, k=5
+    ).collect()
+
+    idx = tmp_path / "ivfpq"
+    similarity.ivf_save(cent, assign, str(idx))
+    similarity.pq_save(books, codes, str(idx))
+    cent2, assign2 = similarity.ivf_load(spark, str(idx))
+    books2, codes2 = similarity.pq_load(spark, str(idx))
+    disk = similarity.pq_residual_adc_probe(
+        cent2, assign2, codes2, books2, queries, k=5
+    ).collect()
+
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(mem, key=key) == sorted(disk, key=key)
+    dirs = [p.name for p in (idx / "codes").iterdir() if p.is_dir()]
+    assert any(d.startswith("centroid_id=") for d in dirs)
