@@ -137,6 +137,20 @@ def main() -> None:
     times["ann_ivf_probe_only"] = min(probe_secs)
 
     total = round(sum(times.values()), 3)
+    # the quality-diagnostics tier: recall/tuning reports a deployment
+    # runs once per tuning pass, not per production query — timed and
+    # included in the headline total, but broken out so the OPERATOR
+    # mean (the steady-state per-query cost) stays interpretable as the
+    # diagnostics tier grows.
+    diagnostics = {
+        n
+        for n in times
+        if n.startswith(("ann_pq_", "ann_recall", "ann_refine"))
+        or n in ("ann_sq8_recall", "ann_recall", "minhash_recall",
+                 "minhash_recall_sweep")
+    }
+    diag_sec = round(sum(times[n] for n in diagnostics), 3)
+    op_times = [t for n, t in times.items() if n not in diagnostics]
     full_payload = json.dumps(
         {
             "metric": "headline_suite_wall_seconds",
@@ -149,6 +163,11 @@ def main() -> None:
             # consumer of those families rode the warm session cache —
             # their per-query times are warm figures, not cold-build ones
             "index_builds": index_builds,
+            "diagnostics_sec": diag_sec,
+            "n_diagnostics": len(diagnostics),
+            "operator_mean_sec": round(
+                sum(op_times) / max(1, len(op_times)), 3
+            ),
         }
     )
     # full per-query map is durable on disk only: with 110+ registered
@@ -170,6 +189,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "mean_sec": round(total / max(1, len(times)), 3),
+                "diagnostics_sec": diag_sec,
+                "n_diagnostics": len(diagnostics),
+                "operator_mean_sec": round(
+                    sum(op_times) / max(1, len(op_times)), 3
+                ),
                 "full_results": "BENCH.json",
             }
         )
