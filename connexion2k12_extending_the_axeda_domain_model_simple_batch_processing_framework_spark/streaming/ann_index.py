@@ -272,3 +272,102 @@ def ivf_stream_writer(
         vectors.writeStream.foreachBatch(_append_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def ivf_probe_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One idempotent serving step (the foreachBatch body of
+    ``ivf_probe_stream_writer``, callable directly for replay tests):
+    probe the arriving query vectors against the index AS CURRENTLY
+    MAINTAINED — centroids from the frozen artifact, inverted file
+    resolved through ``read_ivf_assignments`` (newest committed base +
+    live deltas) — and overwrite the batch's own ``v=<batch_id>`` result
+    dir. Returns True when results were written (False for an empty
+    batch).
+
+    The probe is ``similarity.ivf_probe`` unchanged — the same
+    bucket-pruned broadcast-probe plan the batch API runs, so per-batch
+    cost is O(batch × nprobe buckets), never O(corpus). Resolving the
+    inverted file at probe time (not writer construction time) is what
+    makes this SERVE-WHILE-MAINTAIN: a query batch that arrives after an
+    ``ivf_append_batch`` delta (or a compaction) sees the new vectors,
+    with no coordination beyond the committed-dir visibility rule the
+    maintenance side already provides. Replayed batches overwrite their
+    own dir — exactly-once by idempotence, the module's convention.
+    """
+    if not batch_df.head(1):
+        return False
+    if nprobe is None:
+        nprobe = similarity.IVF_NPROBE
+    spark = batch_df.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    inv = read_ivf_assignments(spark, index_path)
+    res = similarity.ivf_probe(
+        centroids, inv, batch_df, k, nprobe, id_col, vec_col
+    )
+    res.write.mode("overwrite").parquet(f"{out_path}/v={batch_id}")
+    return True
+
+
+def read_probe_results(spark, out_path: str) -> DataFrame:
+    """Union of every COMMITTED per-batch result dir (columns query_id,
+    neighbor_id, cosine, rk — ``similarity.ivf_probe``'s schema). Torn
+    dirs from a crashed write are invisible, same rule as the index
+    generations; the checkpoint replays the batch and its overwrite
+    replaces the torn dir."""
+    if not os.path.isdir(out_path):
+        raise FileNotFoundError(f"no probe results at {out_path!r}")
+    dirs = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(out_path)
+        if name.startswith("v=") and _committed(os.path.join(out_path, name))
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no committed probe results at {out_path!r}")
+    df = spark.read.parquet(f"{out_path}/v={dirs[0]}")
+    for v in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(f"{out_path}/v={v}"))
+    return df
+
+
+def ivf_probe_stream_writer(
+    queries: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """A configured ``writeStream`` (foreachBatch) that serves ANN top-k
+    for a STREAM of query vectors against the maintained index — the
+    online half of the vector-serving lifecycle (``ivf_stream_writer``
+    is the maintenance half; the two can run against the same
+    ``index_path`` concurrently, ordered only by dir-commit visibility).
+    The caller picks the trigger and calls ``.start()``.
+
+    Drained-stream ≡ batch: over a static index the union of per-batch
+    results equals one ``similarity.ivf_probe`` over all queries
+    (tests/test_zorder_ivfadd.py); under interleaved maintenance each
+    batch sees the index as of its own probe time (freshness test
+    ibid.).
+    """
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_probe_batch(
+            batch_df, batch_id, index_path, out_path, k, nprobe, id_col, vec_col
+        )
+
+    return (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -385,3 +385,102 @@ def test_ivf_reader_skips_torn_base_dir(spark, sf_dir, tmp_path):
         key=key,
     )
     assert final == before
+
+
+def test_ivf_probe_stream_drained_equals_batch(spark, sf_dir, tmp_path):
+    """Online serving, drained-stream ≡ batch: query vectors streamed in
+    micro-batches against a static index produce — as the union of the
+    committed per-batch result dirs — exactly the rows one batch
+    ivf_probe returns over the same query set."""
+    import json
+
+    ann_index, emb, cent, base_assign, _, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_serve"
+    )
+
+    q_rows = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in emb.filter(F.col("vec_id") % 100 == 1).collect()
+    ]
+    assert len(q_rows) >= 4
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    half = len(q_rows) // 2
+    for i, chunk in enumerate([q_rows[:half], q_rows[half:]]):
+        with open(src / f"q{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "serve_out")
+    q = (
+        ann_index.ivf_probe_stream_writer(
+            stream, idx, out, str(tmp_path / "serve_ckpt"), k=5
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = ann_index.read_probe_results(spark, out).collect()
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    batch = similarity.ivf_probe(cent, base_assign, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(streamed, key=key) == sorted(batch, key=key)
+
+
+def test_ivf_probe_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """An at-least-once replay of a serving micro-batch overwrites its own
+    result dir — the drained result set is identical, no duplicated
+    neighbor rows."""
+    ann_index, emb, _, _, _, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_replay_serve"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    out = str(tmp_path / "replay_out")
+
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
+    once = sorted(
+        ann_index.read_probe_results(spark, out).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)  # replay
+    twice = sorted(
+        ann_index.read_probe_results(spark, out).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert twice == once
+    assert len({(r.query_id, r.rk) for r in twice}) == len(twice)
+
+
+def test_ivf_probe_stream_sees_maintenance_between_batches(
+    spark, sf_dir, tmp_path
+):
+    """Serve-while-maintain freshness: a query batch probed BEFORE an
+    index append cannot see the appended vectors; the same queries probed
+    AFTER the append resolve them — each serving batch reads the index as
+    of its own probe time, ordered only by dir-commit visibility."""
+    ann_index, emb, _, _, new_df, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_fresh"
+    )
+    # query WITH the exact new vectors: their post-append top-1 must be
+    # themselves (cosine 1.0) — but ivf_probe excludes self-matches, so
+    # query with the base corpus' nearest proxies instead: use the new
+    # vectors as queries and look for NEW neighbors (vec_id >= 400).
+    queries = new_df.filter(F.col("vec_id") % 7 == 0).limit(8)
+    assert queries.count() > 0
+    out = str(tmp_path / "fresh_out")
+
+    ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
+    before = spark.read.parquet(f"{out}/v=0")
+    assert before.filter(F.col("neighbor_id") >= 400).count() == 0
+
+    assert ann_index.ivf_append_batch(new_df, 1, idx)
+    ann_index.ivf_probe_batch(queries, 1, idx, out, k=5)
+    after = spark.read.parquet(f"{out}/v=1")
+    # other new vectors (not the query itself) now rank as neighbors
+    assert after.filter(F.col("neighbor_id") >= 400).count() > 0
