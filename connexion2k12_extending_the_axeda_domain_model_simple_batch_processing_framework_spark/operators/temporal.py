@@ -297,3 +297,111 @@ def active_users_window(events: DataFrame, trailing_days: int = 7) -> DataFrame:
             F.lit(trailing_days).cast("long").alias("trailing_days"),
         )
     )
+
+
+GROWTH_STEP_DAYS = {"day": 1, "week": 7}
+
+
+def growth_accounting(events: DataFrame, period: str = "day") -> DataFrame:
+    """Per-period user growth accounting — every active user classified
+    against their own activity history, plus churn charged to the period
+    the user went missing:
+
+    - ``n_new``: first-ever active period for the user;
+    - ``n_retained``: also active in the immediately preceding period;
+    - ``n_resurrected``: active before, but NOT in the preceding period
+      (a comeback after ≥1 idle period);
+    - ``n_churned``: active in the PRECEDING period but not this one —
+      charged to the first idle period, the standard growth-accounting
+      convention (new + resurrected − churned = period-over-period change
+      in actives, which ``n_active`` lets the reader verify);
+    - ``n_active``: distinct users active this period
+      (= n_new + n_retained + n_resurrected; 0 for a churn-only period).
+
+    Plan shape (the 100 TB argument): events collapse to the distinct
+    (period, user) grid ONCE — the only corpus-sized shuffle, same as
+    ``active_users_window`` — then ONE window pass per user computes both
+    the preceding and the following active period (lag + lead share the
+    sort), so classification and churn detection are O(grid) with no
+    self-join and no per-period rescan. Churn periods are derived by
+    calendar arithmetic (never row adjacency, so gaps longer than one
+    period classify correctly) and right-censored at the corpus' last
+    observed period — users active at the end are not churned, they are
+    simply unresolved. Adjacency compares integer period indexes
+    (day/week: epoch-day arithmetic; month: year×12+month), bit-exact in
+    both engines.
+
+    Output: (period DATE, n_active, n_new, n_retained, n_resurrected,
+    n_churned) — one row per period with any activity or churn.
+    """
+    grid = (
+        events.select(
+            F.date_trunc(period, F.col("ts")).cast("date").alias("period"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )
+    if period == "month":
+        idx = (F.year("period") * 12 + F.month("period")).cast("long")
+        nxt_period = F.add_months("period", 1)
+    else:
+        step = GROWTH_STEP_DAYS[period]
+        idx = (
+            F.datediff("period", F.lit("1970-01-01").cast("date")) / step
+        ).cast("long")
+        nxt_period = F.date_add("period", step)
+
+    w = Window.partitionBy("user_id").orderBy("period")
+    tagged = grid.select(
+        "period",
+        "user_id",
+        idx.alias("pidx"),
+        F.lag(idx).over(w).alias("prev_idx"),
+        F.lead(idx).over(w).alias("next_idx"),
+        nxt_period.alias("next_period"),
+    )
+
+    classes = tagged.groupBy("period").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("prev_idx").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("pidx") - F.col("prev_idx") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_idx").isNotNull()
+                & (F.col("pidx") - F.col("prev_idx") > 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+
+    # churn fires in the first idle period after an active one, censored
+    # at the last observed period (1-row broadcast scalar, never a sort)
+    mx = grid.agg(F.max("period").alias("mxp"))
+    churn = (
+        tagged.filter(
+            F.col("next_idx").isNull() | (F.col("next_idx") > F.col("pidx") + 1)
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("next_period") <= F.col("mxp"))
+        .groupBy(F.col("next_period").alias("period"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+
+    z = F.lit(0).cast("long")
+    return (
+        classes.join(churn, "period", "full_outer")
+        .select(
+            "period",
+            F.coalesce("n_active", z).alias("n_active"),
+            F.coalesce("n_new", z).alias("n_new"),
+            F.coalesce("n_retained", z).alias("n_retained"),
+            F.coalesce("n_resurrected", z).alias("n_resurrected"),
+            F.coalesce("n_churned", z).alias("n_churned"),
+        )
+    )

@@ -4901,6 +4901,59 @@ QUERIES["active_users"] = q_active_users
 ORACLE["active_users"] = SQL_ACTIVE_USERS
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user growth accounting (operators.temporal.growth_accounting):
+    per period, actives split into new / retained / resurrected, plus
+    churn charged to the first idle period (right-censored at the last
+    observed period)."""
+    return temporal.growth_accounting(
+        load_table(spark, sf_dir, "events"), period="day"
+    )
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH grid AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS period, user_id FROM events
+),
+tagged AS (
+  SELECT period, user_id,
+    datediff('day', DATE '1970-01-01', period) AS pidx,
+    lag(datediff('day', DATE '1970-01-01', period))
+      OVER (PARTITION BY user_id ORDER BY period) AS prev_idx,
+    lead(datediff('day', DATE '1970-01-01', period))
+      OVER (PARTITION BY user_id ORDER BY period) AS next_idx,
+    (period + INTERVAL 1 DAY)::DATE AS next_period
+  FROM grid
+),
+classes AS (
+  SELECT period,
+    count(*)::BIGINT AS n_active,
+    sum(CASE WHEN prev_idx IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+    sum(CASE WHEN pidx - prev_idx = 1 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+    sum(CASE WHEN prev_idx IS NOT NULL AND pidx - prev_idx > 1
+             THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+  FROM tagged GROUP BY 1
+),
+churn AS (
+  SELECT next_period AS period, count(*)::BIGINT AS n_churned
+  FROM tagged
+  WHERE (next_idx IS NULL OR next_idx > pidx + 1)
+    AND next_period <= (SELECT max(period) FROM grid)
+  GROUP BY 1
+)
+SELECT COALESCE(c.period, ch.period) AS period,
+  COALESCE(n_active, 0)::BIGINT AS n_active,
+  COALESCE(n_new, 0)::BIGINT AS n_new,
+  COALESCE(n_retained, 0)::BIGINT AS n_retained,
+  COALESCE(n_resurrected, 0)::BIGINT AS n_resurrected,
+  COALESCE(n_churned, 0)::BIGINT AS n_churned
+FROM classes c FULL OUTER JOIN churn ch ON c.period = ch.period
+"""
+
+QUERIES["growth_accounting"] = q_growth_accounting
+ORACLE["growth_accounting"] = SQL_GROWTH_ACCOUNTING
+
+
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the near-dup candidate graph
     (operators.graph.triangle_count)."""
@@ -5723,6 +5776,7 @@ _GATE_PRIORITY = [
     "ann_pq_refine_ksub_recall",
     "ann_refine_sweep",
     "minhash_recall_sweep",
+    "growth_accounting",
     # re-verification rotation (r7 verdict #3): every query has ≥1
     # driver-verified row, so the non-new slots now go to the entries
     # whose last driver gate is OLDEST — nothing stays >3 rounds stale
@@ -5765,7 +5819,10 @@ _GATE_PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q19_discount_revenue",
-    "q22_dormant_customers",
+    # q22_dormant_customers rotates to the NEXT round's window: the r8 new
+    # query growth_accounting takes its slot to keep the priority list at
+    # exactly 39 (11 core + 39 = the driver's 50-entry gate); q22 is still
+    # verified every round by tools/parity.py (PARITY_r8.txt).
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -274,3 +274,49 @@ def test_scd2_point_in_time_matches_bruteforce(spark, updates, facts):
         else:
             want[500 + i] = (idx + 1, float(evs[idx][2]))
     assert got == want
+
+
+@given(rows=_EVENT_SETS)
+@settings(**_SETTINGS)
+def test_growth_accounting_matches_bruteforce(spark, rows):
+    ev = spark.createDataFrame(
+        [
+            (i, _BASE + datetime.timedelta(days=s % 11, hours=s % 23), u, et, 1.0, "{}")
+            for i, (u, s, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.period: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in temporal.growth_accounting(ev, period="day").collect()
+    }
+
+    active: dict[datetime.date, set[int]] = {}
+    for i, (u, s, et) in enumerate(rows):
+        d = (_BASE + datetime.timedelta(days=s % 11)).date()
+        active.setdefault(d, set()).add(u)
+    last = max(active)
+    first_day = {u: min(d for d, us in active.items() if u in us)
+                 for us in active.values() for u in us}
+    want: dict[datetime.date, list[int]] = {}
+    one = datetime.timedelta(days=1)
+    for d, us in active.items():
+        prev = active.get(d - one, set())
+        row = want.setdefault(d, [0, 0, 0, 0, 0])
+        row[0] = len(us)
+        for u in us:
+            if first_day[u] == d:
+                row[1] += 1
+            elif u in prev:
+                row[2] += 1
+            else:
+                row[3] += 1
+    for d, us in active.items():
+        nxt = d + one
+        if nxt > last:
+            continue
+        churned = len(us - active.get(nxt, set()))
+        if churned:
+            want.setdefault(nxt, [0, 0, 0, 0, 0])[4] = churned
+    assert got == {d: tuple(v) for d, v in want.items()}

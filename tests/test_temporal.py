@@ -168,3 +168,48 @@ def test_active_users_window_sees_through_gap_days(spark):
     # trailing-7 (inclusive) windows: day6 sees days 1-2 (10,11) + 12;
     # day9 sees day6's 12 + itself, NOT day1/2 (outside window)
     assert out == {1: (2, 2), 2: (1, 2), 6: (1, 3), 9: (1, 2)}
+
+
+def test_growth_accounting_all_classes_and_censoring(spark):
+    import datetime as dt
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        temporal,
+    )
+
+    def ev(eid, user, day):
+        return (eid, dt.datetime(2026, 1, day, 12, 0), user, "view", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 10, 1), ev(2, 11, 1),  # d1: 10,11 new
+            ev(3, 10, 2),                # d2: 10 retained; 11 churns (d2)
+            ev(4, 10, 3), ev(5, 11, 3),  # d3: 10 retained, 11 resurrected
+            # d4: both churn
+            ev(6, 12, 5),                # d5: 12 new
+            ev(7, 10, 6),                # d6: 10 resurrected; 12 churns
+            # 10 active in the LAST period: right-censored, never churned
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.period.day: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in temporal.growth_accounting(events, period="day").collect()
+    }
+    assert out == {
+        1: (2, 2, 0, 0, 0),
+        2: (1, 0, 1, 0, 1),   # 11 churned
+        3: (2, 0, 1, 1, 0),   # 11 resurrected
+        4: (0, 0, 0, 0, 2),   # churn-only period: both 10 and 11 idle
+        5: (1, 1, 0, 0, 0),
+        6: (1, 0, 0, 1, 1),   # 10 resurrected; 12 churned
+        # no day-7 row: day 6 is the last observed period (censored)
+    }
+    # the growth identity: actives(p) - actives(p-1) == new + res - churned
+    # holds on every consecutive-period pair present in the report
+    days = sorted(out)
+    for a, b in zip(days, days[1:]):
+        if b - a == 1:
+            na, nn, nr, nres, nch = out[b]
+            assert na - out[a][0] == nn + nres - nch
