@@ -213,3 +213,52 @@ def test_growth_accounting_all_classes_and_censoring(spark):
         if b - a == 1:
             na, nn, nr, nres, nch = out[b]
             assert na - out[a][0] == nn + nres - nch
+
+
+def test_growth_accounting_month_and_week_boundaries(spark):
+    import datetime as dt
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        temporal,
+    )
+
+    def ev(eid, user, y, m, d):
+        return (eid, dt.datetime(y, m, d, 12, 0), user, "view", 1.0, "{}")
+
+    # month: Dec->Jan year rollover is adjacent (retained); a Feb gap
+    # resurrects in Mar and churns the Dec-Jan-only user in Feb
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 2025, 12, 31), ev(2, 2, 2025, 12, 1),
+            ev(3, 1, 2026, 1, 1), ev(4, 2, 2026, 1, 15),
+            ev(5, 1, 2026, 3, 10),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.period.year, r.period.month): (
+            r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned
+        )
+        for r in temporal.growth_accounting(events, period="month").collect()
+    }
+    assert out == {
+        (2025, 12): (2, 2, 0, 0, 0),
+        (2026, 1): (2, 0, 2, 0, 0),   # year rollover is one month step
+        (2026, 2): (0, 0, 0, 0, 2),   # churn-only month
+        (2026, 3): (1, 0, 0, 1, 0),   # user 1 resurrects; user 2 censored?
+        # user 2's churn fired in Feb; user 1's Mar activity is final (censored)
+    }
+
+    # week: Mondays 7 days apart are adjacent even across a month edge
+    events_w = spark.createDataFrame(
+        [ev(1, 1, 2026, 1, 28), ev(2, 1, 2026, 2, 4)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = temporal.growth_accounting(events_w, period="week").collect()
+    got = {r.period: (r.n_new, r.n_retained) for r in rows}
+    assert got == {
+        dt.date(2026, 1, 26): (1, 0),
+        dt.date(2026, 2, 2): (0, 1),
+    }
