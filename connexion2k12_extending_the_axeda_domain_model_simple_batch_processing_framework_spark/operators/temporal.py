@@ -302,6 +302,28 @@ def active_users_window(events: DataFrame, trailing_days: int = 7) -> DataFrame:
 GROWTH_STEP_DAYS = {"day": 1, "week": 7}
 
 
+def growth_period_idx(period_col, period: str):
+    """Integer index of a truncated period DATE column — adjacency is
+    ``idx`` difference 1, bit-exact in both engines (epoch-day arithmetic
+    for day/week, year×12+month for month). Shared by the batch operator
+    and the streaming twin (streaming/growth.py) so the two classify
+    identically."""
+    if period == "month":
+        return (F.year(period_col) * 12 + F.month(period_col)).cast("long")
+    step = GROWTH_STEP_DAYS[period]
+    return (
+        F.datediff(period_col, F.lit("1970-01-01").cast("date")) / step
+    ).cast("long")
+
+
+def growth_next_period(period_col, period: str):
+    """The calendar period immediately after ``period_col`` (where churn
+    for a then-idle user is charged)."""
+    if period == "month":
+        return F.add_months(period_col, 1)
+    return F.date_add(period_col, GROWTH_STEP_DAYS[period])
+
+
 def growth_accounting(events: DataFrame, period: str = "day") -> DataFrame:
     """Per-period user growth accounting — every active user classified
     against their own activity history, plus churn charged to the period
@@ -341,15 +363,8 @@ def growth_accounting(events: DataFrame, period: str = "day") -> DataFrame:
         )
         .distinct()
     )
-    if period == "month":
-        idx = (F.year("period") * 12 + F.month("period")).cast("long")
-        nxt_period = F.add_months("period", 1)
-    else:
-        step = GROWTH_STEP_DAYS[period]
-        idx = (
-            F.datediff("period", F.lit("1970-01-01").cast("date")) / step
-        ).cast("long")
-        nxt_period = F.date_add("period", step)
+    idx = growth_period_idx(F.col("period"), period)
+    nxt_period = growth_next_period(F.col("period"), period)
 
     w = Window.partitionBy("user_id").orderBy("period")
     tagged = grid.select(
