@@ -1826,6 +1826,64 @@ def ivf_pq_adc_recall(
     )
 
 
+def ivf_pq_refine_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deployable two-stage IVFPQ probe as a first-class serving API
+    (the faiss ``IVFPQR`` search path): a ``k·refine`` residual-ADC
+    shortlist from m-byte codes alone, then ONLY the shortlist rows
+    fetch their float vectors from ``corpus`` (the vector store — a
+    parquet table in this engine) and re-rank by exact cosine. Every
+    input can come from frozen artifacts (``ivf_load`` + ``pq_load`` +
+    the corpus parquet), which is how a query node serves without ever
+    training or encoding — probe-equality with the in-session artifacts
+    is pinned in tests/test_similarity.py. The shortlist ⋈ corpus join
+    is declarative (AQE sizes the |q|·k·refine build side); the exact
+    pass touches k·refine rows per query, never the probed buckets.
+
+    Output: (query_id, neighbor_id, cosine, rk), rk ≤ k.
+    """
+    shortlist = pq_residual_adc_probe(
+        centroids, assignments, codes, codebooks, queries, k * refine, nprobe
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+    ).withColumn("n_norm", l2_norm_expr("n_vec", EMBEDDING_DIM))
+    rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.select("query_id", "neighbor_id")
+        .join(nv, "neighbor_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rank).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ivf_pq_refine_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
@@ -1865,34 +1923,9 @@ def ivf_pq_refine_recall(
     books, codes = pq_residual_codes_cached(
         embeddings, centroids, assignments, m, ksub
     )
-    shortlist = pq_residual_adc_probe(
-        centroids, assignments, codes, books, queries, k * refine, nprobe
-    )
-    qn = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
-    ).withColumn("q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM))
-    nv = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_vec"),
-    ).withColumn("n_norm", l2_norm_expr("n_vec", EMBEDDING_DIM))
-    rank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    top_r = (
-        shortlist.select("query_id", "neighbor_id")
-        .join(nv, "neighbor_id")
-        .join(qn, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
-                / (F.col("q_norm") * F.col("n_norm")),
-                6,
-            ).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(rank).cast("long"))
-        .filter(F.col("rk") <= k)
+    top_r = ivf_pq_refine_probe(
+        centroids, assignments, codes, books, embeddings, queries,
+        k, refine, nprobe,
     )
     overlap = top_f.select("query_id", "neighbor_id").join(
         top_r.select("query_id", "neighbor_id"),

@@ -446,3 +446,31 @@ def test_pq_save_load_probe_equivalence(spark, sf_dir, tmp_path):
     assert sorted(mem, key=key) == sorted(disk, key=key)
     dirs = [p.name for p in (idx / "codes").iterdir() if p.is_dir()]
     assert any(d.startswith("centroid_id=") for d in dirs)
+
+
+def test_refine_probe_serves_from_frozen_artifacts(spark, sf_dir, tmp_path):
+    """The DEPLOYABLE two-stage probe (ivf_pq_refine_probe) run entirely
+    from frozen artifacts — ivf_load centroids/assignments + pq_load
+    codebooks/codes + the corpus parquet as the float store — returns
+    row-identical top-k to the in-session artifacts: a query node never
+    trains or encodes anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cent, assign = similarity.ivf_build_cached(emb)
+    books, codes = similarity.pq_residual_codes_cached(emb, cent, assign)
+    mem = similarity.ivf_pq_refine_probe(
+        cent, assign, codes, books, emb, queries, k=5, refine=4
+    ).collect()
+    assert mem  # non-degenerate
+
+    idx = tmp_path / "ivfpq_serve"
+    similarity.ivf_save(cent, assign, str(idx))
+    similarity.pq_save(books, codes, str(idx))
+    cent2, assign2 = similarity.ivf_load(spark, str(idx))
+    books2, codes2 = similarity.pq_load(spark, str(idx))
+    disk = similarity.ivf_pq_refine_probe(
+        cent2, assign2, codes2, books2, emb, queries, k=5, refine=4
+    ).collect()
+
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(mem, key=key) == sorted(disk, key=key)
