@@ -2378,6 +2378,61 @@ def _pq_refine_ksub_oracle_sql(sf_dir: str) -> str:
 QUERIES["ann_pq_refine_ksub_recall"] = q_ann_pq_refine_ksub_recall
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable compressed ANN query itself — top-k neighbors via
+    the two-stage IVFPQ serving probe (operators.similarity.
+    ivf_pq_refine_probe) in the shipped configuration: 8-bit residual
+    codebooks (ksub=256), k·4 residual-ADC shortlist, exact re-rank of
+    only the shortlist rows. `ann_ivf_topk` is the float-index
+    production query; this is its compressed-index twin, running the
+    exact code path a query node serves from frozen artifacts (the
+    frozen-artifact equality is pinned in tests/test_similarity.py).
+    Rides the session-shared IVF build + residual encode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = similarity.ivf_build_cached(emb)
+    books, codes = similarity.pq_residual_codes_cached(
+        emb, cent, assign, ksub=PQ_KSUB_WIDE
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_pq_refine_probe(
+        cent, assign, codes, books, emb, queries, k=5, refine=4
+    )
+
+
+def _ann_ivfpq_topk_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ``q_ann_ivfpq_topk``: the shared residual-ADC chain
+    (8-bit codebook literals) produces the k·4 shortlist, the shortlist
+    joins back to the float vectors, and the final rank orders by the
+    ROUNDED cosine — the exact two-stage data flow, emitting the rows
+    themselves rather than a recall summary."""
+    parts = _residual_adc_parts(sf_dir, ksub=PQ_KSUB_WIDE)
+    if parts is None:
+        return (
+            "SELECT 0::BIGINT AS query_id, 0::BIGINT AS neighbor_id, "
+            "0.0 AS cosine, 0::BIGINT AS rk FROM embeddings WHERE FALSE"
+        )
+    shared, chain = parts
+    return f"""
+WITH {shared},
+{chain(similarity.IVF_NPROBE, "", adc_topk=20)},
+ref AS (
+  SELECT t.query_id, t.neighbor_id,
+         {_COS_SQL.format(a='q.qv', b='e.embedding')} AS cosine
+  FROM topa t
+  JOIN q ON q.query_id = t.query_id
+  JOIN embeddings e ON e.vec_id = t.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM ref
+) WHERE rk <= 5
+"""
+
+
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+
+
 def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe tuning curve of the production residual-ADC probe
     (operators.similarity.ann_recall_sweep): one row per nprobe ∈
@@ -2560,6 +2615,7 @@ QUERIES["bpe_subword_stats"] = q_bpe_subword_stats
 
 DATA_DEP_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_ivf_topk": _ivf_oracle_sql,
+    "ann_ivfpq_topk": _ann_ivfpq_topk_oracle_sql,
     "rag_retrieve": _rag_oracle_sql,
     "ann_sq8_recall": _sq8_oracle_sql,
     "ann_pq_recall": _pq_oracle_sql,
@@ -5777,6 +5833,7 @@ _GATE_PRIORITY = [
     "ann_refine_sweep",
     "minhash_recall_sweep",
     "growth_accounting",
+    "ann_ivfpq_topk",
     # re-verification rotation (r7 verdict #3): every query has ≥1
     # driver-verified row, so the non-new slots now go to the entries
     # whose last driver gate is OLDEST — nothing stays >3 rounds stale
@@ -5818,11 +5875,11 @@ _GATE_PRIORITY = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity",
-    "q19_discount_revenue",
-    # q22_dormant_customers rotates to the NEXT round's window: the r8 new
-    # query growth_accounting takes its slot to keep the priority list at
-    # exactly 39 (11 core + 39 = the driver's 50-entry gate); q22 is still
-    # verified every round by tools/parity.py (PARITY_r8.txt).
+    # q19_discount_revenue / q22_dormant_customers rotate to the NEXT
+    # round's window: the r8 new queries growth_accounting and
+    # ann_ivfpq_topk take their slots to keep the priority list at
+    # exactly 39 (11 core + 39 = the driver's 50-entry gate); both are
+    # still verified every round by tools/parity.py (PARITY_r8.txt).
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

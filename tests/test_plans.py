@@ -536,3 +536,17 @@ def test_minhash_sweep_rides_shared_shingles(spark):
     before = dfcache.build_count()
     q.QUERIES["minhash_recall_sweep"](spark, SF_DIR).collect()
     assert dfcache.build_count() == before, "sweep rebuilt the shingle table"
+
+
+def test_ivfpq_topk_rides_shared_indexes(spark):
+    """The compressed production query is a pure probe composition: once
+    the ksub=256 report has warmed the IVF build, residual codes, and
+    codebooks, ann_ivfpq_topk may not rebuild any shared index."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions import (
+        dfcache,
+    )
+
+    q.QUERIES["ann_pq_ksub_recall"](spark, SF_DIR).collect()  # warm
+    before = dfcache.build_count()
+    q.QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    assert dfcache.build_count() == before, "probe rebuilt a shared index"
