@@ -136,6 +136,28 @@ def main() -> None:
         probe_secs.append(round(time.perf_counter() - t0, 3))
     times["ann_ivf_probe_only"] = min(probe_secs)
 
+    # compressed-index twin: steady-state latency of the deployable
+    # two-stage IVFPQ probe (8-bit residual-ADC shortlist + exact
+    # re-rank), artifacts warm — what a query node pays per request
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.queries import (  # noqa: E402
+        PQ_KSUB_WIDE,
+    )
+
+    books, codes = similarity.pq_residual_codes_cached(
+        emb, centroids, assignments, ksub=PQ_KSUB_WIDE
+    )
+    probe_secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(
+            similarity.ivf_pq_refine_probe(
+                centroids, assignments, codes, books, emb, probe_queries,
+                k=5, refine=4,
+            )
+        )
+        probe_secs.append(round(time.perf_counter() - t0, 3))
+    times["ann_ivfpq_probe_only"] = min(probe_secs)
+
     total = round(sum(times.values()), 3)
     # the quality-diagnostics tier: recall/tuning reports a deployment
     # runs once per tuning pass, not per production query — timed and
