@@ -320,3 +320,43 @@ def test_growth_accounting_matches_bruteforce(spark, rows):
         if churned:
             want.setdefault(nxt, [0, 0, 0, 0, 0])[4] = churned
     assert got == {d: tuple(v) for d, v in want.items()}
+
+
+@given(rows=_EVENT_SETS, ncuts=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_streaming_growth_drained_matches_batch(spark, tmp_path_factory, rows, ncuts):
+    """Random event sets drained through random period-monotone batch
+    splits materialize exactly the batch growth report — multi-period
+    users inside one batch, single-batch streams, empty slices, and
+    frontier censoring all included."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+        growth,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, _BASE + datetime.timedelta(days=s % 9, hours=s % 23), u, et, 1.0, "{}")
+            for i, (u, s, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    data = sorted(ev.collect(), key=lambda r: r.ts)
+    cuts = sorted({(len(data) * (i + 1)) // (ncuts + 1) for i in range(ncuts)})
+    bounds = [0, *cuts, len(data)]
+    tbl = str(tmp_path_factory.mktemp("growth_prop"))
+    bid = 0
+    schema = ev.schema
+    for a, b in zip(bounds, bounds[1:]):
+        batch = spark.createDataFrame(data[a:b], schema)
+        growth.growth_apply_batch(batch, bid, tbl)
+        bid += 1
+    got = {
+        r.period: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in growth.read_growth_report(spark, tbl).collect()
+    }
+    want = {
+        r.period: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in temporal.growth_accounting(ev, period="day").collect()
+    }
+    assert got == want
