@@ -311,7 +311,13 @@ def growth_period_idx(period_col, period: str):
     if period == "month":
         return (F.year(period_col) * 12 + F.month(period_col)).cast("long")
     step = GROWTH_STEP_DAYS[period]
-    return (
+    # F.floor, not a bare long cast: casting double→long truncates toward
+    # zero, so for week (step=7) the epoch-straddling weeks 1969-12-29
+    # (day −3) and 1970-01-05 (day 4) would both index 0 — adjacent weeks
+    # at pidx distance 0, breaking the n_active identity pre-1970. Floor
+    # division keeps consecutive weeks at distance exactly 1 on both
+    # sides of the epoch.
+    return F.floor(
         F.datediff(period_col, F.lit("1970-01-01").cast("date")) / step
     ).cast("long")
 

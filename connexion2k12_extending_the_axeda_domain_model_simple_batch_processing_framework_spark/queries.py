@@ -2336,8 +2336,11 @@ QUERIES["ann_pq_refine_recall"] = q_ann_pq_refine_recall
 
 
 def _code_bytes(ksub: int) -> int:
-    """Per-vector PQ code storage: m subspaces × log2(ksub) bits."""
-    return similarity.PQ_M * max(1, (ksub - 1).bit_length()) // 8
+    """Per-vector PQ code storage: m subspaces × log2(ksub) bits, rounded
+    UP to whole bytes (a 4-bit × odd-m configuration still occupies the
+    partial trailing byte; flooring under-reported it)."""
+    bits = similarity.PQ_M * max(1, (ksub - 1).bit_length())
+    return (bits + 7) // 8
 
 
 def q_ann_pq_refine_ksub_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

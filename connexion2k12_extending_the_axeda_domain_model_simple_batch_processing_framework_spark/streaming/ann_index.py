@@ -303,6 +303,16 @@ def ivf_probe_batch(
     maintenance side already provides. Replayed batches overwrite their
     own dir — exactly-once by idempotence, the module's convention.
     """
+    meta = _read_probe_meta(out_path)
+    if batch_id == meta["high_water"]:
+        return False  # completed batch replay: result dir already committed
+    if batch_id < meta["high_water"]:
+        raise ValueError(
+            f"batch_id {batch_id} below probe-output high water "
+            f"{meta['high_water']}: the checkpoint driving {out_path!r} was "
+            "reset or swapped; output and checkpoint must live and die "
+            "together"
+        )
     if not batch_df.head(1):
         return False
     if nprobe is None:
@@ -314,21 +324,56 @@ def ivf_probe_batch(
         centroids, inv, batch_df, k, nprobe, id_col, vec_col
     )
     res.write.mode("overwrite").parquet(f"{out_path}/v={batch_id}")
+    # meta AFTER the result dir (the module's write→meta ordering): a
+    # crash between the two leaves high_water conservative, the replay
+    # re-probes against the index as of replay time and overwrites
+    meta["high_water"] = max(meta["high_water"], batch_id)
+    _write_probe_meta(out_path, meta)
     return True
 
 
+_PROBE_META = "_probe_meta.json"
+
+
+def _read_probe_meta(out_path: str) -> dict:
+    """Batch-id epoch pin for the probe OUTPUT, mirroring the maintenance
+    and growth sinks: ``high_water`` = max batch_id whose result dir AND
+    meta both landed (−1 before the first batch)."""
+    p = os.path.join(out_path, _PROBE_META)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"high_water": -1}
+
+
+def _write_probe_meta(out_path: str, meta: dict) -> None:
+    os.makedirs(out_path, exist_ok=True)
+    tmp = os.path.join(out_path, _PROBE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_path, _PROBE_META))  # atomic on POSIX
+
+
 def read_probe_results(spark, out_path: str) -> DataFrame:
-    """Union of every COMMITTED per-batch result dir (columns query_id,
-    neighbor_id, cosine, rk — ``similarity.ivf_probe``'s schema). Torn
-    dirs from a crashed write are invisible, same rule as the index
-    generations; the checkpoint replays the batch and its overwrite
-    replaces the torn dir."""
+    """Union of every COMMITTED per-batch result dir at or below the
+    meta high-water mark (columns query_id, neighbor_id, cosine, rk —
+    ``similarity.ivf_probe``'s schema). Torn dirs from a crashed write
+    are invisible, same rule as the index generations; a committed dir
+    whose meta write crashed is also invisible until its replay
+    re-acknowledges it (the result may be re-probed against a fresher
+    index, so only acknowledged dirs are served); the epoch guard in
+    ``ivf_probe_batch`` refuses a reset/swapped checkpoint outright, so
+    stale higher-version dirs from an abandoned epoch can never silently
+    join the union."""
     if not os.path.isdir(out_path):
         raise FileNotFoundError(f"no probe results at {out_path!r}")
+    high_water = _read_probe_meta(out_path)["high_water"]
     dirs = sorted(
-        int(name.split("=", 1)[1])
+        v
         for name in os.listdir(out_path)
-        if name.startswith("v=") and _committed(os.path.join(out_path, name))
+        if name.startswith("v=")
+        and (v := int(name.split("=", 1)[1])) <= high_water
+        and _committed(os.path.join(out_path, name))
     )
     if not dirs:
         raise FileNotFoundError(f"no committed probe results at {out_path!r}")

@@ -231,17 +231,37 @@ def growth_apply_batch(
     return True
 
 
+def _state_ceiling(table_path: str) -> int:
+    """Version of the newest COMMITTED state snapshot (−1 if none). An
+    increment is only VISIBLE once its paired state snapshot is committed:
+    the apply step writes ``inc/v=b`` before ``state/v=b``, so a crash
+    between the two leaves a committed increment whose churn the
+    read-time overlay (derived from the PRE-b state) would charge a
+    second time — a resurrected user's gap churn would appear both as an
+    inc row and as trailing churn from the stale state, and gmax would be
+    stale. Capping inc visibility at the state version pairs every
+    visible increment with the state that superseded it, so every crash
+    window reads as if batch b never ran (the replay then overwrites both
+    dirs deterministically)."""
+    vs = _versions(table_path, "state")
+    return vs[-1] if vs else -1
+
+
 def _resolve_increments(spark, table_path: str) -> DataFrame:
     """Newest committed ``inc_base=`` generation (cumulative fold) plus
-    every increment newer than it — the streaming-IVF/CDC resolution rule:
-    the floor is derived from the base DIRECTORY version, so a compaction
-    crash between base-write and meta-write never double-counts folded
-    increments, and a torn base (no ``_SUCCESS``) stays invisible."""
+    every increment newer than it UP TO the newest committed state
+    snapshot — the streaming-IVF/CDC resolution rule plus the
+    state-pairing cap (see ``_state_ceiling``): the floor is derived from
+    the base DIRECTORY version, so a compaction crash between base-write
+    and meta-write never double-counts folded increments; a torn base
+    (no ``_SUCCESS``) stays invisible; and an increment whose state write
+    crashed stays invisible until its batch replays."""
     bases = _versions(table_path, "inc_base")
     incs = _versions(table_path, "inc")
     floor = bases[-1] if bases else -1
+    ceiling = _state_ceiling(table_path)
     parts = [f"{table_path}/inc_base/v={floor}"] if bases else []
-    parts += [f"{table_path}/inc/v={v}" for v in incs if v > floor]
+    parts += [f"{table_path}/inc/v={v}" for v in incs if floor < v <= ceiling]
     if not parts:
         raise FileNotFoundError(f"no committed increments at {table_path!r}")
     return spark.read.parquet(*parts)
@@ -299,14 +319,22 @@ def growth_compact(spark, table_path: str) -> None:
     state snapshots behind the newest."""
     bases = _versions(table_path, "inc_base")
     floor = bases[-1] if bases else -1
-    live = [v for v in _versions(table_path, "inc") if v > floor]
+    # fold ONLY state-paired increments (same visibility rule as reads):
+    # an inc/v=b whose state write crashed must not be baked into a base —
+    # batch b's replay will overwrite it, and a base that had folded the
+    # orphan would pair b's churn with the pre-b overlay forever.
+    ceiling = _state_ceiling(table_path)
+    live = [v for v in _versions(table_path, "inc") if floor < v <= ceiling]
     meta = _read_meta(table_path)
     if not live:
         if floor > meta["compacted_through"]:
-            # finish an interrupted compaction: meta catch-up + prune
+            # finish an interrupted compaction: meta catch-up
             meta["compacted_through"] = floor
             _write_meta(table_path, meta)
-            _prune_folded(table_path, floor)
+        # prune unconditionally (idempotent): a replayed batch can have
+        # recreated an already-folded inc dir, and snapshots superseded
+        # since the last fold are garbage either way
+        _prune_folded(table_path, floor, meta["high_water"])
         return
     new_c = max(live)
     folded = (
@@ -322,10 +350,10 @@ def growth_compact(spark, table_path: str) -> None:
     folded.write.mode("overwrite").parquet(f"{table_path}/inc_base/v={new_c}")
     meta["compacted_through"] = new_c
     _write_meta(table_path, meta)
-    _prune_folded(table_path, new_c)
+    _prune_folded(table_path, new_c, meta["high_water"])
 
 
-def _prune_folded(table_path: str, new_c: int) -> None:
+def _prune_folded(table_path: str, new_c: int, high_water: int) -> None:
     inc_root = os.path.join(table_path, "inc")
     if os.path.isdir(inc_root):
         for name in os.listdir(inc_root):
@@ -336,9 +364,22 @@ def _prune_folded(table_path: str, new_c: int) -> None:
         for name in os.listdir(base_root):
             if name.startswith("v=") and int(name.split("=", 1)[1]) < new_c:
                 shutil.rmtree(os.path.join(base_root, name))
+    # State retention keys on the META-ACKNOWLEDGED snapshot, not the
+    # newest dir: if apply crashed before its meta write, state/v=b is on
+    # disk while high_water is still b−1, and batch b's replay must read
+    # state/v=b−1 (the newest snapshot BELOW b). Pruning to the single
+    # newest dir would delete that replay floor and the replay would
+    # recompute from an empty state. Keep the newest snapshot whose
+    # version ≤ high_water and everything newer (pending replays
+    # overwrite those in place).
     states = _versions(table_path, "state")
-    for v in states[:-1]:
-        shutil.rmtree(os.path.join(table_path, "state", f"v={v}"))
+    acked = [v for v in states if v <= high_water]
+    if not acked:
+        return
+    keep_floor = acked[-1]
+    for v in states:
+        if v < keep_floor:
+            shutil.rmtree(os.path.join(table_path, "state", f"v={v}"))
 
 
 def growth_stream_writer(

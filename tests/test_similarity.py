@@ -474,3 +474,17 @@ def test_refine_probe_serves_from_frozen_artifacts(spark, sf_dir, tmp_path):
 
     key = lambda r: (r.query_id, r.rk)  # noqa: E731
     assert sorted(mem, key=key) == sorted(disk, key=key)
+
+
+def test_pq_code_bytes_rounds_up(monkeypatch):
+    """Disclosed per-vector code size must round UP to whole bytes: a
+    partial trailing byte is still occupied storage (flooring reported
+    1 byte for 12-bit codes and 0 for sub-byte products)."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark import (
+        queries as q,
+    )
+
+    assert q._code_bytes(256) == similarity.PQ_M  # 8 bits/subspace
+    monkeypatch.setattr(similarity, "PQ_M", 3)
+    assert q._code_bytes(16) == 2   # 12 bits -> 2 bytes, not 1
+    assert q._code_bytes(2) == 1    # 3 bits -> 1 byte, not 0

@@ -225,3 +225,102 @@ def test_growth_compact_preserves_report_and_crash_window(
     os.makedirs(os.path.join(torn, "_temporary"))
     assert growth._versions(tbl, "inc_base") == [2]
     assert _report_dict(growth.read_growth_report(spark, tbl)) == want
+
+
+def _ev_rows(spark, rows):
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2026, 1, day, 8, 0), user, "v", 1.0, "{}")
+            for eid, user, day in rows
+        ],
+        schema,
+    )
+
+
+def test_growth_apply_crash_window_reads_consistently(spark, tmp_path):
+    """Crash BETWEEN the inc write and the state write of batch b: the
+    committed inc/v=b must stay invisible until its state lands,
+    otherwise a user who resurrected in b would have their churn counted
+    twice at the same period — once from the gap-churn increment, once
+    from the trailing-churn overlay the stale state still derives."""
+    import shutil
+
+    tbl = str(tmp_path / "g")
+    # b0: users 1,2 on d1; user 2 on d2 — user 1 idle at the frontier
+    assert growth.growth_apply_batch(_ev_rows(spark, [(1, 1, 1), (2, 2, 1), (3, 2, 2)]), 0, tbl)
+    rep0 = _report_dict(growth.read_growth_report(spark, tbl))
+
+    # b1: user 1 returns on d4 (gap churn at d2 becomes an increment).
+    # Simulate the crash: full apply, then remove state/v=1 and rewind
+    # meta — exactly the on-disk picture of a crash after the inc commit.
+    b1 = _ev_rows(spark, [(4, 1, 4)])
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    want = _report_dict(growth.read_growth_report(spark, tbl))
+    shutil.rmtree(os.path.join(tbl, "state", "v=1"))
+    growth._write_meta(tbl, {"high_water": 0, "compacted_through": -1})
+
+    # the torn batch must be invisible: report == pre-batch report (the
+    # unfixed reader showed n_churned=2 at d2 — inc gap churn + stale
+    # overlay for the same user)
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == rep0
+
+    # replay converges on the full report
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == want
+
+
+def test_growth_compact_never_folds_an_unpaired_increment(spark, tmp_path):
+    """growth_compact during the same crash window must not bake the
+    orphan inc/v=b into a base generation — a base outrunning the state
+    would pair b's churn with the pre-b overlay permanently."""
+    import shutil
+
+    tbl = str(tmp_path / "g")
+    assert growth.growth_apply_batch(_ev_rows(spark, [(1, 1, 1), (2, 2, 1), (3, 2, 2)]), 0, tbl)
+    rep0 = _report_dict(growth.read_growth_report(spark, tbl))
+    b1 = _ev_rows(spark, [(4, 1, 4)])
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    want = _report_dict(growth.read_growth_report(spark, tbl))
+    shutil.rmtree(os.path.join(tbl, "state", "v=1"))
+    growth._write_meta(tbl, {"high_water": 0, "compacted_through": -1})
+
+    growth.growth_compact(spark, tbl)
+    # the fold stopped at the state ceiling: base=v0, orphan inc/v=1 kept
+    assert growth._versions(tbl, "inc_base") == [0]
+    assert growth._versions(tbl, "inc") == [1]
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == rep0
+
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == want
+
+
+def test_growth_compact_keeps_the_replay_floor_snapshot(spark, tmp_path):
+    """growth_compact while an un-acknowledged state/v=b is on disk (apply
+    crashed before its meta write) must keep state/v=b−1: that snapshot is
+    what batch b's replay reads, and pruning to the single newest dir
+    would make the replay recompute from an EMPTY state."""
+    tbl = str(tmp_path / "g")
+    assert growth.growth_apply_batch(_ev_rows(spark, [(1, 1, 1), (2, 2, 1), (3, 2, 2)]), 0, tbl)
+    b1 = _ev_rows(spark, [(4, 1, 4)])
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    want = _report_dict(growth.read_growth_report(spark, tbl))
+    # crash before the meta write: both v=1 dirs committed, meta at 0
+    growth._write_meta(tbl, {"high_water": 0, "compacted_through": -1})
+
+    growth.growth_compact(spark, tbl)
+    # the meta-acknowledged snapshot (v=0) survives alongside the pending one
+    assert growth._versions(tbl, "state") == [0, 1]
+
+    # replay of batch 1 reads state/v=0 and converges
+    assert growth.growth_apply_batch(b1, 1, tbl)
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == want
+    # a post-replay compact prunes the superseded snapshot
+    growth.growth_compact(spark, tbl)
+    assert growth._versions(tbl, "state") == [1]
+    assert _report_dict(growth.read_growth_report(spark, tbl)) == want

@@ -262,3 +262,27 @@ def test_growth_accounting_month_and_week_boundaries(spark):
         dt.date(2026, 1, 26): (1, 0),
         dt.date(2026, 2, 2): (0, 1),
     }
+
+    # week indexing across the epoch: day −3 // 7 must floor to −1, not
+    # truncate to 0 — the Monday-weeks of 1969-12-29 and 1970-01-05 are
+    # ADJACENT (retained), not the same index (which dropped the user
+    # from every class and broke the n_active identity)
+    events_e = spark.createDataFrame(
+        [ev(1, 1, 1969, 12, 30), ev(2, 1, 1970, 1, 6), ev(3, 1, 1970, 1, 14)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = temporal.growth_accounting(events_e, period="week").collect()
+    got = {
+        r.period: (r.n_active, r.n_new, r.n_retained, r.n_resurrected)
+        for r in rows
+    }
+    assert got == {
+        dt.date(1969, 12, 29): (1, 1, 0, 0),
+        dt.date(1970, 1, 5): (1, 0, 1, 0),
+        dt.date(1970, 1, 12): (1, 0, 1, 0),
+    }
+    for r in rows:
+        assert (
+            r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        ), "n_active identity"

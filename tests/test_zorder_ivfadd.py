@@ -448,13 +448,49 @@ def test_ivf_probe_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
         ann_index.read_probe_results(spark, out).collect(),
         key=lambda r: (r.query_id, r.rk),
     )
-    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)  # replay
+    # completed-batch replay: acknowledged by the meta high water, skipped
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5) is False
     twice = sorted(
         ann_index.read_probe_results(spark, out).collect(),
         key=lambda r: (r.query_id, r.rk),
     )
     assert twice == once
     assert len({(r.query_id, r.rk) for r in twice}) == len(twice)
+
+    # crash window: result dir committed but the meta write was lost —
+    # the un-acknowledged dir is invisible to readers, and the replay
+    # re-probes (overwrite) and re-acknowledges it
+    ann_index._write_probe_meta(out, {"high_water": -1})
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        ann_index.read_probe_results(spark, out)
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
+    again = sorted(
+        ann_index.read_probe_results(spark, out).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert again == once
+
+
+def test_ivf_probe_output_refuses_reset_checkpoint_epoch(
+    spark, sf_dir, tmp_path
+):
+    """A batch id BELOW the probe output's high water means the driving
+    checkpoint was reset or swapped: refused loudly instead of letting a
+    new, shorter epoch leave stale higher-version result dirs in the
+    served union (the maintenance and growth sinks' epoch rule)."""
+    import pytest
+
+    ann_index, emb, _, _, _, idx = _mini_index(
+        spark, sf_dir, tmp_path, "ivf_probe_epoch"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    out = str(tmp_path / "epoch_out")
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
+    assert ann_index.ivf_probe_batch(queries, 1, idx, out, k=5)
+    with pytest.raises(ValueError, match="high water"):
+        ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
 
 
 def test_ivf_probe_stream_sees_maintenance_between_batches(
