@@ -1253,3 +1253,125 @@ def key_skew_report(
         F.round(F.col("__p")[1], 4).alias("p90"),
         F.round(F.col("__p")[2], 4).alias("p99"),
     )
+
+
+MAD_K = 3.0
+PCTL_ACC = 1_000_000
+
+
+def mad_anomalies(events: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Robust per-type outlier screen: median + MAD (median absolute
+    deviation) instead of mean + std — the screen ``value_anomalies``'s
+    z-score cannot provide when the contamination itself inflates the
+    std (a handful of 1000x readings can hide themselves by blowing up
+    the denominator; the median and MAD are 50%-breakdown estimators and
+    don't move).
+
+    Two grouped discrete-percentile passes (median of value, then median
+    of |value − median|), both mergeable ``approx_percentile`` at
+    accuracy 1e6 — exact below that many rows per group and
+    single-reducer-free above (the *_scaled twins' scale argument); the
+    deviation pass re-joins the per-type medians (tiny — AQE broadcasts).
+    Output is the per-type summary, not the flagged rows: n, median,
+    MAD, outliers beyond k·MAD, and the outlier fraction.
+    """
+    pct = f"approx_percentile(value, 0.5, {PCTL_ACC})"
+    med = events.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.expr(pct).alias("med")
+    )
+    dev = (
+        events.filter(F.col("value").isNotNull())
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("ad"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(ad, 0.5, {PCTL_ACC})").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("med_value"),
+            F.min("mad").alias("mad_value"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med_value",
+            "mad_value",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_frac"),
+        )
+    )
+
+
+def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """ABC / Pareto revenue classification: parts ranked by revenue,
+    class A = the head covering 80 % of cumulative revenue, B = the next
+    15 %, C = the tail — the inventory-analysis staple (which 20 % of
+    SKUs earn 80 % of the money). Output is one row per class: part
+    count, class revenue, revenue share.
+
+    Scale shape: one aggregation reduces lineitem to a part-level
+    relation (parts ≪ lineitems), then ONE window pass computes the
+    cumulative revenue — ordered by revenue desc with partkey as the
+    deterministic tie-break. Class boundaries compare cumulative DECIMAL
+    revenue against scaled total revenue in exact integer-decimal
+    arithmetic (5·cum ≤ 4·total ⇔ share ≤ 0.80), so the classification
+    is bit-identical across engines — no double thresholds anywhere near
+    the boundary. The ``part`` join only proves referential integrity at
+    the aggregate level (parts with no lineitem rows are excluded, as in
+    the exact twin).
+    """
+    # revenue stays at the product's natural scale-4 DECIMAL end to end —
+    # a post-sum cast back to scale 2 would ROUND, and Spark (HALF_UP)
+    # and DuckDB (half-to-even) disagree on the .xx5 midpoints; the only
+    # lossy conversion is the final exact-decimal → DOUBLE output cast
+    # (the q1 convention)
+    d = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(d).alias("revenue"))
+        .join(part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey")
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    classed = (
+        rev.withColumn("cum", F.sum("revenue").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+            .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "total",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+            F.round(
+                F.sum("revenue").cast("double") / F.min("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

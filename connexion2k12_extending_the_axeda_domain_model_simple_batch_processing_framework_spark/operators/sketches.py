@@ -215,3 +215,136 @@ def cms_token_counts(
             F.col("cms_count").cast("long").alias("cms_count"),
         )
     )
+
+
+def kmv_source_overlap(
+    documents: DataFrame,
+    n: int | None = None,
+    k: int = KMV_K,
+    salt_buckets: int = KMV_SALT_BUCKETS,
+) -> DataFrame:
+    """Cross-source overlap from KMV sketches — the sketch twin of
+    ``corpus.source_overlap``: per source pair, the estimated union size,
+    the estimated n-gram Jaccard, and the exact Jaccard next to it so the
+    sketch error is visible (the kmv_distinct_tokens disclosure pattern).
+
+    KMV set algebra (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD'07): the k smallest
+    hashes of A ∪ B are computable from the two per-set sketches alone,
+    so |A ∪ B| uses the standard (k−1)·H/kth estimator, and the fraction
+    of the merged sketch's members present in BOTH sketches is an
+    unbiased Jaccard estimate. At 100 TB this replaces the exact pairwise
+    gram intersection (a full self-join on gram) with per-source
+    sketches of k longs — sources² pair math on ≤ 2k rows per pair; the
+    exact legs computed here are the cost the sketch avoids, carried as
+    the oracle-checked accuracy reference.
+
+    Output: (source_a, source_b, k_union, n_both, union_est,
+    jaccard_est, jaccard_exact), one row per unordered source pair.
+    """
+    from .corpus import OVERLAP_NGRAM
+    from .dedup import shingle_table
+
+    if n is None:
+        n = OVERLAP_NGRAM
+    src = spread(documents).select("doc_id", "source")
+    sg = (
+        shingle_table(documents, n)
+        .join(src, "doc_id")
+        .select("source", F.explode("shingles").alias("gram"))
+        .select("source", hex_hash64(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    # per-source k smallest hashes, two-phase salted top-k (no source
+    # funnels through one task)
+    order = [F.col("h").asc()]
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    sk = (
+        sg.withColumn("_salt", F.col("h") % salt_buckets)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    pr = (
+        srcs.alias("x")
+        .join(srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+    )
+    # merged sketch per pair: k smallest of K(a) ∪ K(b), membership flags
+    ext = pr.join(
+        sk,
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    )
+    uh = ext.groupBy("source_a", "source_b", "h").agg(
+        F.max(
+            F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)
+        ).alias("ia"),
+        F.max(
+            F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)
+        ).alias("ib"),
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy(F.col("h").asc())
+    agg = (
+        uh.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("h").alias("kth"),
+            F.sum(
+                F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    union_est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"), 4)
+    )
+    # exact reference legs (what the sketch replaces at scale)
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "h")
+    b = sg.select(F.col("source").alias("source_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        agg.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")),
+            "source_b",
+        )
+        .join(common, ["source_a", "source_b"], "left_outer")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("cnt").cast("long").alias("k_union"),
+            F.col("n_both").cast("long").alias("n_both"),
+            union_est.alias("union_est"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("jaccard_est"),
+            F.round(
+                F.coalesce(F.col("c"), z).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("c"), z)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )

@@ -5819,6 +5819,150 @@ ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 
 
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# r9: KMV set-operation overlap (sketch twin of source_overlap), robust
+# MAD anomaly screen, ABC/Pareto revenue classification
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap estimated from per-source KMV sketches, exact
+    Jaccard next to it (operators.sketches.kmv_source_overlap) — the
+    sketch-algebra scale path of source_overlap."""
+    return sketches.kmv_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_source_overlap_kmv() -> str:
+    from .operators.corpus import OVERLAP_NGRAM
+    from .operators.sketches import HASH_SPACE, KMV_K
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_grams_sql(OVERLAP_NGRAM)} AS shingles
+       FROM toks WHERE len(t) >= {OVERLAP_NGRAM}),
+sg AS (
+  SELECT DISTINCT d.source, {_HEX64.format(expr="gram")} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g
+  JOIN documents d USING (doc_id)
+),
+rk1 AS (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+        FROM sg),
+sk AS (SELECT source, h FROM rk1 WHERE rk <= {KMV_K}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM srcs a JOIN srcs b ON a.source < b.source),
+ext AS (SELECT pr.sa, pr.sb, sk.h,
+               CASE WHEN sk.source = pr.sa THEN 1 ELSE 0 END AS ia,
+               CASE WHEN sk.source = pr.sb THEN 1 ELSE 0 END AS ib
+        FROM pr JOIN sk ON sk.source IN (pr.sa, pr.sb)),
+uh AS (SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib
+       FROM ext GROUP BY 1, 2, 3),
+rk2 AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rk
+        FROM uh),
+agg AS (SELECT sa, sb, count(*) AS cnt, max(h) AS kth,
+               sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS nboth
+        FROM rk2 WHERE rk <= {KMV_K} GROUP BY 1, 2),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM sg GROUP BY 1),
+common AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
+           FROM sg a JOIN sg b USING (h)
+           WHERE a.source < b.source GROUP BY 1, 2)
+SELECT agg.sa AS source_a, agg.sb AS source_b,
+       cnt::BIGINT AS k_union, nboth::BIGINT AS n_both,
+       CASE WHEN cnt < {KMV_K} THEN cnt::DOUBLE
+            ELSE round({float(KMV_K - 1)} * {HASH_SPACE} / kth, 4)
+       END AS union_est,
+       round(nboth::DOUBLE / cnt::DOUBLE, 6) AS jaccard_est,
+       round(coalesce(c, 0)::DOUBLE
+             / (s1.n + s2.n - coalesce(c, 0))::DOUBLE, 6) AS jaccard_exact
+FROM agg
+JOIN sizes s1 ON s1.source = agg.sa
+JOIN sizes s2 ON s2.source = agg.sb
+LEFT JOIN common ON common.sa = agg.sa AND common.sb = agg.sb
+"""
+
+
+QUERIES["source_overlap_kmv"] = q_source_overlap_kmv
+ORACLE["source_overlap_kmv"] = _sql_source_overlap_kmv()
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier summary — median + MAD with a k·MAD fence
+    (operators.analytics.mad_anomalies)."""
+    return analytics.mad_anomalies(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ANOMALY_MAD = f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type,
+       count(*)::BIGINT AS n,
+       min(d.med) AS med_value,
+       min(m.mad) AS mad_value,
+       sum(CASE WHEN d.ad > {analytics.MAD_K} * m.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       round(sum(CASE WHEN d.ad > {analytics.MAD_K} * m.mad THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS outlier_frac
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
+
+
+QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
+ORACLE["events_anomaly_mad"] = SQL_EVENTS_ANOMALY_MAD
+
+
+def q_parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto revenue classes over parts
+    (operators.analytics.abc_pareto)."""
+    return analytics.abc_pareto(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+SQL_PARTS_ABC_PARETO = """
+WITH rev0 AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount::DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+rev AS (SELECT l_partkey, revenue FROM rev0 JOIN part ON p_partkey = l_partkey),
+tot AS (SELECT sum(revenue) AS total FROM rev),
+c AS (
+  SELECT revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC) AS cum
+  FROM rev
+),
+cl AS (
+  SELECT revenue,
+         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         total
+  FROM c CROSS JOIN tot
+)
+SELECT abc_class,
+       count(*)::BIGINT AS n_parts,
+       sum(revenue)::DOUBLE AS class_revenue,
+       round(sum(revenue)::DOUBLE / min(total)::DOUBLE, 6) AS revenue_share
+FROM cl GROUP BY 1
+"""
+
+
+QUERIES["parts_abc_pareto"] = q_parts_abc_pareto
+ORACLE["parts_abc_pareto"] = SQL_PARTS_ABC_PARETO
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -5830,59 +5974,51 @@ ORACLE["price_quantile_sketch_scaled"] = SQL_PRICE_QUANTILE_SKETCH_SCALED
 # Everything displaced is still verified every round by tools/parity.py
 # (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
-    # r8 new code: the composed deployable IVFPQ config, its refine-cost
-    # sweep, and the MinHash banding sweep
-    "ann_pq_refine_ksub_recall",
-    "ann_refine_sweep",
-    "minhash_recall_sweep",
-    "growth_accounting",
-    "ann_ivfpq_topk",
-    # re-verification rotation (r7 verdict #3): every query has ≥1
-    # driver-verified row, so the non-new slots now go to the entries
-    # whose last driver gate is OLDEST — nothing stays >3 rounds stale
-    # against a registry that keeps refactoring shared infrastructure.
-    # Last gated r3:
-    "orders_rollup",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "contamination_check",
-    "repetition_score",
-    "corpus_shuffle",
-    "corpus_stats",
-    "train_split",
-    # last gated r4:
-    "customers_without_orders",
-    "events_type_pivot",
-    # last gated r5 (oldest 26 in registry order):
-    "rag_retrieve",
-    "ann_sq8_recall",
-    "q10_returned_items",
-    "q18_large_volume",
-    "substring_dedup",
-    "semantic_dedup",
-    "bigram_logprob",
-    "domain_cap",
-    "q7_nation_volume",
-    "q16_supplier_diversity",
-    "mixture_sample",
-    "embedding_quantize",
-    "blocklist_filter",
-    "frame_dedup",
-    "dedup_funnel",
-    "lang_fertility",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q13_order_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    # q19_discount_revenue / q22_dormant_customers rotate to the NEXT
-    # round's window: the r8 new queries growth_accounting and
-    # ann_ivfpq_topk take their slots to keep the priority list at
-    # exactly 39 (11 core + 39 = the driver's 50-entry gate); both are
-    # still verified every round by tools/parity.py (PARITY_r8.txt).
+    # r9 new code: the KMV set-operation overlap sketch, the robust MAD
+    # anomaly screen, and the ABC/Pareto revenue classification
+    "source_overlap_kmv",
+    "events_anomaly_mad",
+    "parts_abc_pareto",
+    # re-verification rotation (oldest driver gate first). Last gated r5
+    # (incl. q19/q22, promised this window by the r8 comment):
+    "q19_discount_revenue",
+    "q22_dormant_customers",
+    "source_overlap",
+    "leakage_split",
+    "active_users",
+    "dup_triangles",
+    "snapshot_merge",
+    "events_sliding_rollup",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "scd2_point_in_time",
+    "image_decode",
+    "events_key_skew",
+    # last gated r6 (oldest 23 in registry order; the remaining 16 of the
+    # r6 cohort rotate to r10):
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ann_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_bytes",
+    "sample_stratified",
+    "pii_redact",
+    "ngram_topk",
+    "dup_clusters",
+    "events_sessionize",
+    "purchase_attribution",
+    "ann_ivf_topk",
+    "ann_pq_recall",
+    "ann_pq_adc_recall",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

@@ -58,7 +58,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -221,11 +221,7 @@ def dedup_apply_batch(
     # contracted graph: batch docs sharing a bucket (star to the bucket's
     # min doc — same components, fewer edges) + doc→touched-cluster edges.
     # Node ids share one space: cluster labels ARE doc ids.
-    w_min = F.min("doc_id").over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-            "band", "band_hash"
-        )
-    )
+    w_min = F.min("doc_id").over(Window.partitionBy("band", "band_hash"))
     intra = (
         bands_new.select("doc_id", "band", "band_hash")
         .withColumn("rep", w_min)
@@ -334,15 +330,24 @@ def dedup_compact(spark, table_path: str) -> None:
     replay-floor rule)."""
     meta = _read_meta(table_path)
     hw = meta["high_water"]
-    visible = [v for v in _visible_versions(table_path) if v <= hw]
-    if not visible:
-        return
-    new_c = max(visible)
     floors = {s: _base_version(table_path, s) for s in ("docs", "buckets")}
-    if new_c <= min(floors.values()) and new_c <= meta["compacted_through"]:
+    floor = min(floors.values())
+    live = [v for v in _visible_versions(table_path) if floor < v <= hw]
+    if not live:
+        if floor > meta["compacted_through"]:
+            # finish an interrupted compaction: meta catch-up (the bases
+            # already committed; the fold floor is base-derived so reads
+            # were never inconsistent)
+            meta["compacted_through"] = floor
+            _write_meta(table_path, meta)
         _prune(table_path, floors, meta)
         return
-    mm = _merge_map(spark, table_path)
+    new_c = max(live)
+    # merge map capped at the fold ceiling: a committed-but-unacknowledged
+    # batch's merge edges must not bake into the base — its replay rewrites
+    # them, and the base staying pre-merge keeps the replay's bytes
+    # identical to the original apply
+    mm = _merge_map(spark, table_path, below=new_c + 1)
     docs = _resolve(
         _read_table(spark, table_path, "docs", _DOCS_SCHEMA, below=new_c + 1),
         mm,
@@ -353,7 +358,9 @@ def dedup_compact(spark, table_path: str) -> None:
         ),
         mm,
     )
-    docs.write.mode("overwrite").parquet(f"{table_path}/docs_base/v={new_c}")
+    docs.select("doc_id", "label").write.mode("overwrite").parquet(
+        f"{table_path}/docs_base/v={new_c}"
+    )
     buckets.select("band", "band_hash", "label").write.mode(
         "overwrite"
     ).parquet(f"{table_path}/buckets_base/v={new_c}")

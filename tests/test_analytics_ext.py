@@ -110,3 +110,48 @@ def test_table_profile_scaled_estimates(spark):
     assert out["s"].distinct_est == 3.0  # v0/v1/v2; nulls not a value
     assert out["s"].n_null == 20 and out["k"].n_rows == 100
     assert out["k"].min_value == "0" and out["k"].max_value == "9"
+
+
+def test_mad_anomalies_flags_planted_outlier_and_resists_contamination(spark):
+    """A 100x spike is flagged; the median/MAD centre stays at the bulk
+    (the z-score screen's std would have been inflated by the spike)."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, 0, i % 60), i, "m", float(v), "{}")
+        for i, v in enumerate([10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 12.0, 8.0, 1000.0])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in analytics.mad_anomalies(ev).collect()}
+    r = out["m"]
+    assert r.n == 9
+    assert r.med_value == 10.0  # unmoved by the spike
+    assert r.mad_value == 1.0
+    assert r.n_outliers == 1
+    assert abs(r.outlier_frac - round(1 / 9, 6)) < 1e-9
+
+
+def test_abc_pareto_partitions_and_ordered_shares(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = {r.abc_class: r for r in analytics.abc_pareto(li, pt).collect()}
+    assert set(out) == {"A", "B", "C"}
+    n_parts_with_sales = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in out.values()) == n_parts_with_sales
+    shares = {k: r.revenue_share for k, r in out.items()}
+    assert abs(sum(shares.values()) - 1.0) < 1e-4
+    # the Pareto head: A covers at most 80% (boundary-exclusive classing)
+    assert shares["A"] <= 0.8
+    assert shares["A"] + shares["B"] <= 0.95
+    # each A part out-earns each C part on average
+    avg = {k: out[k].class_revenue / out[k].n_parts for k in out}
+    assert avg["A"] > avg["B"] > avg["C"]

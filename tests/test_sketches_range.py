@@ -315,3 +315,44 @@ def test_sample_frames_empty_payload_yields_no_frames(spark):
     )
     rows = sample_frames(with_binary_payload(docs), frame_bytes=4).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_kmv_source_overlap_exact_when_union_below_k(spark):
+    """When a pair's gram union fits inside the sketch (|A ∪ B| < k) the
+    merged sketch IS the union: union_est is the exact union size and the
+    Jaccard estimate equals the exact Jaccard."""
+    t1 = "the quick brown fox jumps over the lazy dog tonight"
+    t2 = "pack my box with five dozen brown liquor jugs today"
+    docs = spark.createDataFrame(
+        [
+            (1, t1, "a", "en"),
+            (2, t2, "a", "en"),
+            (3, t1, "b", "en"),
+            (4, t2 + " again and again and again and again", "b", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = sketches.kmv_source_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.k_union < sketches.KMV_K
+    assert r.union_est == float(r.k_union)
+    assert r.jaccard_est == r.jaccard_exact
+    assert 0.0 < r.jaccard_exact < 1.0
+
+
+def test_kmv_source_overlap_pair_grid_and_bounds(spark, sf_dir):
+    """Every unordered source pair appears once; estimates are sane
+    (0 ≤ jaccard ≤ 1, union_est ≥ the larger side can't be checked from
+    the output alone, but estimates must be positive and n_both ≤ k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sketches.kmv_source_overlap(docs).collect()
+    n_src = docs.select("source").distinct().count()
+    assert len(out) == n_src * (n_src - 1) // 2
+    for r in out:
+        assert r.source_a < r.source_b
+        assert 0 <= r.n_both <= r.k_union <= sketches.KMV_K
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert 0.0 <= r.jaccard_exact <= 1.0
+        assert r.union_est >= r.k_union  # estimator ≥ sketch occupancy
