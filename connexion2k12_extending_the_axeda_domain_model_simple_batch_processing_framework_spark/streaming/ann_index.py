@@ -416,3 +416,226 @@ def ivf_probe_stream_writer(
         queries.writeStream.foreachBatch(_probe)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed PQ maintenance: the COMPRESSED half of the IVFPQ index stays
+# fresh under the same vector ingest. Codebooks are FROZEN (the faiss
+# train-once/add-many design, same as the coarse centroids); each batch's
+# residual codes are a pure function of (batch, centroids, codebooks), so
+# the per-batch delta is stateless and the whole snapshot protocol of the
+# float half applies unchanged — overwrite-own-dir idempotence, epoch
+# meta, base-generation compaction with a base-derived delta floor.
+# ---------------------------------------------------------------------------
+
+_PQ_META = "_pq_meta.json"
+
+
+def _read_pq_meta(pq_path: str) -> dict:
+    p = os.path.join(pq_path, _PQ_META)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"high_water": -1, "compacted_through": -1}
+
+
+def _write_pq_meta(pq_path: str, meta: dict) -> None:
+    os.makedirs(pq_path, exist_ok=True)
+    tmp = os.path.join(pq_path, _PQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(pq_path, _PQ_META))  # atomic on POSIX
+
+
+def _pq_base_generations(pq_path: str) -> list[int]:
+    if not os.path.isdir(pq_path):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(pq_path)
+        if name.startswith("codes_base=")
+        and _committed(os.path.join(pq_path, name))
+    )
+
+
+def _pq_delta_versions(pq_path: str) -> list[int]:
+    d = os.path.join(pq_path, "codes_deltas")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(d)
+        if name.startswith("v=") and _committed(os.path.join(d, name))
+    )
+
+
+def _pq_delta_floor(pq_path: str, meta: dict) -> int:
+    """Base-derived fold floor — the ``_delta_floor`` convention applied
+    to the codes table (a compaction crash between base and meta never
+    double-resolves folded codes)."""
+    bases = _pq_base_generations(pq_path)
+    return max(meta["compacted_through"], bases[-1] if bases else -1)
+
+
+def ivf_pq_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pq_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One idempotent append step for the FULL IVFPQ artifact pair: the
+    float half first (``ivf_append_batch`` — its own delta dir and epoch
+    meta), then the batch's residual codes against the frozen codebooks
+    into ``codes_deltas/v=<batch_id>`` under the PQ artifact. Returns
+    True when the codes table changed.
+
+    The code delta is stateless — encode(batch, centroids, codebooks) —
+    so replays converge on identical bytes with no prior-state read. A
+    crash between the assignment write and the code write leaves the new
+    vectors float-searchable but invisible to the COMPRESSED probe
+    (the shortlist comes from codes alone) until the replay completes:
+    the compressed path serves a consistent, slightly older view, never
+    a wrong one."""
+    ivf_append_batch(batch_df, batch_id, index_path, id_col, vec_col)
+    if not batch_df.head(1):
+        return False
+    meta = _read_pq_meta(pq_path)
+    if batch_id <= _pq_delta_floor(pq_path, meta):
+        return False  # replay of a folded batch: codes already in base
+    if batch_id < meta["high_water"]:
+        raise ValueError(
+            f"batch_id {batch_id} below PQ high water {meta['high_water']}: "
+            f"the checkpoint driving {pq_path!r} was reset or swapped; "
+            "artifact and checkpoint must live and die together"
+        )
+    spark = batch_df.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    codebooks = spark.read.parquet(f"{pq_path}/codebooks")
+    batch = batch_df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")
+    )
+    # the same _assign arithmetic ivf_append_batch just ran — recomputed
+    # from the batch rather than read back from the float delta so the
+    # two halves never couple through each other's compaction state
+    assign = similarity._assign(batch, centroids)
+    codes = similarity.pq_encode_residual(assign, centroids, codebooks)
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{pq_path}/codes_deltas/v={batch_id}"
+    )
+    meta["high_water"] = max(meta["high_water"], batch_id)
+    _write_pq_meta(pq_path, meta)
+    return True
+
+
+def read_pq_codes(spark, pq_path: str) -> DataFrame:
+    """Resolve the stream-maintained codes table: newest
+    ``codes_base=<C>`` generation (else the original ``pq_save`` codes)
+    + every delta above the base-derived floor. Deltas are disjoint
+    new-vector appends — resolution is a union, centroid_id partition
+    pruning survives every generation (columns vec_id, centroid_id,
+    codes — ``pq_load`` shape, ADC-probe-ready)."""
+    meta = _read_pq_meta(pq_path)
+    bases = _pq_base_generations(pq_path)
+    if bases:
+        df = spark.read.parquet(f"{pq_path}/codes_base={bases[-1]}")
+    else:
+        df = spark.read.parquet(f"{pq_path}/codes")
+    floor = _pq_delta_floor(pq_path, meta)
+    for v in _pq_delta_versions(pq_path):
+        if v > floor:
+            df = df.unionByName(
+                spark.read.parquet(f"{pq_path}/codes_deltas/v={v}")
+            )
+    return df
+
+
+def pq_stream_compact(spark, pq_path: str) -> None:
+    """Fold the current codes resolution into one ``codes_base=<C>``
+    generation and expire folded delta dirs — the ``ivf_stream_compact``
+    crash ordering (base → meta → prune; the base-derived floor keeps
+    every window consistent)."""
+    meta = _read_pq_meta(pq_path)
+    floor = _pq_delta_floor(pq_path, meta)
+    live = [v for v in _pq_delta_versions(pq_path) if v > floor]
+    if not live:
+        if floor > meta["compacted_through"]:
+            meta["compacted_through"] = floor
+            _write_pq_meta(pq_path, meta)
+        return
+    new_c = max(live)
+    read_pq_codes(spark, pq_path).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{pq_path}/codes_base={new_c}")
+    meta["compacted_through"] = new_c
+    _write_pq_meta(pq_path, meta)
+    for v in _pq_delta_versions(pq_path):
+        if v <= new_c:
+            shutil.rmtree(os.path.join(pq_path, "codes_deltas", f"v={v}"))
+    for c in _pq_base_generations(pq_path):
+        if c < new_c:
+            shutil.rmtree(os.path.join(pq_path, f"codes_base={c}"))
+
+
+def ivf_pq_probe_maintained(
+    spark,
+    index_path: str,
+    pq_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """The deployable two-stage compressed probe over the LIVE index:
+    ``similarity.ivf_pq_refine_probe`` with every input resolved from
+    the maintained artifacts — centroids and codebooks frozen, inverted
+    file and codes resolved through their snapshot protocols, and the
+    refine stage's float fetch served by the maintained inverted file
+    itself (the floats travel with the assignments). Equals the same
+    probe over a batch-encoded index for the same vectors
+    (tests/test_streaming_ivfpq.py)."""
+    if nprobe is None:
+        nprobe = similarity.IVF_NPROBE
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    codebooks = spark.read.parquet(f"{pq_path}/codebooks")
+    inv = read_ivf_assignments(spark, index_path)
+    codes = read_pq_codes(spark, pq_path)
+    corpus = inv.select(
+        F.col("vid").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    return similarity.ivf_pq_refine_probe(
+        centroids, inv, codes, codebooks, corpus, queries, k, refine, nprobe
+    )
+
+
+def ivf_pq_stream_writer(
+    vectors: DataFrame,
+    index_path: str,
+    pq_path: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+):
+    """A configured ``writeStream`` (foreachBatch) that keeps BOTH halves
+    of a deployed IVFPQ index fresh under a vector ingest stream — the
+    float inverted file (searchable immediately) and the residual codes
+    (the compressed serving path). The caller picks the trigger and
+    calls ``.start()``."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_pq_append_batch(batch_df, batch_id, index_path, pq_path)
+        if compact_every:
+            meta = _read_meta(index_path)
+            if meta["high_water"] - meta["compacted_through"] >= compact_every:
+                ivf_stream_compact(batch_df.sparkSession, index_path)
+            pq_meta = _read_pq_meta(pq_path)
+            if (
+                pq_meta["high_water"] - pq_meta["compacted_through"]
+                >= compact_every
+            ):
+                pq_stream_compact(batch_df.sparkSession, pq_path)
+
+    return (
+        vectors.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
