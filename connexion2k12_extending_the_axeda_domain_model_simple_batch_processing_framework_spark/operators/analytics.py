@@ -1375,3 +1375,122 @@ def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """RFM segmentation summary: per-customer Recency (days from last
+    order to the corpus frontier), Frequency (order count), Monetary
+    (exact DECIMAL spend), each banded into quartiles, customers rolled
+    up per (r, f, m) segment — the marketing-analytics staple the
+    reference's GetBatches reporting never had.
+
+    One groupBy reduces orders to the customer level; the three quartile
+    cut-points come from ONE mergeable ``approx_percentile`` row
+    (discrete value-at-rank — engine-exact below the 1e6 accuracy, no
+    single-reducer value buffer above) broadcast back; banding is pure
+    comparison against the cuts, so ties land identically in both
+    engines. Monetary stays DECIMAL through every sum (order-independent)
+    and converts to DOUBLE only at the output edge.
+
+    Output: (segment, n_customers, sum_monetary, mean_recency_days),
+    segment = r·100 + f·10 + m with bands ascending by VALUE (so r=1 is
+    most recent, f=4/m=4 the heaviest buyers).
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("frontier"))
+    cust = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("frontier", "last_order").cast("long").alias("rec"),
+        "freq",
+        "mon",  # stays DECIMAL until the output edge
+    )
+    pct = "approx_percentile(cast({c} as double), array(0.25, 0.5, 0.75), 1000000)"
+    cuts = cust.agg(
+        F.expr(pct.format(c="rec")).alias("qr"),
+        F.expr(pct.format(c="freq")).alias("qf"),
+        F.expr(pct.format(c="mon")).alias("qm"),
+    )
+
+    def band(col, q):
+        v = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + F.when(v > F.col(q)[0], 1).otherwise(0)
+            + F.when(v > F.col(q)[1], 1).otherwise(0)
+            + F.when(v > F.col(q)[2], 1).otherwise(0)
+        ).cast("long")
+
+    seg = cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "rec",
+        "mon",
+        (
+            band("rec", "qr") * 100 + band("freq", "qf") * 10 + band("mon", "qm")
+        ).alias("segment"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("mon").cast("double"), 4).alias("sum_monetary"),
+        F.round(
+            F.sum("rec").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mean_recency_days"),
+    )
+
+
+def supplier_concentration(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation supplier revenue concentration: Herfindahl–Hirschman
+    index + top-supplier share — the market-structure diagnostic (a
+    nation served by one dominant supplier is a supply-chain risk a mean
+    hides). HHI computed as Σrevᵢ² / (Σrevᵢ)² with BOTH sums in exact
+    DECIMAL (a double Σshareᵢ² would be partition-order dependent and
+    engines would disagree in the last ulp); the single division to
+    DOUBLE happens once per nation row. One supplier-level aggregation
+    (facts shuffle once), two broadcast dimension joins, one nation
+    rollup.
+
+    Output: (n_name, n_suppliers, hhi, top_share).
+    """
+    d = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(d).cast("decimal(18,4)").alias("rev"))
+        .join(
+            F.broadcast(
+                supplier.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"), "n_name"
+                )
+            ),
+            "s_nationkey",
+        )
+    )
+    agg = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sum_sq"),
+        F.max("rev").alias("top"),
+    )
+    tot_d = F.col("tot").cast("double")
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        F.round(F.col("sum_sq").cast("double") / (tot_d * tot_d), 6).alias(
+            "hhi"
+        ),
+        F.round(F.col("top").cast("double") / tot_d, 6).alias("top_share"),
+    )

@@ -1025,3 +1025,55 @@ def minhash_recall_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH candidate pairs verified with CONTAINMENT as well as Jaccard —
+    the asymmetric near-dup measure (|A ∩ B| / min(|A|, |B|)) that
+    catches subset duplicates Jaccard dilutes: a paragraph quoted inside
+    a much longer document has high containment but low Jaccard, and a
+    training pipeline deduping on Jaccard alone keeps both copies of the
+    quoted text. Same shared band index and candidate equi-join as
+    ``minhash_lsh_pairs`` — the verification leg just adds the two set
+    sizes and the min-denominator ratio.
+
+    Output: (doc_a, doc_b, n_a, n_b, jaccard, containment).
+    """
+    sh, bands_df = shared_band_index(documents, n, bands, rows)
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    na = F.size("sh_a").cast("long")
+    nb = F.size("sh_b").cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+            F.round(
+                inter / F.least(na, nb).cast("double"), 6
+            ).alias("containment"),
+        )
+    )

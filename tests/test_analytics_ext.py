@@ -155,3 +155,31 @@ def test_abc_pareto_partitions_and_ordered_shares(spark, sf_dir):
     # each A part out-earns each C part on average
     avg = {k: out[k].class_revenue / out[k].n_parts for k in out}
     assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_customer_rfm_segments_partition_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = analytics.customer_rfm(orders).collect()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        seg = r.segment
+        rb, fb, mb = seg // 100, (seg // 10) % 10, seg % 10
+        assert 1 <= rb <= 4 and 1 <= fb <= 4 and 1 <= mb <= 4
+        assert r.mean_recency_days >= 0
+    # quartile banding actually spreads customers across segments
+    assert len(out) > 1
+
+
+def test_supplier_hhi_bounds_and_monopoly(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = analytics.supplier_concentration(li, sup, nat).collect()
+    assert out
+    for r in out:
+        # HHI ∈ [1/n, 1]; equality at 1 iff one supplier takes everything
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+        assert 0.0 < r.top_share <= 1.0
+        # top share² is a lower bound on HHI, top share an upper bound
+        assert r.top_share ** 2 - 1e-6 <= r.hhi <= r.top_share + 1e-9

@@ -331,3 +331,26 @@ def test_dedup_funnel_attrition_stages(spark):
     assert out["minhash"]["n_in"] == 3 and out["minhash"]["n_dropped"] == 1
     assert out["semantic"]["n_in"] == 2 and out["semantic"]["n_dropped"] == 1
     assert out["semantic"]["n_out"] == 1
+
+
+def test_containment_dominates_jaccard_and_catches_subsets(spark):
+    """containment ≥ jaccard on every pair, and a document embedded
+    verbatim inside a much longer one scores containment 1.0 while
+    Jaccard stays low (the subset-duplicate case)."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + (
+        " one two three four five six seven eight nine ten"
+        " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short, "s", "en"), (2, long_, "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = dedup.containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0  # every shingle of the short doc is in the long one
+    assert r.jaccard < 0.5
+    assert r.containment >= r.jaccard
+    assert r.n_a < r.n_b
