@@ -1494,3 +1494,80 @@ def supplier_concentration(
         ),
         F.round(F.col("top").cast("double") / tot_d, 6).alias("top_share"),
     )
+
+
+def user_value_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation between a user's event count and their total
+    value — the engagement-vs-spend question, computed from the five
+    classic sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) with EVERY
+    sum exact: x is an integer count and y a DECIMAL total, so products
+    and squares stay in integer/decimal arithmetic and the result is
+    partition-order independent (Spark's built-in ``corr`` accumulates
+    doubles and is not reproducible across engines to the last ulp). The
+    single lossy step is the final double formula. Two aggregations
+    total — one per-user reduce, one 1-row reduce — no window, no join.
+
+    Output (1 row): n_users, mean_events, mean_value, corr.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("y"),
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,2)") * F.col("y").cast("decimal(19,2)")
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return stats.select(
+        "n",
+        F.round(sx / n, 6).alias("mean_events"),
+        F.round(sy / n, 6).alias("mean_value"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    ).withColumnRenamed("n", "n_users")
+
+
+def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
+    """Distribution of the gap (days) between a customer's consecutive
+    orders — the repeat-purchase cadence report. One keyed window pass
+    (lag over (customer, orderdate, orderkey) — the orderkey tie-break
+    makes same-day reorders a deterministic 0-day gap), then a 1-row
+    reduce: exact integer day sums for the mean, mergeable
+    ``approx_percentile`` for the quantiles (the 17p scale argument).
+
+    Output (1 row): n_gaps, n_repeat_customers, mean_gap_days,
+    p50_gap_days, p90_gap_days.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev").cast("long").alias("gap"),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.count_distinct("o_custkey").cast("long").alias("n_repeat_customers"),
+        F.round(
+            F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_gap_days"),
+        F.expr(
+            "cast(approx_percentile(cast(gap as double), 0.5, 1000000) as double)"
+        ).alias("p50_gap_days"),
+        F.expr(
+            "cast(approx_percentile(cast(gap as double), 0.9, 1000000) as double)"
+        ).alias("p90_gap_days"),
+    )

@@ -6108,6 +6108,72 @@ QUERIES["dedup_containment"] = q_dedup_containment
 ORACLE["dedup_containment"] = _containment_oracle()
 
 
+
+def q_user_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-vs-spend Pearson correlation from exact sufficient
+    statistics (operators.analytics.user_value_correlation)."""
+    return analytics.user_value_correlation(load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_VALUE_CORR = """
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS x,
+         sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y) AS sy,
+         sum((x::DECIMAL(19,0)) * (y::DECIMAL(19,2))) AS sxy,
+         sum(x * x)::BIGINT AS sxx,
+         sum((y::DECIMAL(19,2)) * (y::DECIMAL(19,2))) AS syy
+  FROM per_user
+)
+SELECT n AS n_users,
+       round(sx::DOUBLE / n::DOUBLE, 6) AS mean_events,
+       round(sy::DOUBLE / n::DOUBLE, 6) AS mean_value,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS corr
+FROM s
+"""
+
+
+QUERIES["user_value_corr"] = q_user_value_corr
+ORACLE["user_value_corr"] = SQL_USER_VALUE_CORR
+
+
+def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence distribution
+    (operators.analytics.repeat_purchase_intervals)."""
+    return analytics.repeat_purchase_intervals(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_REPEAT_PURCHASE_INTERVALS = """
+WITH g AS (
+  SELECT o_custkey,
+         (o_orderdate::DATE
+          - (lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ))::DATE)::BIGINT AS gap
+  FROM orders
+),
+r AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+SELECT count(*)::BIGINT AS n_gaps,
+       count(DISTINCT o_custkey)::BIGINT AS n_repeat_customers,
+       round(sum(gap)::DOUBLE / count(*)::DOUBLE, 6) AS mean_gap_days,
+       quantile_disc(gap::DOUBLE, 0.5)::DOUBLE AS p50_gap_days,
+       quantile_disc(gap::DOUBLE, 0.9)::DOUBLE AS p90_gap_days
+FROM r
+"""
+
+
+QUERIES["repeat_purchase_intervals"] = q_repeat_purchase_intervals
+ORACLE["repeat_purchase_intervals"] = SQL_REPEAT_PURCHASE_INTERVALS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6128,6 +6194,8 @@ _GATE_PRIORITY = [
     "customer_rfm",
     "supplier_hhi",
     "dedup_containment",
+    "user_value_corr",
+    "repeat_purchase_intervals",
     # re-verification rotation (oldest driver gate first). Last gated r5
     # (incl. q19/q22, promised this window by the r8 comment):
     "q19_discount_revenue",
@@ -6163,12 +6231,11 @@ _GATE_PRIORITY = [
     "pii_redact",
     "ngram_topk",
     "dup_clusters",
-    "events_sessionize",
-    "purchase_attribution",
-    # ann_ivf_topk / ann_pq_recall / ann_pq_adc_recall rotate to r10's
-    # window: the three second-wave r9 queries take their slots to keep
-    # the list at exactly 39 (11 core + 39 = the driver's 50-entry gate);
-    # all three are still verified every round by tools/parity.py
+    # events_sessionize / purchase_attribution / ann_ivf_topk /
+    # ann_pq_recall / ann_pq_adc_recall rotate to r10's window: the five
+    # later-wave r9 queries take their slots to keep the list at exactly
+    # 39 (11 core + 39 = the driver's 50-entry gate); all five are still
+    # verified every round by tools/parity.py
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core: with ~29 priority

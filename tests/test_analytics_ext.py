@@ -183,3 +183,47 @@ def test_supplier_hhi_bounds_and_monopoly(spark, sf_dir):
         assert 0.0 < r.top_share <= 1.0
         # top share² is a lower bound on HHI, top share an upper bound
         assert r.top_share ** 2 - 1e-6 <= r.hhi <= r.top_share + 1e-9
+
+
+def test_user_value_correlation_sign_and_bounds(spark):
+    """Users whose spend scales with their event count correlate
+    positively and near 1; the statistic stays within [-1, 1]."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for user, n in [(1, 2), (2, 4), (3, 6), (4, 8)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2026, 1, 1 + eid % 20), user, "v", 10.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = analytics.user_value_correlation(ev).collect()[0]
+    assert r.n_users == 4
+    assert r.corr == 1.0  # y = 10·x exactly
+    assert r.mean_events == 5.0
+
+
+def test_repeat_purchase_intervals_known_gaps(spark):
+    import datetime as dt
+
+    def o(k, cust, d):
+        return (k, cust, "O", 10.0, dt.date(2026, 1, d), "1-URGENT")
+
+    orders = spark.createDataFrame(
+        # cust 1: days 1,3,10 → gaps 2,7; cust 2: one order → no gap;
+        # cust 3: same-day pair → deterministic 0 gap via orderkey tie-break
+        [o(1, 1, 1), o(2, 1, 3), o(3, 1, 10), o(4, 2, 5), o(5, 3, 7), o(6, 3, 7)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    r = analytics.repeat_purchase_intervals(orders).collect()[0]
+    assert r.n_gaps == 3
+    assert r.n_repeat_customers == 2
+    assert abs(r.mean_gap_days - 3.0) < 1e-9  # (2+7+0)/3
+    assert r.p50_gap_days == 2.0
