@@ -1558,9 +1558,15 @@ def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
             F.datediff("o_orderdate", "prev").cast("long").alias("gap"),
         )
     )
-    return gaps.agg(
+    # count_distinct is aggregated SEPARATELY: fused into the same agg it
+    # forces a per-customer partial aggregate, which instantiates one
+    # 1e6-accuracy percentile sketch PER KEY (measured ~50s at sf0.1 vs
+    # sub-second split) — keyless partials keep one sketch per task
+    n_repeat = gaps.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_repeat_customers")
+    )
+    stats = gaps.agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.count_distinct("o_custkey").cast("long").alias("n_repeat_customers"),
         F.round(
             F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_gap_days"),
@@ -1571,3 +1577,11 @@ def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
             "cast(approx_percentile(cast(gap as double), 0.9, 1000000) as double)"
         ).alias("p90_gap_days"),
     )
+    out = stats.crossJoin(F.broadcast(n_repeat)).select(
+        "n_gaps",
+        "n_repeat_customers",
+        "mean_gap_days",
+        "p50_gap_days",
+        "p90_gap_days",
+    )
+    return out
