@@ -1,0 +1,121 @@
+"""Range-partitioned two-phase prefix sums.
+
+A global cumulative aggregate expressed as ``F.sum(x).over(Window.orderBy(...))``
+funnels the ENTIRE relation through one task (Spark itself warns ``WindowExec:
+No Partition Defined``) — invisible at test scale, fatal at 100 TB. The fix is
+always the same two-phase shape (cf. operators/corpus.py:sequence_pack's
+hash-bucketed stream offsets): split the total order into contiguous ranges,
+cumulative-sum WITHIN each range in parallel, and add each range's broadcast
+prefix offset. Because addition is associative (and the engine keeps DECIMAL
+exact), the result is bit-identical to the single-window computation.
+
+This module makes that shape a reusable primitive:
+
+- ``bucket_prefix_offsets`` — the tiny exclusive prefix over per-bucket
+  totals, computed with a triangular broadcast self-join instead of a
+  partition-less Window, so callers stay clean under the suite-wide
+  no-unpartitioned-window plan contract (tests/test_plans.py).
+- ``ordered_cumsum`` — the full primitive: global cumulative sum of a value
+  column in (range_col [, tiebreaks…]) order. Range boundaries come from one
+  ``approx_percentile`` pass (a constant-size mergeable sketch); the bucket id
+  is the count of cut points beyond the row's range value, which is monotone
+  in the sort order and identical for ties, so bucket-major order IS the
+  requested total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 64 contiguous value-range buckets: wide enough that no bucket holds more
+# than a few percent of the relation even under moderate value skew, small
+# enough that the offsets relation broadcast is trivially tiny.
+PREFIX_BUCKETS = 64
+
+
+def bucket_prefix_offsets(
+    totals: DataFrame,
+    bucket_col: str,
+    total_col: str,
+    out_col: str = "__boff",
+) -> DataFrame:
+    """Exclusive prefix sum over a tiny bounded bucket-totals relation:
+    each bucket's offset = the sum of every STRICTLY-lower bucket's total.
+
+    Shape: a triangular broadcast self-join + re-aggregation — O(B²) pairs
+    over B = O(dozens) rows, no Window at all. (The obvious
+    ``Window.orderBy(bucket)`` is a partition-less WindowExec; harmless on a
+    bounded relation but indistinguishable in the plan from the 100 TB
+    killer, so the suite-wide plan contract bans the node outright and this
+    helper keeps bounded prefix sums expressible.)
+    """
+    dtype = dict(totals.dtypes)[total_col]
+    prev = totals.select(
+        F.col(bucket_col).alias("__pb"), F.col(total_col).alias("__pt")
+    )
+    return (
+        totals.join(F.broadcast(prev), F.col("__pb") < F.col(bucket_col), "left")
+        .groupBy(bucket_col, total_col)
+        .agg(F.coalesce(F.sum("__pt"), F.lit(0).cast(dtype)).alias(out_col))
+    )
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    value_col: str,
+    range_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "cum",
+    n_buckets: int = PREFIX_BUCKETS,
+    descending: bool = False,
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in ``(range_col [desc],
+    *tiebreak_cols asc)`` order, without a partition-less Window.
+
+    Pass 0 sketches ``n_buckets - 1`` range cut points with one
+    ``approx_percentile`` aggregate (mergeable, constant size — NOT an exact
+    quantile; the cuts only need to be deterministic and roughly balanced).
+    Each row's bucket is the count of cuts strictly beyond its range value —
+    computed JVM-side with ``F.aggregate`` over the broadcast cut array —
+    so equal range values always share a bucket and bucket-major order is
+    exactly the requested total order. Pass 1 aggregates per-bucket totals
+    (tiny), prefix-summed by ``bucket_prefix_offsets``; pass 2 runs the
+    cumulative Window PARTITIONED by bucket and adds the broadcast offset.
+    DECIMAL addition is associative, so the result is bit-identical to the
+    single global window at any bucket count.
+    """
+    if n_buckets < 2:
+        raise ValueError("ordered_cumsum needs n_buckets >= 2")
+    probs = ", ".join(f"{i / n_buckets!r}D" for i in range(1, n_buckets))
+    cuts = df.agg(
+        F.expr(
+            f"approx_percentile(cast({range_col} as double), array({probs}), 10000)"
+        ).alias("__cuts")
+    )
+    xv = F.col(range_col).cast("double")
+    beyond = (lambda c: c > xv) if descending else (lambda c: c < xv)
+    bucket = F.coalesce(
+        F.aggregate(
+            "__cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(beyond(c), 1).otherwise(0),
+        ),
+        F.lit(0),
+    )
+    d = df.crossJoin(F.broadcast(cuts)).withColumn("__b", bucket).drop("__cuts")
+    totals = d.groupBy("__b").agg(F.sum(value_col).alias("__btot"))
+    offsets = bucket_prefix_offsets(totals, "__b", "__btot").select(
+        "__b", "__boff"
+    )
+    head = F.col(range_col).desc() if descending else F.col(range_col).asc()
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(head, *[F.col(c).asc() for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.col("__boff") + F.sum(value_col).over(w))
+        .drop("__b", "__boff")
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefixsum import ordered_cumsum
+
 D = "decimal(18,2)"
 
 
@@ -1325,9 +1327,15 @@ def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     count, class revenue, revenue share.
 
     Scale shape: one aggregation reduces lineitem to a part-level
-    relation (parts ≪ lineitems), then ONE window pass computes the
-    cumulative revenue — ordered by revenue desc with partkey as the
-    deterministic tie-break. Class boundaries compare cumulative DECIMAL
+    relation (parts ≪ lineitems), then the cumulative revenue — ordered
+    by revenue desc with partkey as the deterministic tie-break — comes
+    from the range-partitioned two-phase prefix sum
+    (functions/prefixsum.ordered_cumsum): per-bucket window sums run in
+    parallel and add a broadcast bucket offset, so NO partition-less
+    Window funnels the part relation through one task (the r9 defect —
+    Spark warned ``WindowExec: No Partition Defined``; bit-identical to
+    the global window because DECIMAL addition is associative). Class
+    boundaries compare cumulative DECIMAL
     revenue against scaled total revenue in exact integer-decimal
     arithmetic (5·cum ≤ 4·total ⇔ share ≤ 0.80), so the classification
     is bit-identical across engines — no double thresholds anywhere near
@@ -1349,10 +1357,11 @@ def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey")
     )
     total = rev.agg(F.sum("revenue").alias("total"))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    cum = ordered_cumsum(
+        rev, "revenue", "revenue", ["l_partkey"], out_col="cum", descending=True
+    )
     classed = (
-        rev.withColumn("cum", F.sum("revenue").over(w))
-        .crossJoin(F.broadcast(total))
+        cum.crossJoin(F.broadcast(total))
         .select(
             "l_partkey",
             "revenue",
@@ -1519,8 +1528,15 @@ def user_value_correlation(events: DataFrame) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        # y² at decimal(18,2)² = decimal(37,4), so the running Σy² widens
+        # to decimal(38,4) with a full spare integer digit of headroom
+        # (the earlier (19,2)² cast already produced a (38,4) ELEMENT,
+        # leaving the sum zero digits before non-ANSI Spark silently
+        # NULLs on overflow). Documented range assumption: per-user
+        # totals fit decimal(18,2) and Σy² < 10^34 — beyond that the
+        # corr column comes back NULL rather than wrong.
         F.sum(
-            F.col("y").cast("decimal(19,2)") * F.col("y").cast("decimal(19,2)")
+            F.col("y").cast("decimal(18,2)") * F.col("y").cast("decimal(18,2)")
         ).alias("syy"),
     )
     n = F.col("n").cast("double")

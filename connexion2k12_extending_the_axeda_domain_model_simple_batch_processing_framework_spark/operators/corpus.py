@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex_hash64
 from ..functions.partitioning import spread
+from ..functions.prefixsum import bucket_prefix_offsets
 from ..functions.textfns import token_count_col, tokens
 
 CHUNK_SIZE = 64
@@ -624,9 +625,12 @@ def sequence_pack(
     )
     d = d.withColumn("__b", F.shiftright(F.col("__h"), 60 - bucket_bits))
     totals = d.groupBy("__b").agg(F.sum("__cost").alias("__btot"))
-    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__b", F.coalesce(F.sum("__btot").over(wb), F.lit(0)).alias("__boff")
+    # exclusive prefix over the 2^bucket_bits totals rows — triangle
+    # broadcast join, not a Window: bounded here, but the suite-wide plan
+    # contract bans partition-less WindowExec outright (they're
+    # indistinguishable in the plan from the unbounded 100 TB killer)
+    offsets = bucket_prefix_offsets(totals, "__b", "__btot").select(
+        "__b", "__boff"
     )
     w = Window.partitionBy("__b").orderBy("__h", "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -222,11 +222,17 @@ def kmv_source_overlap(
     n: int | None = None,
     k: int = KMV_K,
     salt_buckets: int = KMV_SALT_BUCKETS,
+    exact: bool = True,
 ) -> DataFrame:
     """Cross-source overlap from KMV sketches — the sketch twin of
     ``corpus.source_overlap``: per source pair, the estimated union size,
-    the estimated n-gram Jaccard, and the exact Jaccard next to it so the
-    sketch error is visible (the kmv_distinct_tokens disclosure pattern).
+    the estimated n-gram Jaccard, and (``exact=True``, the accuracy
+    reference) the exact Jaccard next to it so the sketch error is
+    visible (the kmv_distinct_tokens disclosure pattern). ``exact=False``
+    is the SCALE mode — registered as ``source_overlap_kmv_scaled`` —
+    which never materializes the full per-source gram sets into a
+    pairwise self-join: after the sketch top-k, every downstream relation
+    is ≤ 2k rows per source pair.
 
     KMV set algebra (Beyer et al., "On Synopses for Distinct-Value
     Estimation Under Multiset Operations", SIGMOD'07): the k smallest
@@ -309,6 +315,20 @@ def kmv_source_overlap(
     ).otherwise(
         F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"), 4)
     )
+    if not exact:
+        # sketch-only scale mode: the gram self-join never happens —
+        # one distinct-gram scan builds the sketches, everything after
+        # is pair math on ≤ 2k rows per pair
+        return agg.select(
+            "source_a",
+            "source_b",
+            F.col("cnt").cast("long").alias("k_union"),
+            F.col("n_both").cast("long").alias("n_both"),
+            union_est.alias("union_est"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("jaccard_est"),
+        )
     # exact reference legs (what the sketch replaces at scale)
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.select(F.col("source").alias("source_a"), "h")

@@ -65,6 +65,42 @@ def uses_arrow_eval(df: DataFrame) -> bool:
     return "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partitionSpec in the optimized logical
+    plan — the shape that funnels the whole relation through one task at
+    scale (Spark warns ``WindowExec: No Partition Defined``).
+
+    A window whose input subtree contains a GlobalLimit is exempt: the
+    relation feeding it is bounded by construction (the pagination shape —
+    ORDER BY + LIMIT k, then row_number over the k rows), so the single
+    task sees k rows regardless of data scale. Everything else is a
+    100 TB defect; tests/test_plans.py sweeps every registered query with
+    this and fails on any hit (the abc_pareto r9 regression class).
+    """
+
+    def has_limit(node) -> bool:
+        if node.getClass().getSimpleName() in ("GlobalLimit", "Limit"):
+            return True
+        kids = node.children()
+        return any(has_limit(kids.apply(i)) for i in range(kids.size()))
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not has_limit(node)
+        ):
+            bad.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans in the EXECUTED plan.
 

@@ -5833,10 +5833,38 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_source_overlap(load_table(spark, sf_dir, "documents"))
 
 
-def _sql_source_overlap_kmv() -> str:
+def q_source_overlap_kmv_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY cross-source overlap — the registered 100 TB path:
+    identical sketch algebra, but the exact gram self-join the sketch
+    exists to avoid is never executed (``exact=False``). The unscaled
+    ``source_overlap_kmv`` stays registered as the accuracy reference
+    (the 17p/17r scale-twin pattern)."""
+    return sketches.kmv_source_overlap(
+        load_table(spark, sf_dir, "documents"), exact=False
+    )
+
+
+def _sql_source_overlap_kmv(exact: bool = True) -> str:
     from .operators.corpus import OVERLAP_NGRAM
     from .operators.sketches import HASH_SPACE, KMV_K
 
+    if not exact:
+        exact_ctes = ""
+        exact_cols = ""
+        exact_joins = ""
+    else:
+        exact_ctes = """,
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM sg GROUP BY 1),
+common AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
+           FROM sg a JOIN sg b USING (h)
+           WHERE a.source < b.source GROUP BY 1, 2)"""
+        exact_cols = """,
+       round(coalesce(c, 0)::DOUBLE
+             / (s1.n + s2.n - coalesce(c, 0))::DOUBLE, 6) AS jaccard_exact"""
+        exact_joins = """
+JOIN sizes s1 ON s1.source = agg.sa
+JOIN sizes s2 ON s2.source = agg.sb
+LEFT JOIN common ON common.sa = agg.sa AND common.sb = agg.sb"""
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_grams_sql(OVERLAP_NGRAM)} AS shingles
@@ -5863,28 +5891,21 @@ rk2 AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rk
         FROM uh),
 agg AS (SELECT sa, sb, count(*) AS cnt, max(h) AS kth,
                sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS nboth
-        FROM rk2 WHERE rk <= {KMV_K} GROUP BY 1, 2),
-sizes AS (SELECT source, count(*)::BIGINT AS n FROM sg GROUP BY 1),
-common AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
-           FROM sg a JOIN sg b USING (h)
-           WHERE a.source < b.source GROUP BY 1, 2)
+        FROM rk2 WHERE rk <= {KMV_K} GROUP BY 1, 2){exact_ctes}
 SELECT agg.sa AS source_a, agg.sb AS source_b,
        cnt::BIGINT AS k_union, nboth::BIGINT AS n_both,
        CASE WHEN cnt < {KMV_K} THEN cnt::DOUBLE
             ELSE round({float(KMV_K - 1)} * {HASH_SPACE} / kth, 4)
        END AS union_est,
-       round(nboth::DOUBLE / cnt::DOUBLE, 6) AS jaccard_est,
-       round(coalesce(c, 0)::DOUBLE
-             / (s1.n + s2.n - coalesce(c, 0))::DOUBLE, 6) AS jaccard_exact
-FROM agg
-JOIN sizes s1 ON s1.source = agg.sa
-JOIN sizes s2 ON s2.source = agg.sb
-LEFT JOIN common ON common.sa = agg.sa AND common.sb = agg.sb
+       round(nboth::DOUBLE / cnt::DOUBLE, 6) AS jaccard_est{exact_cols}
+FROM agg{exact_joins}
 """
 
 
 QUERIES["source_overlap_kmv"] = q_source_overlap_kmv
 ORACLE["source_overlap_kmv"] = _sql_source_overlap_kmv()
+QUERIES["source_overlap_kmv_scaled"] = q_source_overlap_kmv_scaled
+ORACLE["source_overlap_kmv_scaled"] = _sql_source_overlap_kmv(exact=False)
 
 
 def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -364,10 +364,20 @@ def read_probe_results(spark, out_path: str) -> DataFrame:
     index, so only acknowledged dirs are served); the epoch guard in
     ``ivf_probe_batch`` refuses a reset/swapped checkpoint outright, so
     stale higher-version dirs from an abandoned epoch can never silently
-    join the union."""
+    join the union.
+
+    Migration fallback: a sink written before the meta protocol existed
+    has committed ``v=`` dirs but no ``_probe_meta.json`` — those stay
+    readable (every committed dir acknowledged) until the next streamed
+    batch writes the first meta and the high-water rule takes over. Only
+    the FILE's absence triggers the fallback; a present meta at -1 (crash
+    before the first batch's ack) still hides everything."""
     if not os.path.isdir(out_path):
         raise FileNotFoundError(f"no probe results at {out_path!r}")
-    high_water = _read_probe_meta(out_path)["high_water"]
+    if os.path.isfile(os.path.join(out_path, _PROBE_META)):
+        high_water = _read_probe_meta(out_path)["high_water"]
+    else:
+        high_water = 2**63 - 1  # pre-meta sink: all committed dirs served
     dirs = sorted(
         v
         for name in os.listdir(out_path)
@@ -563,6 +573,12 @@ def pq_stream_compact(spark, pq_path: str) -> None:
         if floor > meta["compacted_through"]:
             meta["compacted_through"] = floor
             _write_pq_meta(pq_path, meta)
+        # prune unconditionally (growth_compact's shape): a crash between
+        # the base write and the meta write leaves folded deltas <= floor
+        # and superseded base generations behind; reads were already
+        # floor-based so this is garbage collection, not a state change —
+        # without it an idle stream never reclaims the folded dirs
+        _pq_prune_folded(pq_path, floor)
         return
     new_c = max(live)
     read_pq_codes(spark, pq_path).write.mode("overwrite").partitionBy(
@@ -570,6 +586,13 @@ def pq_stream_compact(spark, pq_path: str) -> None:
     ).parquet(f"{pq_path}/codes_base={new_c}")
     meta["compacted_through"] = new_c
     _write_pq_meta(pq_path, meta)
+    _pq_prune_folded(pq_path, new_c)
+
+
+def _pq_prune_folded(pq_path: str, new_c: int) -> None:
+    """Remove code deltas folded into ``codes_base=<new_c>`` and every
+    older base generation; safe after (or without) the meta write because
+    resolution reads deltas strictly ABOVE the newest base."""
     for v in _pq_delta_versions(pq_path):
         if v <= new_c:
             shutil.rmtree(os.path.join(pq_path, "codes_deltas", f"v={v}"))
@@ -615,6 +638,8 @@ def ivf_pq_stream_writer(
     pq_path: str,
     checkpoint_dir: str,
     compact_every: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ):
     """A configured ``writeStream`` (foreachBatch) that keeps BOTH halves
     of a deployed IVFPQ index fresh under a vector ingest stream — the
@@ -623,7 +648,9 @@ def ivf_pq_stream_writer(
     calls ``.start()``."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_pq_append_batch(batch_df, batch_id, index_path, pq_path)
+        ivf_pq_append_batch(
+            batch_df, batch_id, index_path, pq_path, id_col, vec_col
+        )
         if compact_every:
             meta = _read_meta(index_path)
             if meta["high_water"] - meta["compacted_through"] >= compact_every:

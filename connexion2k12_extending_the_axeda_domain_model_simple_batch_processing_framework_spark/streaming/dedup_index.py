@@ -273,6 +273,17 @@ def dedup_apply_batch(
     # meta last. Any crash window leaves the batch invisible and the
     # replay overwrites all dirs deterministically from the same prior
     # state (reads above are capped below batch_id).
+    #
+    # replay guard: if the FIRST attempt crashed after committing
+    # docs/v=b but before meta, that stale commit marker would keep the
+    # batch's docs visible while this replay overwrites merges/v=b —
+    # a concurrent reader in that window would resolve batch-b docs
+    # against torn merge edges (pre-merge cluster ids). Un-commit the
+    # stale docs dir up front so the whole batch stays invisible until
+    # the replay's own docs write re-commits it.
+    stale_marker = os.path.join(table_path, "docs", f"v={batch_id}", "_SUCCESS")
+    if os.path.isfile(stale_marker):
+        os.remove(stale_marker)
     new_buckets.write.mode("overwrite").parquet(
         f"{table_path}/buckets/v={batch_id}"
     )

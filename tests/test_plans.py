@@ -24,6 +24,21 @@ def dfs(spark):
     return {name: fn(spark, SF_DIR) for name, fn in q.QUERIES.items()}
 
 
+def test_no_unpartitioned_window_in_any_registered_query(dfs):
+    """Suite-wide contract: NO registered query may contain a Window with
+    an empty partitionSpec (the whole-relation-through-one-task shape that
+    reintroduced itself in r9's abc_pareto after being fixed in Q15 at r5).
+    Windows over a GlobalLimit-bounded subtree (pagination) are exempt —
+    see checks.unpartitioned_windows. Catching the next one at authoring
+    time is the point: this sweeps every entry, including future ones."""
+    bad = {
+        name: w
+        for name, df in dfs.items()
+        if (w := checks.unpartitioned_windows(df))
+    }
+    assert not bad, f"partition-less WindowExec in: {bad}"
+
+
 def test_q1_filter_pushed_to_scan_and_columns_pruned(dfs):
     df = dfs["q1_pricing_summary"]
     assert checks.has_pushed_filter(df, "l_shipdate"), checks.pushed_filters(df)

@@ -404,3 +404,57 @@ def test_streaming_dedup_drained_matches_batch(
         (r.doc_id, r.cluster_id) for r in dedup.dup_clusters(df).collect()
     }
     assert got == want
+
+
+_REVENUES = st.lists(
+    st.integers(min_value=1, max_value=500),  # cents → decimal(18,2)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_REVENUES)
+@settings(**_SETTINGS)
+def test_abc_pareto_knee_matches_bruteforce(spark, rows):
+    """The ABC boundary arithmetic (class A while 5·cum ≤ 4·total, B while
+    20·cum ≤ 19·total) against a brute-force Python classifier on exact
+    integer cents — pins the tie cases (equal revenues straddling the 80 %
+    line) and proves the two-phase range-partitioned cumsum equals the
+    single-window semantics on arbitrary (skewed, duplicate-heavy)
+    revenue distributions."""
+    from decimal import Decimal
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (i + 1, Decimal(c) / 100, Decimal(0))
+            for i, c in enumerate(rows)
+        ],
+        "l_partkey long, l_extendedprice decimal(18,2), l_discount decimal(18,2)",
+    )
+    part = spark.createDataFrame(
+        [(i + 1,) for i in range(len(rows))], "p_partkey long"
+    )
+    got = {
+        r.abc_class: (r.n_parts, round(r.class_revenue, 2))
+        for r in analytics.abc_pareto(li, part).collect()
+    }
+    # brute force on integer cents: revenue desc, partkey asc
+    order = sorted(
+        ((c, i + 1) for i, c in enumerate(rows)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    total = sum(c for c, _ in order)
+    want: dict[str, list[int]] = {}
+    cum = 0
+    for c, _pk in order:
+        cum += c
+        cls = "A" if 5 * cum <= 4 * total else ("B" if 20 * cum <= 19 * total else "C")
+        want.setdefault(cls, []).append(c)
+    expect = {
+        cls: (len(cs), round(sum(cs) / 100.0, 2)) for cls, cs in want.items()
+    }
+    assert got == expect

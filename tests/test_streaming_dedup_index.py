@@ -268,3 +268,54 @@ def test_dedup_stream_writer_end_to_end(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = _clusters(dedup_index.read_dup_clusters(spark, tbl))
     assert got == _batch_clusters(docs)
+
+
+def test_dedup_replay_uncommits_stale_docs_before_merge_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """The r9-advice recovery window: the first attempt at a merge-bearing
+    batch committed docs/v=1 but crashed before meta; if the REPLAY then
+    crashes mid-merges-rewrite, a concurrent reader must still see the
+    table as if the batch never ran — never batch-1 docs resolved against
+    torn (pre-merge) edges. The apply un-commits the stale docs dir up
+    front, and version visibility keys on the docs marker, so the whole
+    version vanishes for the entire replay window."""
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u = "oak beta gamma delta epsilon elm eta theta iota kappa"
+    w = "alpha beta gamma delta epsilon elm eta theta iota kappa"  # bridge
+    b0 = spark.createDataFrame(
+        [_doc(1, t), _doc(2, t), _doc(10, u), _doc(11, u)], _SCHEMA
+    ).select("doc_id", "text")
+    b1 = spark.createDataFrame([_doc(5, w)], _SCHEMA).select("doc_id", "text")
+    tbl = str(tmp_path / "dd")
+    assert dedup_index.dedup_apply_batch(b0, 0, tbl)
+    rep0 = _clusters(dedup_index.read_dup_clusters(spark, tbl))
+    assert dedup_index.dedup_apply_batch(b1, 1, tbl)  # merges (1,10)
+    want = _clusters(dedup_index.read_dup_clusters(spark, tbl))
+    assert want == {(1, 1), (2, 1), (5, 1), (10, 1), (11, 1)}
+
+    # crash 1: meta write lost AFTER docs/v=1 committed
+    dedup_index._write_meta(tbl, {"high_water": 0, "compacted_through": -1})
+    # crash 2: the replay dies exactly at the merges/v=1 rewrite
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+
+    def crashing(self, path, *a, **kw):
+        if path.endswith("merges/v=1"):
+            raise RuntimeError("simulated crash mid-merges rewrite")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_index.dedup_apply_batch(b1, 1, tbl)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # the stale docs commit marker is gone: reads == the pre-batch table
+    # (pre-fix, this window served doc 5 labeled 1 while 10/11 still
+    # resolved to cluster 10 — the torn pre-merge view)
+    assert not os.path.isfile(os.path.join(tbl, "docs", "v=1", "_SUCCESS"))
+    assert _clusters(dedup_index.read_dup_clusters(spark, tbl)) == rep0
+    # and the next clean replay converges
+    assert dedup_index.dedup_apply_batch(b1, 1, tbl)
+    assert _clusters(dedup_index.read_dup_clusters(spark, tbl)) == want

@@ -220,3 +220,66 @@ def test_ivfpq_stream_writer_end_to_end(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     want, _ = _batch_codes(cent, base_assign, books, new_df)
     assert _code_set(ann_index.read_pq_codes(spark, pq)) == _code_set(want)
+
+
+def test_pq_compact_idle_stream_reclaims_folded_deltas(
+    spark, sf_dir, tmp_path
+):
+    """Crash between the base write and the meta write, then NO further
+    ingest: the next compact's no-live branch must still prune the folded
+    delta dirs (reads were already floor-based — this is pure garbage
+    collection an idle stream would otherwise never perform)."""
+    emb, cent, base_assign, books, new_df, idx, pq = _mini_ivfpq(
+        spark, sf_dir, tmp_path
+    )
+    b0 = new_df.filter(F.col("vec_id") % 2 == 0)
+    b1 = new_df.filter(F.col("vec_id") % 2 == 1)
+    assert ann_index.ivf_pq_append_batch(b0, 0, idx, pq)
+    assert ann_index.ivf_pq_append_batch(b1, 1, idx, pq)
+    want = _code_set(ann_index.read_pq_codes(spark, pq))
+
+    # simulate the crash state by hand: base=1 committed, meta stale,
+    # folded deltas v=0/v=1 still on disk
+    ann_index.read_pq_codes(spark, pq).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{pq}/codes_base=1")
+    assert ann_index._pq_delta_versions(pq) == [0, 1]
+    assert _code_set(ann_index.read_pq_codes(spark, pq)) == want
+
+    ann_index.pq_stream_compact(spark, pq)  # no live deltas
+    assert ann_index._read_pq_meta(pq)["compacted_through"] == 1
+    assert ann_index._pq_delta_versions(pq) == []  # reclaimed
+    assert _code_set(ann_index.read_pq_codes(spark, pq)) == want
+
+
+def test_read_probe_results_pre_meta_sink_stays_readable(
+    spark, sf_dir, tmp_path
+):
+    """Migration fallback: a probe sink written before the r9 meta
+    protocol has committed v= dirs and no _probe_meta.json — every
+    committed dir is served until the first post-upgrade batch writes the
+    meta and the high-water rule takes over. A PRESENT meta at -1 (crash
+    before the first ack) still hides everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cent, base_assign = similarity.ivf_build(base, nlist=8, iters=2)
+    idx = str(tmp_path / "idx")
+    similarity.ivf_save(cent, base_assign, idx)
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    out = str(tmp_path / "probe_out")
+    assert ann_index.ivf_probe_batch(queries, 0, idx, out, k=5)
+    want = sorted(
+        ann_index.read_probe_results(spark, out).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    # pre-meta sink: delete the meta file → still readable, same rows
+    os.remove(os.path.join(out, ann_index._PROBE_META))
+    got = sorted(
+        ann_index.read_probe_results(spark, out).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert got == want
+    # present-but-unacknowledging meta keeps hiding committed dirs
+    ann_index._write_probe_meta(out, {"high_water": -1})
+    with pytest.raises(FileNotFoundError):
+        ann_index.read_probe_results(spark, out)
