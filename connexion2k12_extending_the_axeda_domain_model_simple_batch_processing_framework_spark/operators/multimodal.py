@@ -861,3 +861,612 @@ def frame_dedup(frames: DataFrame) -> DataFrame:
             F.col("__c.frame_idx").cast("long").alias("canon_frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# image tier: real baseline JPEG (JFIF, SOF0 Huffman) behind the same
+# Arrow contract — the most common real-world payload a 100 TB multimodal
+# corpus carries. Stdlib+numpy only (the PNG recipe): Annex K Huffman
+# tables, float DCT, 4:4:4 / grayscale; progressive (SOF2), arithmetic
+# (SOF9+), 12-bit, and subsampled streams reject-route through
+# UnsupportedCodecError — the path a native-codec build would widen.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG: list[int] = []  # generated: natural index per zigzag position
+
+
+def _zigzag_order() -> list[int]:
+    """The JPEG zigzag scan as natural (row*8+col) indices, generated by
+    the diagonal walk instead of transcribed (64 constants invite typos)."""
+    if _JPEG_ZIGZAG:
+        return _JPEG_ZIGZAG
+    r = c = 0
+    up = True
+    for _ in range(64):
+        _JPEG_ZIGZAG.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r += 1
+                up = False
+            elif r == 0:
+                c += 1
+                up = False
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+                up = True
+            elif c == 0:
+                r += 1
+                up = True
+            else:
+                r += 1
+                c -= 1
+    return _JPEG_ZIGZAG
+
+
+# ITU-T T.81 Annex K typical Huffman tables: (BITS[1..16], HUFFVAL).
+# Encoder and decoder both consume the DHT segments, so the tables only
+# need to be valid canonical prefix codes — which BITS/HUFFVAL are by
+# construction — and byte-identical between the two ends by design.
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II basis; F = A·V·Aᵀ, V = Aᵀ·F·A."""
+    import numpy as np
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 / (2.0 ** 0.5)) if u == 0 else 0.5
+        for x in range(8):
+            A[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return A
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill to the byte edge
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, offset bits) for a DC diff / AC level (F.1.2.1:
+    negatives are stored as v-1 in ``size`` low bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(px: "np.ndarray") -> "np.ndarray":
+    """JFIF (BT.601 full-range) forward conversion, floor(x+0.5) rounding
+    so the oracle can replicate it in SQL (no banker's rounding)."""
+    import numpy as np
+
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(px: "np.ndarray") -> "np.ndarray":
+    """JFIF inverse conversion, floor(x+0.5) rounding + clamp."""
+    import numpy as np
+
+    y = px[:, :, 0].astype(np.float64)
+    cb = px[:, :, 1].astype(np.float64) - 128.0
+    cr = px[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 3,
+    quant: int = 1,
+) -> bytes:
+    """Serialize a baseline JFIF JPEG (SOF0, 4:4:4, Annex K Huffman
+    tables, flat quantization ``quant`` for every coefficient) — the
+    test-vector generator for the real decode below, the PNG recipe.
+    ``quant=1`` makes FLAT 8×8 blocks round-trip exactly (the DCT of a
+    constant block is DC-only and the DC is an exact multiple of 1), so
+    a flat-tile corpus stays oracle-checkable even though JPEG is lossy
+    in general. Edge dimensions are replicate-padded to 8-multiples."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(raster) != width * height * channels:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, need {width}x{height}x{channels}"
+        )
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    comps = _rgb_to_ycbcr(px) if channels == 3 else px
+    A = _dct_matrix()
+    zz = _zigzag_order()
+    qtab = np.full(64, quant, dtype=np.int64)
+    pad_w = (width + 7) // 8 * 8
+    pad_h = (height + 7) // 8 * 8
+    padded = np.empty((pad_h, pad_w, channels), dtype=np.uint8)
+    padded[:height, :width] = comps
+    padded[height:, :width] = comps[-1:, :, :]
+    padded[:, width:] = padded[:, width - 1 : width, :]
+
+    dc_tabs = [_huff_codes(*_JPEG_DC_LUM)] + [_huff_codes(*_JPEG_DC_CHR)] * 2
+    ac_tabs = [_huff_codes(*_JPEG_AC_LUM)] + [_huff_codes(*_JPEG_AC_CHR)] * 2
+    w = _BitWriter()
+    pred = [0] * channels
+    for by in range(0, pad_h, 8):
+        for bx in range(0, pad_w, 8):
+            for c in range(channels):
+                block = padded[by : by + 8, bx : bx + 8, c].astype(np.float64)
+                F2 = A @ (block - 128.0) @ A.T
+                q = np.floor(F2.flatten() / quant + 0.5).astype(np.int64)
+                zzq = q[zz]
+                diff = int(zzq[0]) - pred[c]
+                pred[c] = int(zzq[0])
+                size, bits = _jpeg_magnitude(diff)
+                code, ln = dc_tabs[c][size]
+                w.put(code, ln)
+                if size:
+                    w.put(bits, size)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zzq[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    v = int(zzq[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[c][0xF0]  # ZRL
+                        w.put(code, ln)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, ln = ac_tabs[c][(run << 4) | size]
+                    w.put(code, ln)
+                    w.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[c][0x00]  # EOB
+                    w.put(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qz = bytes(int(qtab[i]) for i in range(64))  # stored in zigzag order
+    out += seg(0xDB, b"\x00" + qz)  # DQT id 0 (luma)
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + qz)  # DQT id 1 (chroma)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4
+    out += seg(0xC0, sof)  # SOF0 baseline
+    for tclass, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUM),
+        (1, 0, _JPEG_AC_LUM),
+        (0, 1, _JPEG_DC_CHR),
+        (1, 1, _JPEG_AC_CHR),
+    )[: 2 if channels == 1 else 4]:
+        out += seg(
+            0xC4,
+            bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals),
+        )
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 un-stuffing; an unexpected
+    marker inside the scan raises ValueError (truncated stream)."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("entropy stream exhausted mid-block")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("dangling 0xFF at end of scan")
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value decode map from a DHT's BITS/HUFFVAL."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(r: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` offset bits to a signed level."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """A REAL (pure-python, stdlib+numpy) baseline JPEG decoder: marker
+    walk, DQT/DHT/SOF0/SOS parsing, Huffman entropy decode with byte
+    un-stuffing and restart-marker handling, dequantization, zigzag
+    inversion, float IDCT, level shift, and JFIF YCbCr→RGB conversion.
+    Supports 8-bit baseline (SOF0) grayscale and 4:4:4 color; progressive
+    (SOF2), arithmetic-coded (SOF9+), hierarchical, 12-bit, and
+    chroma-subsampled streams raise UnsupportedCodecError (the routes a
+    native-codec build would widen); malformed streams raise ValueError.
+    Returns (width, height, channels, RGB/gray raster bytes)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedCodecError(
+            f"unsupported codec magic {payload[:4]!r} (JPEG SOI expected)"
+        )
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + size]
+        if len(data) != size - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        if marker == 0xDB:  # DQT
+            dpos = 0
+            while dpos < len(data):
+                prec, tid = data[dpos] >> 4, data[dpos] & 0xF
+                if prec:
+                    raise UnsupportedCodecError("16-bit quant tables not supported")
+                qtabs[tid] = np.frombuffer(
+                    data[dpos + 1 : dpos + 65], dtype=np.uint8
+                ).astype(np.int64)
+                dpos += 65
+        elif marker == 0xC4:  # DHT
+            dpos = 0
+            while dpos < len(data):
+                tclass, tid = data[dpos] >> 4, data[dpos] & 0xF
+                bits = list(data[dpos + 1 : dpos + 17])
+                n = sum(bits)
+                vals = list(data[dpos + 17 : dpos + 17 + n])
+                htabs[(tclass, tid)] = _huff_decoder(bits, vals)
+                dpos += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            sof = data
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {
+                0xC2: "progressive (SOF2)",
+                0xC9: "arithmetic-coded (SOF9)",
+                0xCA: "arithmetic progressive (SOF10)",
+            }.get(marker, f"SOF{marker - 0xC0}")
+            raise UnsupportedCodecError(f"{kind} JPEG not supported (baseline only)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            scan = (data, pos + 2 + size)
+            break
+        pos += 2 + size
+    if sof is None or scan is None:
+        raise ValueError("missing SOF0 or SOS segment")
+    depth, height, width, ncomp = struct.unpack(">BHHB", sof[:6])
+    if depth != 8:
+        raise UnsupportedCodecError(f"{depth}-bit JPEG not supported (8 only)")
+    if ncomp not in (1, 3):
+        raise UnsupportedCodecError(f"{ncomp}-component JPEG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions {width}x{height}")
+    comps = []
+    for c in range(ncomp):
+        cid, samp, qid = sof[6 + 3 * c : 9 + 3 * c]
+        if samp != 0x11:
+            raise UnsupportedCodecError(
+                "chroma-subsampled JPEG not supported (4:4:4 only)"
+            )
+        if qid not in qtabs:
+            raise ValueError(f"component {cid} references missing quant table {qid}")
+        comps.append((cid, qtabs[qid]))
+    sos_data, epos = scan
+    ns = sos_data[0]
+    if ns != ncomp:
+        raise UnsupportedCodecError("multi-scan JPEG not supported (interleaved only)")
+    ctabs = []
+    for c in range(ns):
+        cid, tsel = sos_data[1 + 2 * c : 3 + 2 * c]
+        dc_t = htabs.get((0, tsel >> 4))
+        ac_t = htabs.get((1, tsel & 0xF))
+        if dc_t is None or ac_t is None:
+            raise ValueError(f"scan component {cid} references missing DHT")
+        ctabs.append((dc_t, ac_t))
+
+    # entropy segment runs to EOI; restart markers are consumed inline
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI marker")
+    entropy = payload[epos:end]
+
+    A = _dct_matrix()
+    zz = np.array(_zigzag_order(), dtype=np.int64)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    planes = np.zeros((bh * 8, bw * 8, ncomp), dtype=np.uint8)
+    pred = [0] * ncomp
+    r = _BitReader(entropy)
+    mcu = 0
+    seg_pos = 0  # reader restart bookkeeping
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align and consume the RSTn marker
+                r.n = 0
+                p = seg_pos + r.pos
+                while p + 1 < len(entropy) and entropy[p] == 0xFF and (
+                    0xD0 <= entropy[p + 1] <= 0xD7
+                ):
+                    p += 2
+                    break
+                if p == seg_pos + r.pos:
+                    raise ValueError(f"missing restart marker before MCU {mcu}")
+                r = _BitReader(entropy[p:])
+                seg_pos = p
+                pred = [0] * ncomp
+            for c in range(ncomp):
+                dc_t, ac_t = ctabs[c]
+                size = _huff_read(r, dc_t)
+                diff = _extend(r.bits(size), size) if size else 0
+                pred[c] += diff
+                coef = np.zeros(64, dtype=np.int64)
+                coef[0] = pred[c]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(r, ac_t)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coef[k] = _extend(r.bits(size), size)
+                    k += 1
+                deq = (coef * comps[c][1]).astype(np.float64)
+                block = np.zeros(64)
+                block[zz] = deq
+                pix = A.T @ block.reshape(8, 8) @ A + 128.0
+                planes[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
+                ] = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
+            mcu += 1
+    img = planes[:height, :width, :]
+    if ncomp == 3:
+        img = _ycbcr_to_rgb(img)
+    return width, height, ncomp, img.tobytes()
+
+
+JPEG_DECODED_SCHEMA = PNG_DECODED_SCHEMA  # same report shape
+
+
+def decode_jpeg(media: DataFrame, on_error: str = "route") -> DataFrame:
+    """Decode the payload column as baseline JPEG and emit per-channel
+    pixel means — the lossy-format sibling of ``decode_png``, same Arrow
+    ``mapInPandas`` contract: columnar batches, bounded memory, partition
+    preserved, no shuffle. Grayscale reports its mean in mean_r with
+    mean_g/mean_b NULL. Same reject-routing/fail-fast error topology as
+    the other decoders (progressive/arithmetic/subsampled streams land
+    in ``err`` under ``on_error='route'``)."""
+    import numpy as np
+
+    if on_error not in ("route", "raise"):
+        raise ValueError(f"on_error must be 'route' or 'raise', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "channels", "mean_r", "mean_g", "mean_b", "err")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", *cols)}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, ch, raster = _decode_jpeg(bytes(buf))
+                    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
+                    sums = px.astype(np.int64).sum(axis=0)
+                    n = len(px)
+                    means = [
+                        float(np.floor(s / n * 1e6 + 0.5) / 1e6) for s in sums
+                    ]
+                    while len(means) < 3:
+                        means.append(None)
+                    vals = [w, h, ch, *means, None]
+                except (UnsupportedCodecError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    vals = [None] * 6 + [str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
+
+
+def with_jpeg_payload(documents: DataFrame) -> DataFrame:
+    """Deterministic JPEG test corpus: per doc a FLAT 16×16 RGB tile whose
+    color is the first three bytes of md5(text), serialized by the real
+    baseline encoder at flat quantization 1. A flat tile's DCT is DC-only
+    and quant=1 keeps the DC exact, so the decoded pixels equal the
+    double color conversion RGB→YCbCr→RGB (floor(x+0.5) rounding both
+    ways) — a pure formula DuckDB replays from md5(text), which keeps the
+    registered query oracle-checked even though JPEG is lossy in general
+    (the encoder's AC/Huffman paths are exercised by the non-flat pytest
+    round-trips)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                d = hashlib.md5((text or "").encode("utf-8")).digest()
+                payloads.append(
+                    encode_jpeg(
+                        PPM_TILE_W, PPM_TILE_H, bytes(d[:3]) * (PPM_TILE_W * PPM_TILE_H)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )

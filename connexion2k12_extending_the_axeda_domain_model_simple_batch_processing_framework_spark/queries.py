@@ -5520,6 +5520,56 @@ QUERIES["png_decode"] = q_png_decode
 ORACLE["png_decode"] = SQL_PNG_DECODE
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode over the multimodal tier
+    (operators.multimodal.decode_jpeg): per doc a flat 16×16 RGB tile
+    colored by md5(text)'s first three bytes, serialized by the real
+    SOF0 encoder (Annex K Huffman tables, flat quantization 1) — the
+    decode walks markers, Huffman-decodes the entropy segment with byte
+    un-stuffing, dequantizes, inverts the zigzag, runs the float IDCT
+    and the JFIF color transform. Flat tiles round-trip the DCT exactly,
+    so the oracle replays ONLY the double RGB→YCbCr→RGB conversion
+    (floor(x+0.5) rounding, float64 both sides) from the same md5 bytes;
+    the lossy AC/Huffman paths are pinned by pytest round-trips."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_jpeg(multimodal.with_jpeg_payload(docs))
+
+
+def _sql_jpeg_decode() -> str:
+    def hx(pos: int) -> str:
+        return f"('0x' || substr(h, {pos}, 2))::BIGINT::DOUBLE"
+
+    clamp = "least(greatest(floor({x} + 0.5), 0), 255)"
+    y = clamp.format(x="0.299 * r + 0.587 * g + 0.114 * b")
+    cb = clamp.format(
+        x="128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b"
+    )
+    cr = clamp.format(
+        x="128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b"
+    )
+    r2 = clamp.format(x="y + 1.402 * (cr - 128.0)")
+    g2 = clamp.format(
+        x="y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)"
+    )
+    b2 = clamp.format(x="y + 1.772 * (cb - 128.0)")
+    return f"""
+WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+rgb AS (SELECT doc_id, {hx(1)} AS r, {hx(3)} AS g, {hx(5)} AS b FROM d),
+ycc AS (SELECT doc_id, {y} AS y, {cb} AS cb, {cr} AS cr FROM rgb)
+SELECT doc_id::BIGINT AS doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+       3::BIGINT AS channels,
+       {r2} AS mean_r, {g2} AS mean_g, {b2} AS mean_b,
+       NULL::VARCHAR AS err
+FROM ycc
+"""
+
+
+QUERIES["jpeg_decode"] = q_jpeg_decode
+ORACLE["jpeg_decode"] = _sql_jpeg_decode()
+
+
 SCD2_DIFF_T1 = "2024-01-10 00:00:00"
 SCD2_DIFF_T2 = "2024-01-20 00:00:00"
 

@@ -342,3 +342,124 @@ def test_decode_png_matches_ppm_decode_and_routes(spark):
     assert "unsupported codec" in routed[0].err
     with pytest.raises(Exception):
         mm.decode_png(media, on_error="raise").collect()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (SOF0) codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_tile_roundtrip_exact():
+    """A flat tile at quant=1 round-trips to EXACTLY the double color
+    conversion (DCT of a constant block is DC-only, DC exact) — the
+    property the registered oracle relies on."""
+    import numpy as np
+
+    rgb = bytes([100, 150, 200]) * 256
+    w, h, ch, out = mm._decode_jpeg(mm.encode_jpeg(16, 16, rgb))
+    assert (w, h, ch) == (16, 16, 3)
+    px = np.frombuffer(out, dtype=np.uint8).reshape(-1, 3)
+    exp = mm._ycbcr_to_rgb(
+        mm._rgb_to_ycbcr(np.array([[[100, 150, 200]]], dtype=np.uint8))
+    )[0, 0]
+    assert (px == exp).all()
+
+
+def test_jpeg_roundtrip_property():
+    """Arbitrary rasters through the full lossy pipeline (DCT + quantize
+    + Huffman + IDCT + two color transforms): per-pixel error stays
+    within the quant=1 rounding envelope — this is the test that drives
+    the AC coefficient and Huffman run/size paths for real."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 8), (24, 16), (17, 9)]:  # incl. non-multiple-of-8
+        r = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        ww, hh, ch, out = mm._decode_jpeg(mm.encode_jpeg(w, h, r.tobytes()))
+        assert (ww, hh, ch) == (w, h, 3)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+        err = np.abs(got.astype(int) - r.astype(int))
+        # quant=1: DCT round-off + two rounded color transforms; the
+        # worst case observed across seeds is 4
+        assert err.max() <= 6, err.max()
+
+
+def test_jpeg_grayscale_roundtrip_exact_at_quant1():
+    import numpy as np
+
+    g = bytes(range(64)) * 4  # 16x16 gray ramp
+    w, h, ch, out = mm._decode_jpeg(mm.encode_jpeg(16, 16, g, channels=1))
+    assert (w, h, ch) == (16, 16, 1)
+    got = np.frombuffer(out, dtype=np.uint8)
+    err = np.abs(got.astype(int) - np.frombuffer(g, dtype=np.uint8).astype(int))
+    assert err.max() <= 1  # no color transform; DCT round-off only
+
+
+def test_jpeg_decoder_rejects_malformed_and_unsupported():
+    rgb = bytes([1, 2, 3]) * 256
+    good = mm.encode_jpeg(16, 16, rgb)
+    # wrong magic routes as unsupported codec
+    with pytest.raises(mm.UnsupportedCodecError):
+        mm._decode_jpeg(b"\x89PNG\r\n\x1a\n" + good)
+    # progressive (SOF2) routes as unsupported, not malformed
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(mm.UnsupportedCodecError, match="progressive"):
+        mm._decode_jpeg(prog)
+    # arithmetic-coded (SOF9)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(mm.UnsupportedCodecError, match="arithmetic"):
+        mm._decode_jpeg(arith)
+    # chroma subsampling (patch Y sampling factors 0x11 -> 0x22)
+    i = good.find(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[i + 11] = 0x22  # first component's h/v sampling (FFC0 len2 prec H2 W2 n id → samp)
+    with pytest.raises(mm.UnsupportedCodecError, match="subsampled"):
+        mm._decode_jpeg(bytes(sub))
+    # truncated entropy stream is malformed, not unsupported
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(good[:-20] + b"\xff\xd9")
+    # missing EOI
+    with pytest.raises(ValueError, match="EOI"):
+        mm._decode_jpeg(good[:-2])
+
+
+def test_decode_jpeg_end_to_end_and_routing(spark):
+    """The registered corpus through the Arrow contract: real docs decode
+    to the double-converted md5 color; a poisoned payload routes to err
+    under 'route' and raises under 'raise'; plan stays Arrow-only."""
+    import hashlib
+
+    import numpy as np
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.plans import (
+        checks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    media = mm.with_jpeg_payload(docs)
+    out = {r.doc_id: r for r in mm.decode_jpeg(media).collect()}
+    for doc_id, text in [(1, "alpha beta"), (2, "")]:
+        d = hashlib.md5(text.encode()).digest()
+        exp = mm._ycbcr_to_rgb(
+            mm._rgb_to_ycbcr(np.array([[list(d[:3])]], dtype=np.uint8))
+        )[0, 0]
+        r = out[doc_id]
+        assert (r.width, r.height, r.channels) == (16, 16, 3)
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(float(x) for x in exp)
+        assert r.err is None
+    # poisoned payload: routed with the reason, others unaffected
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"MP3\x00not a jpeg"))], "doc_id long, payload binary"
+    )
+    routed = {r.doc_id: r for r in mm.decode_jpeg(media.unionByName(bad)).collect()}
+    assert routed[9].err is not None and "magic" in routed[9].err
+    assert routed[1].err is None
+    with pytest.raises(Exception):
+        mm.decode_jpeg(media.unionByName(bad), on_error="raise").collect()
+    # plan: Arrow evaluation, no row-python, no shuffle
+    df = mm.decode_jpeg(media)
+    assert checks.uses_arrow_eval(df)
+    assert not checks.uses_python_eval(df)
+    assert checks.count_shuffle_exchanges(df) == 0
