@@ -166,3 +166,115 @@ def distinct_users_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- robust MAD screen (bottom-k-by-hash reservoir in state) ---------------
+
+from ..operators.analytics import MAD_K  # noqa: E402  (one threshold, batch + stream)
+
+#: per-type reservoir size: the k smallest event-id hashes and their
+#: values — a deterministic uniform sample (the KMV trick applied to
+#: sampling), MERGEABLE across micro-batches (folding new pairs in is the
+#: same op as merging two reservoirs) and bounded at ~4 KB per event type
+#: regardless of stream length.
+MAD_RESERVOIR_K = 512
+
+MAD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("hs", T.ArrayType(T.LongType()), False),
+        T.StructField("vs", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+MAD_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("med_value", T.DoubleType(), False),
+        T.StructField("mad_value", T.DoubleType(), False),
+        T.StructField("n_outliers", T.LongType(), False),
+        T.StructField("outlier_frac", T.DoubleType(), False),
+    ]
+)
+
+
+def _rank_median(vals: list[float]) -> float:
+    """The discrete value-at-rank median ``approx_percentile`` returns in
+    its exact regime: sorted[floor(0.5 * (n - 1))] (QuantileSummaries'
+    rank rule) — matching it makes the drained stream EQUAL the batch
+    operator whenever the reservoir holds every value."""
+    s = sorted(vals)
+    return s[(len(s) - 1) // 2]
+
+
+def _mad_group(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        n, hs, vs = state.get
+        pairs = list(zip(hs, vs))
+    else:
+        n, pairs = 0, []
+    grew = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        pairs.extend(zip((int(h) for h in pdf["h"]), (float(v) for v in pdf["value"])))
+        grew = True
+    if grew:
+        pairs.sort()
+        pairs = pairs[:MAD_RESERVOIR_K]
+        state.update((n, [p[0] for p in pairs], [p[1] for p in pairs]))
+    if not pairs:
+        return
+    vals = [p[1] for p in pairs]
+    med = _rank_median(vals)
+    mad = _rank_median([abs(v - med) for v in vals])
+    n_out_sample = sum(1 for v in vals if abs(v - med) > MAD_K * mad)
+    frac = round(n_out_sample / len(vals), 6)
+    # scaled outlier count: exact whenever the reservoir holds the whole
+    # history (n <= MAD_RESERVOIR_K); a sample-rate estimate beyond
+    n_out = int(n * n_out_sample / len(vals) + 0.5)
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "med_value": [med],
+            "mad_value": [mad],
+            "n_outliers": [n_out],
+            "outlier_frac": [frac],
+        }
+    )
+
+
+def mad_anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-type robust MAD screen — the streaming twin of
+    ``analytics.mad_anomalies`` (the batch screen got its z-score twin at
+    r3; this is the 50%-breakdown version). A stream cannot re-scan
+    history for an exact median, so each event type keeps a
+    bottom-``MAD_RESERVOIR_K``-by-hash reservoir of values in keyed
+    state: deterministic (md5 of event_id — batch replays fold to the
+    same sample), mergeable, O(K) per key. Every micro-batch emits the
+    type's refreshed summary (update mode) with median/MAD computed by
+    the exact discrete rank rule over the reservoir.
+
+    Accuracy contract: drained ≡ batch EXACTLY while a type's history
+    fits the reservoir (pinned in tests); beyond that the sample is
+    uniform-by-hash, so median/MAD carry standard order-statistic
+    sampling error (O(1/sqrt(K)) quantile deviation) and n_outliers
+    becomes a sample-rate estimate — n itself stays exact."""
+    keyed = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        hex_hash64(F.col("event_id").cast("string")).alias("h"),
+        "value",
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _mad_group,
+        outputStructType=MAD_OUT_SCHEMA,
+        stateStructType=MAD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -106,3 +106,94 @@ def test_distinct_users_stream_kmv_matches_small_exact(spark, tmp_path):
     ).collect()
     # final refresh of the window covers users 1..20 = 20 distinct
     assert rows[-1].distinct_estimate == 20.0
+
+
+# --- streaming MAD screen ---------------------------------------------------
+
+MAD_SCHEMA = "event_type string, event_id long, value double, event_time timestamp"
+
+
+def _mev(et, eid, value, ts="2026-01-01T10:00:00"):
+    return {"event_type": et, "event_id": eid, "value": value, "event_time": ts}
+
+
+def _run_mad(spark, src, tmp_path, name):
+    stream = (
+        spark.readStream.schema(MAD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        anomaly.mad_anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # update mode: the freshest summary per type is the one with max n
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.n > last[r.event_type].n:
+            last[r.event_type] = r
+    return last
+
+
+def test_mad_stream_drained_equals_batch_small(spark, tmp_path):
+    """While each type's history fits the reservoir, the drained stream
+    must EQUAL the batch mad_anomalies summary (same discrete rank-median,
+    exact counts) — including a cross-micro-batch fold."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    rows = [_mev("view", i, 10.0 + (i % 7) * 0.5) for i in range(40)]
+    rows += [_mev("view", 100 + i, 400.0 + i) for i in range(2)]  # outliers
+    rows += [_mev("click", 200 + i, float(i * i % 13)) for i in range(25)]
+    src = tmp_path / "madsrc"
+    src.mkdir()
+    _write(src / "f0.json", rows[:30])
+    _write(src / "f1.json", rows[30:])
+    got = _run_mad(spark, src, tmp_path, "mad1")
+
+    batch_df = spark.createDataFrame(
+        [(r["event_type"], r["event_id"], r["value"]) for r in rows],
+        "event_type string, event_id long, value double",
+    )
+    want = {r.event_type: r for r in analytics.mad_anomalies(batch_df).collect()}
+    assert set(got) == set(want)
+    for et in want:
+        g, w = got[et], want[et]
+        assert (g.n, g.med_value, g.mad_value, g.n_outliers, g.outlier_frac) == (
+            w.n, w.med_value, w.mad_value, w.n_outliers, w.outlier_frac
+        ), et
+
+
+def test_mad_stream_reservoir_bounds_state_beyond_k(spark, tmp_path):
+    """Above MAD_RESERVOIR_K values the state stays bounded and the
+    summary follows the documented deterministic sample contract: median/
+    MAD over the bottom-K-by-md5(event_id) values, n exact."""
+    import hashlib
+
+    n_total = anomaly.MAD_RESERVOIR_K + 300
+    rows = [_mev("view", i, float((i * 37) % 1000)) for i in range(n_total)]
+    src = tmp_path / "madsrc2"
+    src.mkdir()
+    _write(src / "f0.json", rows[:600])
+    _write(src / "f1.json", rows[600:])
+    got = _run_mad(spark, src, tmp_path, "mad2")["view"]
+    assert got.n == n_total  # exact count survives sampling
+
+    def h(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16)
+
+    sample = sorted(((h(r["event_id"]), r["value"]) for r in rows))[
+        : anomaly.MAD_RESERVOIR_K
+    ]
+    vals = [v for _h, v in sample]
+    med = anomaly._rank_median(vals)
+    mad = anomaly._rank_median([abs(v - med) for v in vals])
+    assert (got.med_value, got.mad_value) == (med, mad)
