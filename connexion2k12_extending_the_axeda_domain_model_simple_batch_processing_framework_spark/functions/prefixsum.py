@@ -63,14 +63,15 @@ def bucket_prefix_offsets(
 
 def ordered_cumsum(
     df: DataFrame,
-    value_col: str,
+    value_col: str | list[str],
     range_col: str,
     tiebreak_cols: list[str],
-    out_col: str = "cum",
+    out_col: str | list[str] = "cum",
     n_buckets: int = PREFIX_BUCKETS,
     descending: bool = False,
 ) -> DataFrame:
-    """Global cumulative sum of ``value_col`` in ``(range_col [desc],
+    """Global cumulative sum of ``value_col`` (one column or a list —
+    every cumulative rides the SAME bucket pass) in ``(range_col [desc],
     *tiebreak_cols asc)`` order, without a partition-less Window.
 
     Pass 0 sketches ``n_buckets - 1`` range cut points with one
@@ -87,6 +88,10 @@ def ordered_cumsum(
     """
     if n_buckets < 2:
         raise ValueError("ordered_cumsum needs n_buckets >= 2")
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lengths differ")
     probs = ", ".join(f"{i / n_buckets!r}D" for i in range(1, n_buckets))
     cuts = df.agg(
         F.expr(
@@ -104,18 +109,24 @@ def ordered_cumsum(
         F.lit(0),
     )
     d = df.crossJoin(F.broadcast(cuts)).withColumn("__b", bucket).drop("__cuts")
-    totals = d.groupBy("__b").agg(F.sum(value_col).alias("__btot"))
-    offsets = bucket_prefix_offsets(totals, "__b", "__btot").select(
-        "__b", "__boff"
+    totals = d.groupBy("__b").agg(
+        *[F.sum(v).alias(f"__btot{i}") for i, v in enumerate(value_cols)]
     )
+    offsets = None
+    for i in range(len(value_cols)):
+        off_i = bucket_prefix_offsets(
+            totals.select("__b", f"__btot{i}"), "__b", f"__btot{i}", f"__boff{i}"
+        ).select("__b", f"__boff{i}")
+        offsets = off_i if offsets is None else offsets.join(off_i, "__b")
     head = F.col(range_col).desc() if descending else F.col(range_col).asc()
     w = (
         Window.partitionBy("__b")
         .orderBy(head, *[F.col(c).asc() for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        d.join(F.broadcast(offsets), "__b")
-        .withColumn(out_col, F.col("__boff") + F.sum(value_col).over(w))
-        .drop("__b", "__boff")
+    out = d.join(F.broadcast(offsets), "__b")
+    for v, o, i in zip(value_cols, out_cols, range(len(value_cols))):
+        out = out.withColumn(o, F.col(f"__boff{i}") + F.sum(v).over(w))
+    return out.drop(
+        "__b", *[f"__boff{i}" for i in range(len(value_cols))]
     )

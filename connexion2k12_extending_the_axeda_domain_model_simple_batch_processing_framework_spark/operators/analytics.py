@@ -1601,3 +1601,187 @@ def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
         "p90_gap_days",
     )
     return out
+
+
+def customer_revenue_bands(orders: DataFrame) -> DataFrame:
+    """Revenue concentration by customer percentile: how much of total
+    revenue the top 1 % / 5 % / 10 % / rest of customers contribute — the
+    whale-curve report every marketplace asks for (abc_pareto's
+    customer-side sibling, banded by POPULATION percentile instead of
+    revenue share).
+
+    Scale shape: one aggregation reduces orders to the customer level,
+    then the global position AND cumulative revenue both come from ONE
+    range-partitioned two-phase prefix pass (functions/prefixsum.
+    ordered_cumsum with two value columns — a constant 1 for the rank,
+    the DECIMAL revenue for the running total) — no partition-less
+    Window anywhere. Band edges are exact integer comparisons
+    (100·pos ≤ n ⇔ top 1 %), so ties land identically in both engines;
+    revenue stays DECIMAL until the output edge.
+
+    Output: (band, n_customers, band_revenue, revenue_share, cum_share),
+    bands ordered top1 < top5 < top10 < rest.
+    """
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    totals = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("rev").alias("rev_total"),
+    )
+    cum = ordered_cumsum(
+        cust.withColumn("one", F.lit(1).cast("long")),
+        ["one", "rev"],
+        "rev",
+        ["o_custkey"],
+        out_col=["pos", "cum_rev"],
+        descending=True,
+    )
+    banded = cum.crossJoin(F.broadcast(totals)).select(
+        "rev",
+        "cum_rev",
+        "n_total",
+        "rev_total",
+        F.when(F.col("pos") * 100 <= F.col("n_total"), F.lit("top1"))
+        .when(F.col("pos") * 20 <= F.col("n_total"), F.lit("top5"))
+        .when(F.col("pos") * 10 <= F.col("n_total"), F.lit("top10"))
+        .otherwise(F.lit("rest"))
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("double").alias("band_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.min("rev_total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.round(
+                F.max("cum_rev").cast("double") / F.min("rev_total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("band")
+    )
+
+
+BASKET_TOP_K = 20
+BASKET_SALT_BUCKETS = 32
+
+
+def basket_affinity(lineitem: DataFrame, top_k: int = BASKET_TOP_K) -> DataFrame:
+    """Market-basket affinity between parts: for part pairs co-ordered in
+    the same order, the co-occurrence support and the lift
+    (support·N / (count_a·count_b)) — the classic association report.
+
+    Scale shape: the pair space is generated per ORDER (a self-join on
+    l_orderkey over the distinct order→part relation with a < to keep
+    one orientation), so fan-out is bounded by items-per-order² — a data-
+    model constant (TPC-H ≤ 7), never corpus-sized; the pair aggregation
+    shuffles on the pair key. Part frequencies ride a broadcast join
+    (bounded by |parts|·8B ≪ executor memory at any SF — and AQE would
+    degrade it to shuffle if not). The global top-k is the salted
+    two-phase rank (no single-task global sort); ordering is
+    (support desc, partkey_a, partkey_b) — all-integer, engine-exact —
+    with lift carried as a ROUNDED output column, not a sort key.
+
+    Output: top_k rows of (part_a, part_b, support, n_orders_a,
+    n_orders_b, lift).
+    """
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    counts = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    n_orders = op.agg(
+        F.count_distinct("ok").cast("long").alias("n_orders")
+    )  # 1-row aggregate, broadcast below — no driver-side action
+    # salted two-phase top-k: per-salt rank prunes to top_k rows per salt
+    # bucket before the single final rank over salt_buckets·top_k rows
+    order = [
+        F.col("support").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ]
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    top = (
+        pairs.withColumn(
+            "_salt", (F.col("part_a") + F.col("part_b")) % BASKET_SALT_BUCKETS
+        )
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= top_k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= top_k)
+    )
+    ca = counts.select(F.col("pk").alias("part_a"), F.col("c").alias("n_orders_a"))
+    cb = counts.select(F.col("pk").alias("part_b"), F.col("c").alias("n_orders_b"))
+    return (
+        top.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_orders_a",
+            "n_orders_b",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_orders_a") * F.col("n_orders_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+def orders_seasonality(orders: DataFrame) -> DataFrame:
+    """Monthly order volume and revenue with year-over-year growth — the
+    seasonality read every ops dashboard carries. One aggregation reduces
+    orders to (year, month) — a bounded few-dozen-row relation at ANY
+    corpus size — then YoY is a self-EQUI-join against (year−1, month)
+    on that tiny aggregate (no window, broadcast both sides). Revenue
+    sums stay DECIMAL; growth is the one lossy output cast.
+
+    Output: (o_year, o_month, n_orders, revenue, yoy_growth — NULL for
+    the first year).
+    """
+    m = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    ).groupBy("o_year", "o_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("p").alias("rev"),
+    )
+    prev = m.select(
+        (F.col("o_year") + 1).alias("o_year"),
+        "o_month",
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        m.join(F.broadcast(prev), ["o_year", "o_month"], "left_outer")
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            F.col("o_month").cast("long").alias("o_month"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                (F.col("rev") - F.col("prev_rev")).cast("double")
+                / F.col("prev_rev").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("o_year", "o_month")
+    )

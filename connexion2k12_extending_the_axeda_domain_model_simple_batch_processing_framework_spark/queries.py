@@ -6245,6 +6245,117 @@ QUERIES["repeat_purchase_intervals"] = q_repeat_purchase_intervals
 ORACLE["repeat_purchase_intervals"] = SQL_REPEAT_PURCHASE_INTERVALS
 
 
+# ---------------------------------------------------------------------------
+# r10: customer revenue concentration bands (the prefix-sum primitive's
+# second consumer), market-basket part affinity, order seasonality + YoY
+# ---------------------------------------------------------------------------
+
+
+def q_customer_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top 1 %/5 %/10 % of customers
+    (operators.analytics.customer_revenue_bands) — population-percentile
+    concentration via the range-partitioned two-phase prefix sum (both
+    the position and the running DECIMAL revenue in ONE bucket pass)."""
+    return analytics.customer_revenue_bands(load_table(spark, sf_dir, "orders"))
+
+
+SQL_CUSTOMER_REVENUE_BANDS = """
+WITH cust AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS n_total, sum(rev) AS rev_total FROM cust),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS pos,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM cust
+),
+banded AS (
+  SELECT rev, cum_rev, n_total, rev_total,
+         CASE WHEN pos * 100 <= n_total THEN 'top1'
+              WHEN pos * 20 <= n_total THEN 'top5'
+              WHEN pos * 10 <= n_total THEN 'top10'
+              ELSE 'rest' END AS band
+  FROM ranked CROSS JOIN tot
+)
+SELECT band, count(*)::BIGINT AS n_customers,
+       sum(rev)::DOUBLE AS band_revenue,
+       round(sum(rev)::DOUBLE / min(rev_total)::DOUBLE, 6) AS revenue_share,
+       round(max(cum_rev)::DOUBLE / min(rev_total)::DOUBLE, 6) AS cum_share
+FROM banded GROUP BY band ORDER BY band
+"""
+
+QUERIES["customer_revenue_bands"] = q_customer_revenue_bands
+ORACLE["customer_revenue_bands"] = SQL_CUSTOMER_REVENUE_BANDS
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part pairs with support and lift
+    (operators.analytics.basket_affinity): per-order bounded pair
+    generation, salted two-phase top-k, broadcast part frequencies."""
+    return analytics.basket_affinity(load_table(spark, sf_dir, "lineitem"))
+
+
+def _sql_basket_affinity() -> str:
+    from .operators.analytics import BASKET_TOP_K
+
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+counts AS (SELECT pk, count(*)::BIGINT AS c FROM op GROUP BY 1),
+n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM op),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS support
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT *, row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC) AS rk
+  FROM pairs
+)
+SELECT part_a, part_b, support,
+       ca.c AS n_orders_a, cb.c AS n_orders_b,
+       round(support::DOUBLE * n.n_orders::DOUBLE
+             / (ca.c * cb.c)::DOUBLE, 6) AS lift
+FROM top
+JOIN counts ca ON ca.pk = top.part_a
+JOIN counts cb ON cb.pk = top.part_b
+CROSS JOIN n
+WHERE rk <= {BASKET_TOP_K}
+ORDER BY support DESC, part_a, part_b
+"""
+
+
+QUERIES["basket_affinity"] = q_basket_affinity
+ORACLE["basket_affinity"] = _sql_basket_affinity()
+
+
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume/revenue with year-over-year growth
+    (operators.analytics.orders_seasonality) — bounded (year, month)
+    aggregate, YoY as a tiny self-equi-join, no window."""
+    return analytics.orders_seasonality(load_table(spark, sf_dir, "orders"))
+
+
+SQL_ORDERS_SEASONALITY = """
+WITH m AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         month(o_orderdate)::BIGINT AS o_month,
+         count(*)::BIGINT AS n_orders,
+         sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT m.o_year, m.o_month, m.n_orders, m.rev::DOUBLE AS revenue,
+       round((m.rev - p.rev)::DOUBLE / p.rev::DOUBLE, 6) AS yoy_growth
+FROM m LEFT JOIN m p ON p.o_year = m.o_year - 1 AND p.o_month = m.o_month
+ORDER BY m.o_year, m.o_month
+"""
+
+QUERIES["orders_seasonality"] = q_orders_seasonality
+ORACLE["orders_seasonality"] = SQL_ORDERS_SEASONALITY
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6256,64 +6367,66 @@ ORACLE["repeat_purchase_intervals"] = SQL_REPEAT_PURCHASE_INTERVALS
 # Everything displaced is still verified every round by tools/parity.py
 # (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
-    # r9 new code: the KMV set-operation overlap sketch, the robust MAD
-    # anomaly screen, ABC/Pareto revenue classes, RFM segmentation,
-    # supplier HHI concentration, and containment-verified near-dups
-    "source_overlap_kmv",
-    "events_anomaly_mad",
+    # r10 new code: baseline JPEG decode, the sketch-only overlap twin,
+    # customer revenue concentration bands, market-basket affinity, and
+    # order seasonality with YoY growth
+    "jpeg_decode",
+    "source_overlap_kmv_scaled",
+    "customer_revenue_bands",
+    "basket_affinity",
+    "orders_seasonality",
+    # materially changed this round, so the driver re-proves them even
+    # though their last gates were recent: abc_pareto's cumulative sum
+    # went two-phase, sequence_pack's bucket offsets moved to the
+    # triangle join, user_value_corr's syy accumulates at (18,2)²
     "parts_abc_pareto",
-    "customer_rfm",
-    "supplier_hhi",
-    "dedup_containment",
+    "sequence_pack",
     "user_value_corr",
-    "repeat_purchase_intervals",
-    # re-verification rotation (oldest driver gate first). Last gated r5
-    # (incl. q19/q22, promised this window by the r8 comment):
-    "q19_discount_revenue",
-    "q22_dormant_customers",
-    "source_overlap",
-    "leakage_split",
-    "active_users",
-    "dup_triangles",
-    "snapshot_merge",
-    "events_sliding_rollup",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "scd2_point_in_time",
-    "image_decode",
-    "events_key_skew",
-    # last gated r6 (oldest 23 in registry order; the remaining 16 of the
-    # r6 cohort rotate to r10):
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "ann_topk",
-    "ann_lsh_topk",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_bytes",
-    "sample_stratified",
-    "pii_redact",
-    "ngram_topk",
-    "dup_clusters",
-    # events_sessionize / purchase_attribution / ann_ivf_topk /
-    # ann_pq_recall / ann_pq_adc_recall rotate to r10's window: the five
-    # later-wave r9 queries take their slots to keep the list at exactly
-    # 39 (11 core + 39 = the driver's 50-entry gate); all five are still
-    # verified every round by tools/parity.py
+    # re-verification rotation — ALL 21 keys last gated r6 (incl. the
+    # three explicitly promised to this window by the r9 comment), in
+    # registry order; after this round nothing is staler than r7
+    "ann_ivf_topk",
+    "ann_pq_recall",
+    "ann_pq_adc_recall",
+    "ann_pq_residual_recall",
+    "ann_pq_residual_adc_recall",
+    "audio_decode",
+    "bpe_subword_stats",
+    "corpus_stats_scaled",
+    "dedup_incremental",
+    "events_key_skew_scaled",
+    "events_profile_scaled",
+    "events_props_metric",
+    "events_sessionize",
+    "hard_negatives",
+    "image_resize",
+    "price_quantile_sketch_scaled",
+    "price_quantiles",
+    "price_quantiles_scaled",
+    "purchase_attribution",
+    "quality_bands_scaled",
+    "scd2_point_in_time_deletes",
+    # the 10 oldest r7-gated keys in registry order fill the remaining
+    # slots (the other 28 r7-gated rotate to r11); every displaced key is
+    # still verified every round by tools/parity.py (PARITY_r{N}.txt)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "ann_pq_ksub_recall",
+    "ann_pq_refine_recall",
+    "ann_recall_sweep",
+    "events_moving_avg",
+    "value_histogram",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
-# insert right after the 11-entry reference-parity core: with ~29 priority
-# entries, a later anchor would push this round's newest queries past the
-# driver's 50-entry window, and new code is exactly what the driver gate
-# should see. Everything displaced is long-stable and re-verified every
-# round by tools/parity.py (committed as PARITY_r{N}.txt).
-_at = _order.index("q1_pricing_summary")
+# insert right after the 11-entry reference-parity core (anchored on its
+# LAST member, which never rotates): a later anchor would push this
+# round's newest queries past the driver's 50-entry window, and new code
+# is exactly what the driver gate should see. Everything displaced is
+# long-stable and re-verified every round by tools/parity.py (committed
+# as PARITY_r{N}.txt).
+_at = _order.index("process_batch_upsert") + 1
 _order = _order[:_at] + _GATE_PRIORITY + _order[_at:]
 QUERIES = {k: QUERIES[k] for k in _order}
