@@ -557,7 +557,10 @@ def with_png_payload(documents: DataFrame) -> DataFrame:
     a real DEFLATE-compressed PNG with the filter type cycling per
     scanline (row % 5) — so decoding reverses every PNG filter while the
     pixel values (and the oracle's channel means) stay identical to the
-    PPM corpus'."""
+    PPM corpus'. ``spread()`` first: the per-doc filter loops are python
+    and a small documents scan is ONE split — same argument as
+    ``with_jpeg_payload``."""
+    from ..functions.partitioning import spread
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         need = PPM_TILE_W * PPM_TILE_H * 3
@@ -571,7 +574,7 @@ def with_png_payload(documents: DataFrame) -> DataFrame:
                 payloads.append(encode_png(PPM_TILE_W, PPM_TILE_H, tiled))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return spread(documents.select("doc_id", "text")).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 
@@ -1450,8 +1453,17 @@ def with_jpeg_payload(documents: DataFrame) -> DataFrame:
     ways) — a pure formula DuckDB replays from md5(text), which keeps the
     registered query oracle-checked even though JPEG is lossy in general
     (the encoder's AC/Huffman paths are exercised by the non-flat pytest
-    round-trips)."""
+    round-trips).
+
+    The input is ``spread()`` first: a small documents table arrives as
+    ONE scan split, and the per-doc encode+decode python (~0.8 ms/doc)
+    would serialize through a single task — measured 4.1 s at sf0.1
+    single-task vs sub-second spread across the session's parallelism
+    (at 100 TB the scan has thousands of splits and spread is a no-op).
+    """
     import hashlib
+
+    from ..functions.partitioning import spread
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1467,6 +1479,6 @@ def with_jpeg_payload(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return spread(documents.select("doc_id", "text")).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )

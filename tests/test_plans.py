@@ -565,3 +565,13 @@ def test_ivfpq_topk_rides_shared_indexes(spark):
     before = dfcache.build_count()
     q.QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
     assert dfcache.build_count() == before, "probe rebuilt a shared index"
+
+
+def test_kmv_scaled_twin_skips_exact_gram_join(dfs):
+    """The sketch-only overlap twin must not pay the gram self-join the
+    sketch exists to avoid: no jaccard_exact column, and strictly fewer
+    shuffles than the exact-legged reference report."""
+    scaled, ref = dfs["source_overlap_kmv_scaled"], dfs["source_overlap_kmv"]
+    assert "jaccard_exact" not in scaled.columns
+    assert "jaccard_exact" in ref.columns
+    assert checks.count_shuffle_exchanges(scaled) < checks.count_shuffle_exchanges(ref)
