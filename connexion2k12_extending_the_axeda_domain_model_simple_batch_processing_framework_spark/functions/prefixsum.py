@@ -37,11 +37,14 @@ PREFIX_BUCKETS = 64
 def bucket_prefix_offsets(
     totals: DataFrame,
     bucket_col: str,
-    total_col: str,
-    out_col: str = "__boff",
+    total_col: str | list[str],
+    out_col: str | list[str] = "__boff",
 ) -> DataFrame:
-    """Exclusive prefix sum over a tiny bounded bucket-totals relation:
+    """Exclusive prefix sum(s) over a tiny bounded bucket-totals relation:
     each bucket's offset = the sum of every STRICTLY-lower bucket's total.
+    Accepts one total column or a list — every column rides the SAME
+    triangular join (one plan subtree however many cumulatives a caller
+    needs).
 
     Shape: a triangular broadcast self-join + re-aggregation — O(B²) pairs
     over B = O(dozens) rows, no Window at all. (The obvious
@@ -50,14 +53,24 @@ def bucket_prefix_offsets(
     killer, so the suite-wide plan contract bans the node outright and this
     helper keeps bounded prefix sums expressible.)
     """
-    dtype = dict(totals.dtypes)[total_col]
+    total_cols = [total_col] if isinstance(total_col, str) else list(total_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(total_cols) != len(out_cols):
+        raise ValueError("total_col and out_col lengths differ")
+    dtypes = dict(totals.dtypes)
     prev = totals.select(
-        F.col(bucket_col).alias("__pb"), F.col(total_col).alias("__pt")
+        F.col(bucket_col).alias("__pb"),
+        *[F.col(t).alias(f"__pt{i}") for i, t in enumerate(total_cols)],
     )
     return (
         totals.join(F.broadcast(prev), F.col("__pb") < F.col(bucket_col), "left")
-        .groupBy(bucket_col, total_col)
-        .agg(F.coalesce(F.sum("__pt"), F.lit(0).cast(dtype)).alias(out_col))
+        .groupBy(bucket_col, *total_cols)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__pt{i}"), F.lit(0).cast(dtypes[t])).alias(o)
+                for i, (t, o) in enumerate(zip(total_cols, out_cols))
+            ]
+        )
     )
 
 
@@ -112,12 +125,12 @@ def ordered_cumsum(
     totals = d.groupBy("__b").agg(
         *[F.sum(v).alias(f"__btot{i}") for i, v in enumerate(value_cols)]
     )
-    offsets = None
-    for i in range(len(value_cols)):
-        off_i = bucket_prefix_offsets(
-            totals.select("__b", f"__btot{i}"), "__b", f"__btot{i}", f"__boff{i}"
-        ).select("__b", f"__boff{i}")
-        offsets = off_i if offsets is None else offsets.join(off_i, "__b")
+    offsets = bucket_prefix_offsets(
+        totals,
+        "__b",
+        [f"__btot{i}" for i in range(len(value_cols))],
+        [f"__boff{i}" for i in range(len(value_cols))],
+    ).select("__b", *[f"__boff{i}" for i in range(len(value_cols))])
     head = F.col(range_col).desc() if descending else F.col(range_col).asc()
     w = (
         Window.partitionBy("__b")
