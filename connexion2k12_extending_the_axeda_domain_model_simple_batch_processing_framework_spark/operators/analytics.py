@@ -1792,3 +1792,49 @@ def orders_seasonality(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_year", "o_month")
     )
+
+
+def brand_leaders(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per part-type revenue with the LEADING brand and its share — the
+    category-leader report (which brand owns each product category).
+
+    Scale shape: facts reduce to (type, brand) in one shuffle (part dims
+    broadcast onto lineitem first — the dimension is |parts| rows, AQE
+    degrades to shuffle if it outgrows the threshold); the per-type
+    leader is a group-wise argmax via ``max(struct(revenue, brand))`` —
+    an ordinary partial-aggregable MAX, no per-type Window and no second
+    shuffle beyond the (type) reduce. Ordering inside the struct is
+    (DECIMAL revenue, brand string), so ties break to the
+    lexicographically larger brand deterministically in both engines.
+
+    Output: (p_type, n_brands, type_revenue, top_brand, top_brand_share).
+    """
+    d = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    tb = (
+        lineitem.select(F.col("l_partkey").alias("p_partkey"), d.alias("rev"))
+        .join(F.broadcast(part.select("p_partkey", "p_type", "p_brand")), "p_partkey")
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum("rev").alias("brand_rev"))
+    )
+    return (
+        tb.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.sum("brand_rev").alias("type_rev"),
+            F.max(F.struct(F.col("brand_rev"), F.col("p_brand"))).alias("__top"),
+        )
+        .select(
+            "p_type",
+            "n_brands",
+            F.col("type_rev").cast("double").alias("type_revenue"),
+            F.col("__top.p_brand").alias("top_brand"),
+            F.round(
+                F.col("__top.brand_rev").cast("double")
+                / F.col("type_rev").cast("double"),
+                6,
+            ).alias("top_brand_share"),
+        )
+        .orderBy("p_type")
+    )

@@ -426,3 +426,47 @@ def growth_accounting(events: DataFrame, period: str = "day") -> DataFrame:
             F.coalesce("n_churned", z).alias("n_churned"),
         )
     )
+
+
+def session_stats(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Corpus-level session quality rollup over the gap sessionization —
+    the engagement read (how long do sessions run, how many bounce) every
+    product dashboard carries next to the per-session table.
+
+    Rides ``sessionize`` (ONE keyed shuffle — the window chain and the
+    per-session reduce share the user_id partitioning), then a 1-row
+    reduce: exact integer counts, mergeable ``approx_percentile`` for the
+    duration quantiles over exact integer-microsecond durations cast to
+    double (integers < 2^53 are exact doubles; discrete value-at-rank, so
+    the oracle's quantile_disc matches bit-for-bit), bounce = the
+    1-event-session fraction.
+
+    Output (1 row): n_sessions, n_bounce, bounce_frac, mean_events,
+    p50_duration_s, p90_duration_s (seconds at microsecond resolution).
+    """
+    s = sessionize(events, gap_us).select(
+        "n_events",
+        (
+            (
+                F.unix_micros("session_end") - F.unix_micros("session_start")
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("dur_s"),
+    )
+    pct = "approx_percentile(dur_s, {p}, 1000000)"
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_frac"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_events"),
+        F.expr(pct.format(p=0.5)).alias("p50_duration_s"),
+        F.expr(pct.format(p=0.9)).alias("p90_duration_s"),
+    )

@@ -6356,6 +6356,80 @@ QUERIES["orders_seasonality"] = q_orders_seasonality
 ORACLE["orders_seasonality"] = SQL_ORDERS_SEASONALITY
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session rollup (operators.temporal.session_stats):
+    bounce rate, mean events/session, p50/p90 duration — rides the gap
+    sessionization's single keyed shuffle, then a 1-row reduce."""
+    return temporal.session_stats(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_STATS = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > {temporal.SESSION_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+),
+sess AS (
+  SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+         (max(us) - min(us))::DOUBLE / 1000000.0 AS dur_s
+  FROM s GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS bounce_frac,
+       round(sum(n_events)::DOUBLE / count(*)::DOUBLE, 6) AS mean_events,
+       quantile_disc(dur_s, 0.5)::DOUBLE AS p50_duration_s,
+       quantile_disc(dur_s, 0.9)::DOUBLE AS p90_duration_s
+FROM sess
+"""
+
+QUERIES["session_stats"] = q_session_stats
+ORACLE["session_stats"] = SQL_SESSION_STATS
+
+
+def q_brand_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-leader report (operators.analytics.brand_leaders):
+    per part type, total revenue + the top brand via a group-wise
+    struct-max argmax — partial-aggregable, no per-type window."""
+    return analytics.brand_leaders(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+SQL_BRAND_LEADERS = """
+WITH tb AS (
+  SELECT p.p_type, p.p_brand,
+         sum(l.l_extendedprice::DECIMAL(18,2)
+             * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS brand_rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY p_type ORDER BY brand_rev DESC, p_brand DESC
+         ) AS rk,
+         count(*) OVER (PARTITION BY p_type)::BIGINT AS n_brands,
+         sum(brand_rev) OVER (PARTITION BY p_type) AS type_rev
+  FROM tb
+)
+SELECT p_type, n_brands, type_rev::DOUBLE AS type_revenue,
+       p_brand AS top_brand,
+       round(brand_rev::DOUBLE / type_rev::DOUBLE, 6) AS top_brand_share
+FROM ranked WHERE rk = 1
+ORDER BY p_type
+"""
+
+QUERIES["brand_leaders"] = q_brand_leaders
+ORACLE["brand_leaders"] = SQL_BRAND_LEADERS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6368,13 +6442,16 @@ ORACLE["orders_seasonality"] = SQL_ORDERS_SEASONALITY
 # (committed as PARITY_r{N}.txt).
 _GATE_PRIORITY = [
     # r10 new code: baseline JPEG decode, the sketch-only overlap twin,
-    # customer revenue concentration bands, market-basket affinity, and
-    # order seasonality with YoY growth
+    # customer revenue concentration bands, market-basket affinity, order
+    # seasonality with YoY growth, the session rollup, and category brand
+    # leaders
     "jpeg_decode",
     "source_overlap_kmv_scaled",
     "customer_revenue_bands",
     "basket_affinity",
     "orders_seasonality",
+    "session_stats",
+    "brand_leaders",
     # materially changed this round, so the driver re-proves them even
     # though their last gates were recent: abc_pareto's cumulative sum
     # went two-phase, sequence_pack's bucket offsets moved to the
@@ -6406,8 +6483,8 @@ _GATE_PRIORITY = [
     "purchase_attribution",
     "quality_bands_scaled",
     "scd2_point_in_time_deletes",
-    # the 10 oldest r7-gated keys in registry order fill the remaining
-    # slots (the other 28 r7-gated rotate to r11); every displaced key is
+    # the 8 oldest r7-gated keys in registry order fill the remaining
+    # slots (the other 31 r7-gated rotate to r11); every displaced key is
     # still verified every round by tools/parity.py (PARITY_r{N}.txt)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -6417,8 +6494,6 @@ _GATE_PRIORITY = [
     "ann_pq_ksub_recall",
     "ann_pq_refine_recall",
     "ann_recall_sweep",
-    "events_moving_avg",
-    "value_histogram",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
