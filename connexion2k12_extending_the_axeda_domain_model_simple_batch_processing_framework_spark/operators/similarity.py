@@ -2327,3 +2327,56 @@ def ivf_sq8_recall(
             F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
         )
     )
+
+
+def embedding_quality(embeddings: DataFrame) -> DataFrame:
+    """Embedding-table hygiene profile — the screen a pipeline runs BEFORE
+    building any vector index: zero-norm vectors break cosine (division by
+    zero), non-finite elements poison every distance, and a drifting norm
+    distribution signals a broken encoder upstream.
+
+    One scan-shaped pass: per-vector L2 norm as the JVM fold-chain
+    expression (``l2_norm_expr`` — the same left-associative chain the
+    oracle replays with list_reduce, so quantile rank selection sees
+    bit-identical values), non-finite counts as an ``F.aggregate`` fold —
+    whole-stage codegen, no UDF; then a 1-row reduce. The norm MEAN
+    accumulates in exact integer micro-units (a double sum is
+    partition-order dependent — engines would disagree in the last ulp);
+    quantiles are mergeable ``approx_percentile`` (discrete value-at-rank,
+    engine-exact below 1e6 rows).
+
+    Output (1 row): n_vectors, n_zero_norm, n_nonfinite, mean_norm,
+    p01_norm, p50_norm, p99_norm.
+    """
+    dim = EMBEDDING_DIM
+    norm = l2_norm_expr("embedding", dim)
+    nonfinite = F.aggregate(
+        "embedding",
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == float("inf")),
+            1,
+        ).otherwise(0),
+    )
+    v = embeddings.select(
+        norm.alias("nrm"), nonfinite.alias("nf")
+    )
+    pct = "approx_percentile(nrm, {p}, 1000000)"
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.sum(F.when(F.col("nf") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        (
+            F.sum(F.floor(F.col("nrm") * 1_000_000 + 0.5).cast("long"))
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("mean_norm"),
+        F.expr(pct.format(p=0.01)).alias("p01_norm"),
+        F.expr(pct.format(p=0.5)).alias("p50_norm"),
+        F.expr(pct.format(p=0.99)).alias("p99_norm"),
+    )

@@ -6430,6 +6430,42 @@ QUERIES["brand_leaders"] = q_brand_leaders
 ORACLE["brand_leaders"] = SQL_BRAND_LEADERS
 
 
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene profile (operators.similarity.
+    embedding_quality): zero-norm / non-finite counts + the norm
+    distribution — the screen a pipeline runs before building a vector
+    index. Scan-shaped, fold-chain norms, integer micro-unit mean."""
+    return similarity.embedding_quality(load_table(spark, sf_dir, "embeddings"))
+
+
+_NORM_RAW = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y))"
+)
+
+SQL_EMBEDDING_QUALITY = f"""
+WITH v AS (
+  SELECT {_NORM_RAW} AS nrm,
+         list_reduce(list_transform(embedding,
+             x -> CASE WHEN isnan(x::DOUBLE) OR NOT isfinite(x::DOUBLE)
+                       THEN 1 ELSE 0 END), (x, y) -> x + y) AS nf
+  FROM embeddings
+)
+SELECT count(*)::BIGINT AS n_vectors,
+       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+       sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+       (sum(floor(nrm * 1000000 + 0.5)::BIGINT)
+        / count(*) / 1000000.0)::DOUBLE AS mean_norm,
+       quantile_disc(nrm, 0.01)::DOUBLE AS p01_norm,
+       quantile_disc(nrm, 0.5)::DOUBLE AS p50_norm,
+       quantile_disc(nrm, 0.99)::DOUBLE AS p99_norm
+FROM v
+"""
+
+QUERIES["embedding_quality"] = q_embedding_quality
+ORACLE["embedding_quality"] = SQL_EMBEDDING_QUALITY
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6452,6 +6488,7 @@ _GATE_PRIORITY = [
     "orders_seasonality",
     "session_stats",
     "brand_leaders",
+    "embedding_quality",
     # materially changed this round, so the driver re-proves them even
     # though their last gates were recent: abc_pareto's cumulative sum
     # went two-phase, sequence_pack's bucket offsets moved to the
@@ -6483,8 +6520,8 @@ _GATE_PRIORITY = [
     "purchase_attribution",
     "quality_bands_scaled",
     "scd2_point_in_time_deletes",
-    # the 8 oldest r7-gated keys in registry order fill the remaining
-    # slots (the other 31 r7-gated rotate to r11); every displaced key is
+    # the 7 oldest r7-gated keys in registry order fill the remaining
+    # slots (the other 32 r7-gated rotate to r11); every displaced key is
     # still verified every round by tools/parity.py (PARITY_r{N}.txt)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -6493,7 +6530,6 @@ _GATE_PRIORITY = [
     "events_hourly_rollup",
     "ann_pq_ksub_recall",
     "ann_pq_refine_recall",
-    "ann_recall_sweep",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
