@@ -1838,3 +1838,66 @@ def brand_leaders(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+def segment_revenue_trend(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment monthly revenue TREND: the exact least-squares
+    slope (and fitted level at the first month) of monthly order revenue
+    against the month index — "is this segment growing, and how fast" as
+    one number per segment, the regression companion to
+    ``orders_seasonality``'s YoY report.
+
+    Scale shape: orders⋈customer is the one real shuffle (AQE broadcasts
+    the customer side below threshold; both scale with SF so neither is
+    force-broadcast), reduced immediately to |segments|·|months| rows;
+    the regression sums are a second TINY aggregation over that grid.
+    The month index is centered on the grid's min month (a 1-row
+    broadcast) so every cross-product stays small-integer × DECIMAL —
+    without centering, ``n·Σxy`` at absolute month ≈ 24k would spend 5
+    decimal digits of headroom on an offset the slope cancels anyway
+    (the user_value_correlation overflow lesson).
+
+    Determinism: x is an exact integer month offset; y stays DECIMAL
+    through every sum; slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is
+    exact-DECIMAL/integer arithmetic until ONE double division, rounded
+    at 6 (denominator > 0 whenever a segment has ≥ 2 distinct months;
+    single-month segments report NULL slope by that division).
+    """
+    monthly = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            (
+                F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+            ).alias("mx"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(D)).alias("rev"))
+    )
+    base = monthly.agg(F.min("mx").alias("mx0"))
+    g = monthly.crossJoin(F.broadcast(base)).select(
+        "c_mktsegment", (F.col("mx") - F.col("mx0")).alias("x"), "rev"
+    )
+    sums = g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).alias("sxy"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "c_mktsegment",
+        "n_months",
+        F.col("sy").cast("double").alias("total_revenue"),
+        F.round(slope, 6).alias("slope_per_month"),
+        # fitted level at the first month: ȳ − slope·x̄, one more
+        # deterministic double expression off the same exact sums
+        F.round(
+            F.col("sy").cast("double") / F.col("n_months").cast("double")
+            - slope
+            * (F.col("sx").cast("double") / F.col("n_months").cast("double")),
+            6,
+        ).alias("fit_at_first_month"),
+    ).orderBy("c_mktsegment")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex_hash64
+from ..functions.prefixsum import ordered_cumsum
 
 #: default mixture: upsample scarce languages, downsample the dominant one.
 DEFAULT_LANG_RATES: dict[str, int] = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 100}
@@ -182,5 +183,71 @@ def leakage_safe_split(
             "doc_id",
             rep.cast("long").alias("rep_id"),
             split.alias("split"),
+        )
+    )
+
+
+WSAMPLE_K = 400
+
+
+def weighted_systematic_sample(
+    documents: DataFrame,
+    k: int = WSAMPLE_K,
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Sample ``k`` picks with probability proportional to ``weight_col``
+    (size-proportional sampling — "sample documents by length so tokens,
+    not documents, are uniform"), deterministically and in pure INTEGER
+    arithmetic: no ``rand()``, no float ``u^(1/w)`` keys whose last-ulp
+    libm differences could flip a selection across engines.
+
+    Classic weighted systematic sampling on a hash-shuffled order: lay
+    the documents on a line in md5-order (a fixed random permutation),
+    each occupying a segment of its weight; the k picks are the
+    equally-spaced points ``j·total/k`` (j = 1..k). A document is picked
+    once per grid point inside its segment — ``n_picks = floor(cum·k /
+    total) − floor((cum−w)·k / total)`` — so multiplicities sum to
+    EXACTLY k and a document's expected multiplicity is k·w/total.
+
+    Scale shape: the cumulative weight comes from the range-partitioned
+    two-phase prefix sum (functions/prefixsum.ordered_cumsum — the
+    primitive's third consumer), the grand total is ``max(cum)`` (weights
+    are positive, the running sum is monotone) broadcast back, and the
+    pick rule is a scan-shaped filter — no global Window, no driver
+    collect, nothing quadratic.
+
+    Determinism: products run in DECIMAL(38,0) (cum·k at 100 TB overflows
+    BIGINT: ~1e14 total chars × 1e6 picks), and the floor-division is the
+    integral ``div`` operator — both engines' DECIMAL `div`/`//` are
+    exact, unlike a scaled decimal true-division whose HALF_UP rounding
+    at the result scale could lift a just-below-integer quotient.
+    """
+    w = F.col(weight_col).cast("long")
+    d = documents.filter(w > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        w.alias("__w"),
+        hex_hash64(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    cum = ordered_cumsum(d, "__w", "__h", ["doc_id"], out_col="__cum")
+    total = cum.agg(F.max("__cum").alias("__total"))
+    dec = 'cast({} as decimal(38,0))'
+    qa = F.expr(
+        f"{dec.format('__cum * ' + str(k))} div {dec.format('__total')}"
+    )
+    qb = F.expr(
+        f"{dec.format('(__cum - __w) * ' + str(k))} div {dec.format('__total')}"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("n_picks", (qa - qb).cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("__w").alias("weight"),
+            "n_picks",
         )
     )

@@ -2380,3 +2380,99 @@ def embedding_quality(embeddings: DataFrame) -> DataFrame:
         F.expr(pct.format(p=0.5)).alias("p50_norm"),
         F.expr(pct.format(p=0.99)).alias("p99_norm"),
     )
+
+
+def label_centroid_quality(
+    embeddings: DataFrame, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """Cluster-quality report over a labeled embedding table: per label,
+    its centroid's cohesion (mean member→centroid cosine) and separation
+    (cosine to the NEAREST other centroid) — the simplified-silhouette
+    screen a pipeline runs on labels/clusters before trusting them as
+    training strata or IVF partitions (margin ≤ 0 means the label's
+    members sit closer to a foreign centroid than to their own).
+
+    Scale shape: the centroid is a (label, dimension) aggregation —
+    posexplode fans each vector to ``dim`` rows, map-side combine
+    reduces every partition to ≤ |labels|·dim partial sums before the
+    one tiny exchange; member→centroid cosines ride a BROADCAST join of
+    the |labels|-row centroid table back onto the scan (no pair
+    explosion, each vector scored once); centroid↔centroid separation
+    is a |labels|² self-join — dozens of rows. Nothing anywhere is
+    quadratic in vectors.
+
+    Determinism: centroid components and the cohesion mean accumulate
+    in exact integer micro-units (double sums are partition-order
+    dependent); every cosine is the same unrolled left-associative
+    double fold the oracle replays with list_reduce; nearest-other ties
+    break by label string inside a struct max.
+    """
+    x_micro = F.floor(F.col("x").cast("double") * 1_000_000 + 0.5).cast("long")
+    comp = (
+        embeddings.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(x_micro).alias("sm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            (F.col("sm").cast("double") / F.col("n") / 1_000_000.0).alias("v"),
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.max("n").alias("n_members"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid"),
+    )
+    member = embeddings.join(
+        F.broadcast(cent.select(F.col("label"), "centroid")), "label"
+    )
+    cos = (
+        dot_expr("embedding", "centroid", dim)
+        / (l2_norm_expr("embedding", dim) * l2_norm_expr("centroid", dim))
+    )
+    cohesion = (
+        member.select("label", cos.alias("c"))
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.floor(F.col("c") * 1_000_000 + 0.5).cast("long"))
+                / F.count(F.lit(1))
+                / 1_000_000.0
+            ).alias("cohesion")
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("centroid").alias("cb"))
+    ccos = dot_expr("ca", "cb", dim) / (
+        l2_norm_expr("ca", dim) * l2_norm_expr("cb", dim)
+    )
+    nearest = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select("la", F.col("lb"), ccos.alias("cc"))
+        .groupBy("la")
+        .agg(F.max(F.struct(F.col("cc"), F.col("lb"))).alias("m"))
+        .select(
+            F.col("la").alias("label"),
+            F.col("m.lb").alias("nearest_label"),
+            F.col("m.cc").alias("separation"),
+        )
+    )
+    return (
+        cent.select("label", "n_members")
+        .join(cohesion, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            "n_members",
+            F.round("cohesion", 6).alias("cohesion"),
+            "nearest_label",
+            F.round("separation", 6).alias("separation"),
+            F.round(F.col("cohesion") - F.col("separation"), 6).alias("margin"),
+        )
+        .orderBy("label")
+    )

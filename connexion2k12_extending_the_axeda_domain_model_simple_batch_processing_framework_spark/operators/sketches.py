@@ -368,3 +368,100 @@ def kmv_source_overlap(
             ).alias("jaccard_exact"),
         )
     )
+
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 buckets
+#: hex_hash64 yields 60 uniform bits; 8 go to the bucket, 52 remain for
+#: the rank pattern, so ranks live in [1, 53] (53 = the all-zero word).
+HLL_MAX_RANK = 53
+
+
+def hll_constant(m: int = HLL_M) -> float:
+    """The estimator's constant numerator ``alpha_m · m² · 2^53``, folded
+    to ONE Python double so the Spark plan and the SQL oracle divide the
+    IDENTICAL literal by the integer harmonic sum (a DuckDB ``0.7213``
+    literal is DECIMAL, not DOUBLE — re-deriving alpha in SQL would
+    round differently)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * float(m * m) * float(1 << HLL_MAX_RANK)
+
+
+def hll_distinct_users(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Per-event-type distinct-user estimate via a deterministic
+    HyperLogLog sketch (Flajolet et al. 2007), reported next to the
+    exact count so the error is visible — completing the sketch trio
+    (KMV distinct, count-min frequency, HLL distinct) with the one whose
+    per-group state is a CONSTANT 256 bytes however many users exist.
+
+    Spark's own ``approx_count_distinct`` is this sketch, but its hash is
+    engine-private; building it from the md5-derived ``hex_hash64`` keeps
+    the estimate bit-identical in the DuckDB oracle.
+
+    Scale shape: the plan never shuffles a distinct value. Each row maps
+    to (bucket = h mod m, rank = leading-zero count of the remaining 52
+    bits + 1) and ``groupBy(type, bucket).max(rank)`` is partial-
+    aggregable — map-side combine reduces every partition to ≤ types·m
+    rows before the only (tiny) exchange. Compare the exact twin: ONE
+    shuffle of every distinct (type, user) pair, the cost this sketch
+    avoids at 100 TB; it is computed here as the oracle-checked accuracy
+    reference (the ``kmv_distinct_tokens`` disclosure pattern).
+
+    Determinism: the harmonic sum folds integers — each bucket
+    contributes ``2^(53 - max_rank)`` (absent buckets ``2^53``), so the
+    per-type sum is an exact BIGINT ≤ m·2^53 = 2^61 and order-independent
+    (a float ``sum(2^-rank)`` would round: 1 + 2^-53 is not a double).
+    The estimator ``alpha_m · m² · 2^53 / S`` is then a constant times
+    one integer→double division — reproducible across engines. The raw
+    estimator is reported WITHOUT the small-range linear-counting
+    correction (ln(m/V) is libm-dependent in its last ulp); the empty-
+    bucket count V is emitted so a consumer can apply it, and the exact
+    leg carries the truth at any range.
+    """
+    p = m.bit_length() - 1
+    if 1 << p != m:
+        raise ValueError("hll bucket count must be a power of two")
+    h = hex_hash64(F.col("user_id").cast("string"))
+    # the low p bits pick the bucket, the high 52 the rank word — both
+    # via EXACT integer ops (h has 60 bits; a double division of h would
+    # round above 2^53 and disagree with the oracle's integer `//`)
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(HLL_MAX_RANK)).otherwise(
+        F.lit(HLL_MAX_RANK) - F.length(F.bin(w))
+    )
+    buckets = (
+        events.select(
+            "event_type", (h % m).alias("bucket"), rank.alias("r")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("mr"))
+    )
+    const = hll_constant(m)
+    sketch = buckets.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_MAX_RANK} - mr)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << HLL_MAX_RANK)
+        ).alias("s_int"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("empty_buckets"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.lit(const) / F.col("s_int").cast("double"), 4
+            ).alias("hll_estimate"),
+            "empty_buckets",
+            F.round(
+                (F.lit(const) / F.col("s_int").cast("double"))
+                / F.col("n_exact").cast("double")
+                - 1.0,
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -470,3 +470,51 @@ def session_stats(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         F.expr(pct.format(p=0.5)).alias("p50_duration_s"),
         F.expr(pct.format(p=0.9)).alias("p90_duration_s"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every ordered pair of consecutive events by the same
+    user, count (prev_type → next_type) and its conditional probability
+    — the user-journey fingerprint behind "what do users do after X"
+    product questions and behavioral-drift monitoring (compare two
+    cuts' matrices).
+
+    Scale shape: ONE keyed shuffle — the lead() window partitioned by
+    user_id (the same Exchange family every temporal operator here
+    rides) — then two TINY aggregations: transition counts are at most
+    |types|² groups (map-side combine reduces each partition to that
+    bound before the exchange) and the per-prev totals relation is
+    |types| rows, broadcast back for the conditional probability. No
+    per-user collect, no types×types matrix on the driver.
+
+    Determinism: consecutive-ness is total-ordered by (ts, event_id) —
+    event_id is unique, so ties in ts can't reorder across engines; the
+    probability is one integer→double division rounded at 6.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(order))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.col("n_from").cast("double"),
+                6,
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

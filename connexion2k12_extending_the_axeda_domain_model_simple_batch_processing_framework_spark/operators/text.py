@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import POLY_MOD, hex_hash64
 from ..functions.partitioning import spread
+from ..functions.prefixsum import ordered_cumsum
 from ..functions.textfns import punct_count, token_count_col, tokens
 
 # Stopword profiles for the n-gram/stopword language heuristic. Order fixes
@@ -463,4 +464,77 @@ def bpe_subword_stats(documents: DataFrame, merges: DataFrame) -> DataFrame:
                 F.round(F.col("n_subwords") / F.col("n_words"), 6),
             ).otherwise(F.lit(0.0)).alias("fertility"),
         )
+    )
+
+
+ZIPF_TOP_N = 1000
+
+
+def token_zipf(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: the
+    least-squares slope of ln(frequency) against ln(rank) for the top
+    ``top_n`` tokens, with its r² — natural text sits near slope −1, and
+    a drifting slope/r² flags template spam, boilerplate floods, or a
+    broken upstream tokenizer (frequency-distribution drift that
+    per-document quality gates can't see).
+
+    Scale shape: ONE token-frequency shuffle (map-side combine; the same
+    exact-count cost corpus_stats pays), then the head is a distributed
+    TakeOrdered heap (freq desc, token asc — never a global sort) and
+    everything downstream operates on the BOUNDED top_n relation: ranks
+    come from ``ordered_cumsum`` over a ones column (the prefix-sum
+    primitive's fourth consumer — row_number without a partition-less
+    Window), regression sums are one tiny aggregate.
+
+    Determinism: ln(rank)/ln(freq) quantize to integer micro-nats FIRST
+    (the unigram_logprob trick) so every regression sum is an exact
+    BIGINT; the slope's cross-terms combine in DECIMAL(38,0) (Σx·Σy
+    overflows int64) against the oracle's HUGEINT — both exact — with
+    ONE double division (and for r², three double ops on those exact
+    integers), rounded at 6.
+    """
+    tf = (
+        spread(documents)
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum("freq").cast("long").alias("n_tokens_total"),
+    )
+    top = (
+        tf.orderBy(F.col("freq").desc(), F.col("t").asc())
+        .limit(top_n)
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ordered_cumsum(
+        top, "one", "freq", ["t"], out_col="rank", descending=True
+    )
+    micro = lambda c: F.floor(F.log(c.cast("double")) * 1_000_000 + 0.5).cast("long")  # noqa: E731
+    m = ranked.select(
+        micro(F.col("rank")).alias("x"), micro(F.col("freq")).alias("y")
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    big = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
+    num = big("n") * big("sxy") - big("sx") * big("sy")
+    den_x = big("n") * big("sxx") - big("sx") * big("sx")
+    den_y = big("n") * big("syy") - big("sy") * big("sy")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_distinct_tokens",
+        "n_tokens_total",
+        F.col("n").alias("top_n_used"),
+        F.round(num.cast("double") / den_x.cast("double"), 6).alias("zipf_slope"),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (den_x.cast("double") * den_y.cast("double")),
+            6,
+        ).alias("zipf_r2"),
     )

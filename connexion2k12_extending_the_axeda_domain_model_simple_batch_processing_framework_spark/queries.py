@@ -6466,6 +6466,295 @@ QUERIES["embedding_quality"] = q_embedding_quality
 ORACLE["embedding_quality"] = SQL_EMBEDDING_QUALITY
 
 
+def q_events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a deterministic HyperLogLog
+    sketch (operators.sketches.hll_distinct_users) next to the exact
+    count: constant 256-bucket state per type, map-side combinable, NO
+    distinct-value shuffle — the 100 TB replacement for count_distinct,
+    completing the KMV/CMS/HLL sketch trio."""
+    return sketches.hll_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_DISTINCT_HLL = f"""
+WITH b AS (
+  SELECT event_type,
+         h % {sketches.HLL_M} AS bucket,
+         CASE WHEN h >> {sketches.HLL_P} = 0 THEN {sketches.HLL_MAX_RANK}
+              ELSE {sketches.HLL_MAX_RANK} - length(bin(h >> {sketches.HLL_P}))
+         END AS r
+  FROM (SELECT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM events)
+),
+mx AS (
+  SELECT event_type, bucket, max(r) AS mr FROM b GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+         (sum(1::BIGINT << ({sketches.HLL_MAX_RANK} - mr))
+          + ({sketches.HLL_M} - count(*))
+            * (1::BIGINT << {sketches.HLL_MAX_RANK}))::BIGINT AS s_int,
+         ({sketches.HLL_M} - count(*))::BIGINT AS empty_buckets
+  FROM mx GROUP BY 1
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT sk.event_type, ex.n_exact,
+       round((0.7213 / (1.0 + 1.079 / {sketches.HLL_M}))
+             * {float(sketches.HLL_M * sketches.HLL_M)}
+             * {float(1 << sketches.HLL_MAX_RANK)}
+             / s_int::DOUBLE, 4) AS hll_estimate,
+       sk.empty_buckets,
+       round(((0.7213 / (1.0 + 1.079 / {sketches.HLL_M}))
+              * {float(sketches.HLL_M * sketches.HLL_M)}
+              * {float(1 << sketches.HLL_MAX_RANK)}
+              / s_int::DOUBLE) / ex.n_exact::DOUBLE - 1.0, 6) AS rel_err
+FROM sk JOIN ex ON sk.event_type = ex.event_type
+ORDER BY sk.event_type
+"""
+
+QUERIES["events_distinct_hll"] = q_events_distinct_hll
+ORACLE["events_distinct_hll"] = SQL_EVENTS_DISTINCT_HLL
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators.temporal.event_transitions): ONE user_id-keyed window
+    shuffle, then |types|²-bounded aggregates with a broadcast
+    conditional-probability join — the user-journey fingerprint."""
+    return temporal.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions::DOUBLE
+             / (sum(n_transitions) OVER (PARTITION BY prev_type))::DOUBLE,
+             6) AS prob
+FROM c
+ORDER BY prev_type, next_type
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLE["event_transitions"] = SQL_EVENT_TRANSITIONS
+
+
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment monthly revenue least-squares trend
+    (operators.analytics.segment_revenue_trend): exact DECIMAL/integer
+    regression sums over the |segments|·|months| grid, one double
+    division at the edge."""
+    return analytics.segment_revenue_trend(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+SQL_REVENUE_TREND = """
+WITH m AS (
+  SELECT c.c_mktsegment,
+         year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1) AS mx,
+         sum(o.o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+g AS (SELECT c_mktsegment, mx - (SELECT min(mx) FROM m) AS x, rev FROM m),
+s AS (
+  SELECT c_mktsegment,
+         count(*)::BIGINT AS n_months,
+         sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx,
+         sum(rev) AS sy,
+         sum(x * rev) AS sxy
+  FROM g GROUP BY 1
+)
+SELECT c_mktsegment, n_months,
+       sy::DOUBLE AS total_revenue,
+       round((n_months * sxy - sx * sy)::DOUBLE
+             / (n_months * sxx - sx * sx)::DOUBLE, 6) AS slope_per_month,
+       round(sy::DOUBLE / n_months::DOUBLE
+             - ((n_months * sxy - sx * sy)::DOUBLE
+                / (n_months * sxx - sx * sx)::DOUBLE)
+               * (sx::DOUBLE / n_months::DOUBLE), 6) AS fit_at_first_month
+FROM s
+ORDER BY c_mktsegment
+"""
+
+QUERIES["revenue_trend"] = q_revenue_trend
+ORACLE["revenue_trend"] = SQL_REVENUE_TREND
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-proportional document sampling
+    (operators.sampling.weighted_systematic_sample): k grid points on the
+    md5-shuffled cumulative-weight line, pure integer arithmetic, the
+    prefix-sum primitive's third consumer — multiplicities sum to exactly
+    k, selection probability ∝ n_chars."""
+    return sampling.weighted_systematic_sample(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars::BIGINT AS w,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents WHERE n_chars > 0
+),
+c AS (
+  SELECT *, sum(w) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+),
+t AS (SELECT max(cum) AS total FROM c)
+SELECT doc_id, lang, source, w AS weight,
+       ((cum::HUGEINT * {sampling.WSAMPLE_K}) // total::HUGEINT
+        - ((cum - w)::HUGEINT * {sampling.WSAMPLE_K})
+          // total::HUGEINT)::BIGINT AS n_picks
+FROM c, t
+WHERE (cum::HUGEINT * {sampling.WSAMPLE_K}) // total::HUGEINT
+      > ((cum - w)::HUGEINT * {sampling.WSAMPLE_K}) // total::HUGEINT
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLE["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion/separation (operators.similarity.
+    label_centroid_quality): simplified-silhouette cluster screen —
+    (label, dim) aggregation for centroids, broadcast join back for
+    member cosines, |labels|² self-join for nearest-other — nothing
+    quadratic in vectors."""
+    return similarity.label_centroid_quality(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+_DOT_EC = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> e.embedding[i]::DOUBLE * c.centroid[i]), (x, y) -> x + y)"
+)
+_NORM_E = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))"
+)
+_NORM_C = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> c.centroid[i] * c.centroid[i]), (x, y) -> x + y))"
+)
+_DOT_AB = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> a.centroid[i] * b.centroid[i]), (x, y) -> x + y)"
+)
+_NORM_A = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> a.centroid[i] * a.centroid[i]), (x, y) -> x + y))"
+)
+_NORM_B = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> b.centroid[i] * b.centroid[i]), (x, y) -> x + y))"
+)
+
+SQL_EMBEDDING_CLUSTER_QUALITY = f"""
+WITH comp AS (
+  SELECT label, i - 1 AS pos,
+         sum(floor(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT)::BIGINT AS sm,
+         count(*)::BIGINT AS n
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, max(n)::BIGINT AS n_members,
+         list(sm::DOUBLE / n / 1000000.0 ORDER BY pos) AS centroid
+  FROM comp GROUP BY 1
+),
+mc AS (
+  SELECT e.label, {_DOT_EC} / ({_NORM_E} * {_NORM_C}) AS cos_c
+  FROM embeddings e JOIN cent c USING (label)
+),
+coh AS (
+  SELECT label,
+         sum(floor(cos_c * 1000000 + 0.5)::BIGINT)::BIGINT
+           / count(*) / 1000000.0 AS cohesion
+  FROM mc GROUP BY 1
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         {_DOT_AB} / ({_NORM_A} * {_NORM_B}) AS cc
+  FROM cent a JOIN cent b ON a.label <> b.label
+),
+near AS (
+  SELECT la AS label, lb AS nearest_label, cc AS separation
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY la ORDER BY cc DESC, lb DESC) AS rk FROM pairs)
+  WHERE rk = 1
+)
+SELECT cent.label, cent.n_members,
+       round(coh.cohesion, 6) AS cohesion,
+       near.nearest_label,
+       round(near.separation, 6) AS separation,
+       round(coh.cohesion - near.separation, 6) AS margin
+FROM cent JOIN coh USING (label) JOIN near USING (label)
+ORDER BY cent.label
+"""
+
+QUERIES["embedding_cluster_quality"] = q_embedding_cluster_quality
+ORACLE["embedding_cluster_quality"] = SQL_EMBEDDING_CLUSTER_QUALITY
+
+
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over token frequencies (operators.text.token_zipf):
+    ln(freq) vs ln(rank) regression over the top-1000 tokens — one token
+    shuffle, a TakeOrdered head, micro-nat integer regression sums."""
+    return text.token_zipf(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_ZIPF = f"""
+WITH ex AS (SELECT unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT t, count(*)::BIGINT AS freq FROM ex GROUP BY t),
+tot AS (SELECT count(*)::BIGINT AS n_distinct_tokens,
+               sum(freq)::BIGINT AS n_tokens_total FROM tf),
+top AS (SELECT t, freq FROM tf ORDER BY freq DESC, t ASC LIMIT {text.ZIPF_TOP_N}),
+r AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, t ASC)::BIGINT AS rank
+      FROM top),
+m AS (SELECT floor(ln(rank::DOUBLE) * 1000000 + 0.5)::BIGINT AS x,
+             floor(ln(freq::DOUBLE) * 1000000 + 0.5)::BIGINT AS y
+      FROM r),
+s AS (SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+             sum(x * y)::BIGINT AS sxy
+      FROM m)
+SELECT tot.n_distinct_tokens, tot.n_tokens_total,
+       s.n AS top_n_used,
+       round((s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE
+             / (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE,
+             6) AS zipf_slope,
+       round(((s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE
+              * (s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE)
+             / ((s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE
+                * (s.n::HUGEINT * s.syy - s.sy::HUGEINT * s.sy)::DOUBLE),
+             6) AS zipf_r2
+FROM s, tot
+"""
+
+QUERIES["token_zipf"] = q_token_zipf
+ORACLE["token_zipf"] = SQL_TOKEN_ZIPF
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6489,6 +6778,12 @@ _GATE_PRIORITY = [
     "session_stats",
     "brand_leaders",
     "embedding_quality",
+    "events_distinct_hll",
+    "event_transitions",
+    "revenue_trend",
+    "weighted_sample",
+    "embedding_cluster_quality",
+    "token_zipf",
     # materially changed this round, so the driver re-proves them even
     # though their last gates were recent: abc_pareto's cumulative sum
     # went two-phase, sequence_pack's bucket offsets moved to the
@@ -6520,16 +6815,11 @@ _GATE_PRIORITY = [
     "purchase_attribution",
     "quality_bands_scaled",
     "scd2_point_in_time_deletes",
-    # the 7 oldest r7-gated keys in registry order fill the remaining
-    # slots (the other 32 r7-gated rotate to r11); every displaced key is
-    # still verified every round by tools/parity.py (PARITY_r{N}.txt)
+    # the oldest r7-gated key in registry order fills the remaining
+    # slot (the other 38 r7-gated rotate to r11; six fillers gave way
+    # to this round's later additions); every displaced key is still
+    # verified every round by tools/parity.py (PARITY_r{N}.txt)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "ann_pq_ksub_recall",
-    "ann_pq_refine_recall",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -278,3 +278,87 @@ def mad_anomaly_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming HLL distinct-user estimate (dense register array in state) ---
+
+from ..operators.sketches import (  # noqa: E402  (one sketch, batch + stream)
+    HLL_M,
+    HLL_MAX_RANK,
+    HLL_P,
+    hll_constant,
+)
+
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("hll_estimate", T.DoubleType(), False),
+        T.StructField("empty_buckets", T.LongType(), False),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()), False)]
+)
+
+
+def _hll_group(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold arriving user-hashes into the type's dense HLL register
+    array. The state is exactly ``HLL_M`` small ints — CONSTANT per key
+    at any user cardinality — and register-wise ``max`` is both the fold
+    and the merge, so multi-batch / out-of-order accumulation lands on
+    the identical sketch a single batch pass would build."""
+    (event_type,) = key
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    n_seen = 0
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        hs = pdf["h"].dropna()
+        n_seen += len(hs)
+        for h in hs:
+            h = int(h)
+            w = h >> HLL_P
+            r = (HLL_MAX_RANK - w.bit_length()) if w else HLL_MAX_RANK
+            b = h % HLL_M
+            if r > regs[b]:
+                regs[b] = r
+    state.update((regs,))
+    # same integer harmonic fold as the batch operator: each register
+    # contributes 2^(53 - r), absent ones 2^53 — exact BIGINT, then one
+    # double division by the shared folded constant
+    s_int = sum(1 << (HLL_MAX_RANK - r) for r in regs)
+    empty = sum(1 for r in regs if r == 0)
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_seen": [n_seen],
+            "hll_estimate": [round(hll_constant(HLL_M) / float(s_int), 4)],
+            "empty_buckets": [empty],
+        }
+    )
+
+
+def hll_users_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type distinct-user estimate — the streaming
+    twin of ``sketches.hll_distinct_users`` (same md5-derived hash, same
+    bucket/rank split, same folded estimator constant), so a streaming
+    dashboard and a batch backfill agree BIT-FOR-BIT: register-wise max
+    is mergeable and order-independent, so the drained stream equals the
+    batch sketch EXACTLY at any cardinality (unlike the MAD reservoir,
+    no fits-in-state proviso; pinned in tests). State per type is the
+    dense 256-register array; output mode: update (one refreshed row per
+    type per micro-batch)."""
+    keyed = events.select(
+        "event_type", hex_hash64(F.col("user_id").cast("string")).alias("h")
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _hll_group,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -458,3 +458,51 @@ def test_abc_pareto_knee_matches_bruteforce(spark, rows):
         cls: (len(cs), round(sum(cs) / 100.0, 2)) for cls, cs in want.items()
     }
     assert got == expect
+
+
+_WEIGHTS = st.lists(
+    st.integers(min_value=1, max_value=1000), min_size=1, max_size=40
+)
+_K = st.integers(min_value=1, max_value=25)
+
+
+@given(weights=_WEIGHTS, k=_K)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_bruteforce_and_sums_to_k(spark, weights, k):
+    """Weighted systematic sampling against a brute-force integer replay:
+    multiplicities sum to EXACTLY k, every document's n_picks is within
+    one of its exact expectation k·w/total (the systematic-sampling
+    guarantee), and the selected set matches the Python grid walk on the
+    identical md5 order — pinning the DECIMAL div arithmetic."""
+    import hashlib
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.createDataFrame(
+        [(i + 1, "en", "s", w) for i, w in enumerate(weights)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: r.n_picks
+        for r in sampling.weighted_systematic_sample(docs, k=k).collect()
+    }
+    assert sum(got.values()) == k
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    order = sorted(
+        ((h(i + 1), i + 1, w) for i, w in enumerate(weights))
+    )
+    total = sum(w for _h, _i, w in order)
+    cum, want = 0, {}
+    for _h, doc_id, w in order:
+        n = (cum + w) * k // total - cum * k // total
+        cum += w
+        if n > 0:
+            want[doc_id] = n
+        exp = w * k / total
+        assert abs(n - exp) <= 1.0
+    assert got == want

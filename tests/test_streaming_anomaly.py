@@ -197,3 +197,61 @@ def test_mad_stream_reservoir_bounds_state_beyond_k(spark, tmp_path):
     med = anomaly._rank_median(vals)
     mad = anomaly._rank_median([abs(v - med) for v in vals])
     assert (got.med_value, got.mad_value) == (med, mad)
+
+
+# --- streaming HLL distinct users --------------------------------------------
+
+HLL_SCHEMA = "event_type string, user_id long, event_time timestamp"
+
+
+def test_hll_stream_drained_equals_batch_exactly(spark, tmp_path):
+    """Register-wise max is mergeable and order-independent, so the
+    drained stream must equal the batch hll_distinct_users sketch
+    BIT-FOR-BIT — estimate and empty-bucket count — at any cardinality,
+    including registers folded across micro-batches."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        sketches,
+    )
+
+    rows = [
+        {"event_type": et, "user_id": u * 7919 + i, "event_time": "2026-01-01T10:00:00"}
+        for i, et in enumerate(["view", "click", "buy"])
+        for u in range(1, 401)
+    ]
+    src = tmp_path / "hllsrc"
+    src.mkdir()
+    _write(src / "f0.json", rows[:500])
+    _write(src / "f1.json", rows[500:])
+    stream = (
+        spark.readStream.schema(HLL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        anomaly.hll_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll1")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hll1").collect()
+    got = {}
+    for r in out:  # update mode: freshest summary per type has max n_seen
+        if r.event_type not in got or r.n_seen > got[r.event_type].n_seen:
+            got[r.event_type] = r
+
+    batch_df = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in rows],
+        "event_type string, user_id long",
+    )
+    want = {r.event_type: r for r in sketches.hll_distinct_users(batch_df).collect()}
+    assert set(got) == set(want)
+    for et in want:
+        assert (got[et].hll_estimate, got[et].empty_buckets) == (
+            want[et].hll_estimate, want[et].empty_buckets
+        ), et
+        # and the estimate is a real estimate: within 20% at 400 users
+        assert abs(got[et].hll_estimate / want[et].n_exact - 1.0) < 0.2, et
