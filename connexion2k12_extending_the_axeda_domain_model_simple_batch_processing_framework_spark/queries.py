@@ -6755,6 +6755,37 @@ QUERIES["token_zipf"] = q_token_zipf
 ORACLE["token_zipf"] = SQL_TOKEN_ZIPF
 
 
+def q_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority
+    (operators.analytics.shipping_delay_profile): one fact-fact join
+    reduced to |priorities| rows; exact integer-day delays, mergeable
+    percentiles."""
+    return analytics.shipping_delay_profile(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_SHIPPING_DELAY = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate)::BIGINT AS dd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       round(sum(dd)::DOUBLE / count(*), 6) AS mean_delay_days,
+       quantile_disc(dd, 0.5)::DOUBLE AS p50_delay_days,
+       quantile_disc(dd, 0.9)::DOUBLE AS p90_delay_days,
+       quantile_disc(dd, 0.99)::DOUBLE AS p99_delay_days
+FROM d
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["shipping_delay"] = q_shipping_delay
+ORACLE["shipping_delay"] = SQL_SHIPPING_DELAY
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -6784,6 +6815,7 @@ _GATE_PRIORITY = [
     "weighted_sample",
     "embedding_cluster_quality",
     "token_zipf",
+    "shipping_delay",
     # materially changed this round, so the driver re-proves them even
     # though their last gates were recent: abc_pareto's cumulative sum
     # went two-phase, sequence_pack's bucket offsets moved to the
@@ -6815,11 +6847,10 @@ _GATE_PRIORITY = [
     "purchase_attribution",
     "quality_bands_scaled",
     "scd2_point_in_time_deletes",
-    # the oldest r7-gated key in registry order fills the remaining
-    # slot (the other 38 r7-gated rotate to r11; six fillers gave way
-    # to this round's later additions); every displaced key is still
-    # verified every round by tools/parity.py (PARITY_r{N}.txt)
-    "q1_pricing_summary",
+    # no r7 fillers remain: all seven gave way to this round's later
+    # additions (every displaced key is still verified every round by
+    # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
+    # to r11
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
