@@ -1940,3 +1940,118 @@ def shipping_delay_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-lifetime-value curve per signup cohort: customers grouped
+    by the month of their FIRST order; for each month offset since
+    signup, the cohort's cumulative revenue per customer — the LTV curve
+    marketing reads next to 17i's retention grid (does a newer cohort
+    monetize faster, where does the curve flatten).
+
+    Scale shape: the first-order month is an unordered window min over
+    ``partitionBy(o_custkey)`` (one Exchange of orders — the
+    cohort_retention shape), revenue reduces to the bounded
+    (cohort, offset) grid, and the running sum is a Window PARTITIONED
+    by cohort over that grid (bounded partitions ~ months — a legitimate
+    partitioned window, not the banned global kind). Cohort size counts
+    distinct first-month customers once, broadcast back for the
+    per-customer normalization.
+
+    Determinism: offsets are exact integer month arithmetic; revenue
+    stays DECIMAL through the cumulative sum (associative, so the
+    partitioned window equals any evaluation order); ONE double division
+    per output row, rounded at 4.
+    """
+    w = Window.partitionBy("o_custkey")
+    mx = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    with_cohort = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").cast(D).alias("rev"),
+        mx.alias("mx"),
+    ).withColumn("cohort_mx", F.min("mx").over(w))
+    grid = with_cohort.groupBy("cohort_mx", (F.col("mx") - F.col("cohort_mx")).alias("month_offset")).agg(
+        F.sum("rev").alias("rev")
+    )
+    sizes = (
+        with_cohort.filter(F.col("mx") == F.col("cohort_mx"))
+        .groupBy("cohort_mx")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_customers"))
+    )
+    run = (
+        Window.partitionBy("cohort_mx")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(run))
+        .join(F.broadcast(sizes), "cohort_mx")
+        .select(
+            (F.floor(F.col("cohort_mx") / 12)).cast("long").alias("cohort_year"),
+            (F.col("cohort_mx") % 12 + 1).cast("long").alias("cohort_month"),
+            F.col("month_offset").cast("long").alias("month_offset"),
+            "n_customers",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_customers").cast("double"),
+                4,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "cohort_month", "month_offset")
+    )
+
+
+def supplier_return_rates(
+    lineitem: DataFrame, supplier: DataFrame, min_items: int = 20
+) -> DataFrame:
+    """Supplier quality screen: per-supplier return rate (share of items
+    with l_returnflag = 'R') ranked by the Wilson LOWER confidence bound
+    — the standard fix for "a supplier with 1 return out of 2 items is
+    not worse than one with 30 of 100" (rank by evidence, not by the
+    raw ratio); suppliers below ``min_items`` are screened out.
+
+    Scale shape: one lineitem reduction keyed by suppkey (map-side
+    combine: count + conditional count), supplier names broadcast back
+    (constant-bound dimension at any SF? No — supplier scales with SF,
+    so the join is AQE-planned, not force-broadcast). Output is ranked
+    by the bound, worst first, via a distributed TakeOrdered.
+
+    Determinism: counts are exact integers; the Wilson bound (z = 1.96)
+    is a fixed dag of IEEE double ops — div, mul, add, and a CORRECTLY-
+    ROUNDED sqrt (IEEE 754 requires it, unlike ln/exp) — so both engines
+    produce the identical double; ties in the bound break by suppkey.
+    """
+    agg = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .filter(F.col("n_items") >= min_items)
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("n_returned").cast("double") / F.col("n_items").cast("double")
+    n = F.col("n_items").cast("double")
+    center = p + F.lit(z2) / (2.0 * n)
+    spread_t = F.lit(1.96) * F.sqrt(
+        (p * (1.0 - p) + F.lit(z2) / (4.0 * n)) / n
+    )
+    wilson_lb = (center - spread_t) / (1.0 + F.lit(z2) / n)
+    return (
+        agg.join(
+            supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name"),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_items",
+            "n_returned",
+            F.round(p, 6).alias("return_rate"),
+            F.round(wilson_lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), F.col("s_suppkey").asc())
+        .limit(25)
+    )

@@ -6786,6 +6786,92 @@ QUERIES["shipping_delay"] = q_shipping_delay
 ORACLE["shipping_delay"] = SQL_SHIPPING_DELAY
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve per signup cohort
+    (operators.analytics.cohort_ltv): one customer-keyed window Exchange,
+    bounded (cohort, offset) grid, partitioned cumulative DECIMAL sum."""
+    return analytics.cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice::DECIMAL(18,2) AS rev,
+         year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mx,
+         min(year(o_orderdate) * 12 + (month(o_orderdate) - 1))
+           OVER (PARTITION BY o_custkey) AS cohort_mx
+  FROM orders
+),
+grid AS (
+  SELECT cohort_mx, mx - cohort_mx AS month_offset, sum(rev) AS rev
+  FROM o GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_mx, count(DISTINCT o_custkey)::BIGINT AS n_customers
+  FROM o WHERE mx = cohort_mx GROUP BY 1
+),
+run AS (
+  SELECT cohort_mx, month_offset,
+         sum(rev) OVER (PARTITION BY cohort_mx ORDER BY month_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM grid
+)
+SELECT (run.cohort_mx // 12)::BIGINT AS cohort_year,
+       (run.cohort_mx % 12 + 1)::BIGINT AS cohort_month,
+       run.month_offset::BIGINT AS month_offset,
+       sizes.n_customers,
+       run.cum_rev::DOUBLE AS cum_revenue,
+       round(run.cum_rev::DOUBLE / sizes.n_customers::DOUBLE, 4) AS ltv_per_customer
+FROM run JOIN sizes USING (cohort_mx)
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+ORACLE["cohort_ltv"] = SQL_COHORT_LTV
+
+
+def q_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier quality screen ranked by the Wilson lower bound
+    (operators.analytics.supplier_return_rates): exact integer counts,
+    a fixed dag of IEEE double ops (sqrt is correctly rounded by the
+    standard), distributed TakeOrdered head."""
+    return analytics.supplier_return_rates(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+_Z2 = repr(1.96 * 1.96)
+
+SQL_SUPPLIER_RETURNS = f"""
+WITH agg AS (
+  SELECT l_suppkey,
+         count(*)::BIGINT AS n_items,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+  FROM lineitem GROUP BY 1
+),
+f AS (SELECT * FROM agg WHERE n_items >= 20),
+w AS (
+  SELECT l_suppkey, n_items, n_returned,
+         n_returned::DOUBLE / n_items::DOUBLE AS p,
+         n_items::DOUBLE AS n
+  FROM f
+)
+SELECT w.l_suppkey AS s_suppkey, s.s_name, w.n_items, w.n_returned,
+       round(p, 6) AS return_rate,
+       round(((p + {_Z2} / (2.0 * n))
+              - 1.96 * sqrt((p * (1.0 - p) + {_Z2} / (4.0 * n)) / n))
+             / (1.0 + {_Z2} / n), 6) AS wilson_lb
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+ORDER BY ((p + {_Z2} / (2.0 * n))
+          - 1.96 * sqrt((p * (1.0 - p) + {_Z2} / (4.0 * n)) / n))
+         / (1.0 + {_Z2} / n) DESC,
+         w.l_suppkey ASC
+LIMIT 25
+"""
+
+QUERIES["supplier_returns"] = q_supplier_returns
+ORACLE["supplier_returns"] = SQL_SUPPLIER_RETURNS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
