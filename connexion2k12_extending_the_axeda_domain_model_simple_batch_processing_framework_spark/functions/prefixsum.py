@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpoint import cut_lineage
+
 # 64 contiguous value-range buckets: wide enough that no bucket holds more
 # than a few percent of the relation even under moderate value skew, small
 # enough that the offsets relation broadcast is trivially tiny.
@@ -82,6 +84,7 @@ def ordered_cumsum(
     out_col: str | list[str] = "cum",
     n_buckets: int = PREFIX_BUCKETS,
     descending: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Global cumulative sum of ``value_col`` (one column or a list —
     every cumulative rides the SAME bucket pass) in ``(range_col [desc],
@@ -98,9 +101,19 @@ def ordered_cumsum(
     cumulative Window PARTITIONED by bucket and adds the broadcast offset.
     DECIMAL addition is associative, so the result is bit-identical to the
     single global window at any bucket count.
+
+    ``materialize`` (default True) cuts the input's lineage first
+    (functions.checkpoint.cut_lineage): the three passes (cuts, bucket
+    totals, final join) are SEPARATE consumers of ``df``, and Spark's
+    physical ReuseExchange does NOT collapse them across the crossJoin
+    boundary — measured on abc_pareto, the un-materialized plan scanned
+    and shuffled the upstream fact table 12×; with the cut it runs once.
+    Pass False only when the caller has already materialized ``df``.
     """
     if n_buckets < 2:
         raise ValueError("ordered_cumsum needs n_buckets >= 2")
+    if materialize:
+        df = cut_lineage(df)
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(value_cols) != len(out_cols):

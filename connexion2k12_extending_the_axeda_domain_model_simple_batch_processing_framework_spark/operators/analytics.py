@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..functions.prefixsum import ordered_cumsum
 
 D = "decimal(18,2)"
@@ -1356,9 +1357,11 @@ def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .agg(F.sum(d).alias("revenue"))
         .join(part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey")
     )
-    cum = ordered_cumsum(
-        rev, "revenue", "revenue", ["l_partkey"], out_col="cum", descending=True
-    )
+    cum = cut_lineage(
+        ordered_cumsum(
+            rev, "revenue", "revenue", ["l_partkey"], out_col="cum", descending=True
+        )
+    )  # consumed twice below (grand total + classification)
     # total revenue = max(cum): revenue is strictly positive (price > 0,
     # discount < 1) so the running sum is monotone and its max is the
     # grand total — read from the cum relation instead of re-aggregating
@@ -1637,6 +1640,7 @@ def customer_revenue_bands(orders: DataFrame) -> DataFrame:
         out_col=["pos", "cum_rev"],
         descending=True,
     )
+    cum = cut_lineage(cum)  # consumed twice below (totals + banding)
     # both totals read off the cum relation (max of a positive-running
     # sum = grand total; max(pos) = row count) — no second full pass
     # over the customer relation (the abc_pareto bench lesson)
@@ -1861,7 +1865,8 @@ def segment_revenue_trend(orders: DataFrame, customer: DataFrame) -> DataFrame:
     through every sum; slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is
     exact-DECIMAL/integer arithmetic until ONE double division, rounded
     at 6 (denominator > 0 whenever a segment has ≥ 2 distinct months;
-    single-month segments report NULL slope by that division).
+    a degenerate single-month segment would divide by zero — IEEE
+    inf/NaN, identically in both engines).
     """
     monthly = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])

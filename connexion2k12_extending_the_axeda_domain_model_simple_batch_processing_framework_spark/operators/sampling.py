@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
 from ..functions.prefixsum import ordered_cumsum
 
@@ -230,7 +231,9 @@ def weighted_systematic_sample(
         w.alias("__w"),
         hex_hash64(F.col("doc_id").cast("string")).alias("__h"),
     )
-    cum = ordered_cumsum(d, "__w", "__h", ["doc_id"], out_col="__cum")
+    cum = cut_lineage(
+        ordered_cumsum(d, "__w", "__h", ["doc_id"], out_col="__cum")
+    )  # consumed twice below (grand total + pick filter)
     total = cum.agg(F.max("__cum").alias("__total"))
     dec = 'cast({} as decimal(38,0))'
     qa = F.expr(
