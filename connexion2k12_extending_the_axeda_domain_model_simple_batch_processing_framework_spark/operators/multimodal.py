@@ -1482,3 +1482,139 @@ def with_jpeg_payload(documents: DataFrame) -> DataFrame:
     return spread(documents.select("doc_id", "text")).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
+
+
+# --- perceptual image hashing (aHash) + near-dup pairs ----------------------
+
+AHASH_GRID = 8  # 8×8 = 64 mean-comparison bits
+#: the 64-bit signature is carried as two 32-bit halves (a single long
+#: would need bit 63 — the sign bit); eight 8-bit equality bands over
+#: (lo, hi) give PIGEONHOLE-guaranteed full recall for hamming ≤ 7 (the
+#: band width trades the recall bound against bucket count — 2^8 buckets
+#: here; a billion-image corpus would widen bands and multi-probe, the
+#: standard knob this operator exposes via AHASH_BANDS).
+AHASH_BANDS = [(h, off) for h in ("lo", "hi") for off in (0, 8, 16, 24)]
+AHASH_MAX_HAMMING = 7
+
+AHASH_SCHEMA = "doc_id long, hi long, lo long, err string"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL-decoded PPM payloads: gray-block
+    means on an 8×8 grid, bit b = (block mean > global image mean) — the
+    classic aHash, robust to re-encoding and brightness-preserving noise
+    where ``frame_dedup``'s exact md5 is not. Arrow ``mapInPandas``
+    (decode is Python byte-wrangling), reject-routing like decode_image.
+
+    Pure INTEGER comparisons: gray = r+g+b (no /3), block mean > global
+    mean ⇔ blocksum·npx > total·per_block — no float thresholds, so the
+    oracle replays every bit exactly. Requires dimensions divisible by
+    the grid (the synthesized 16×16 corpus is); others reject-route.
+    """
+    import numpy as np
+
+    g8 = AHASH_GRID
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "hi": [], "lo": [], "err": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, _mx, raster = _decode_ppm(bytes(buf))
+                    if w % g8 or h % g8:
+                        raise UnsupportedCodecError(
+                            f"aHash needs dimensions divisible by {g8}, got {w}x{h}"
+                        )
+                    px = (
+                        np.frombuffer(raster, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                    )
+                    gray = px.sum(axis=2)
+                    bh, bw = h // g8, w // g8
+                    blocks = gray.reshape(g8, bh, g8, bw).sum(axis=(1, 3))
+                    total = int(gray.sum())
+                    npx, per = h * w, bh * bw
+                    bits = (blocks * npx > total * per).flatten()  # b = by*8+bx
+                    lo = sum(1 << i for i in range(32) if bits[i])
+                    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                    vals = [hi, lo, None]
+                except (UnsupportedCodecError, ValueError) as e:
+                    vals = [None, None, str(e)]
+                out["doc_id"].append(doc_id)
+                for k, v in zip(("hi", "lo", "err"), vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-dup image pairs by banded aHash — the PERCEPTUAL
+    completion of the image-dedup story (``frame_dedup`` catches
+    byte-identical frames; this catches re-encoded/slightly-noised ones).
+    Candidates come from equi-joins on eight 8-bit signature bands
+    (pigeonhole: hamming ≤ 7 ⇒ some band identical — full recall, no
+    all-pairs; per-band fan-out bounded by band-bucket sizes), exact
+    hamming is two xor+bit_count's on columns already in the row, and a
+    pair colliding in several bands is kept only at its FIRST agreeing
+    band (the simhash_pairs predicate trick — no distinct over the
+    candidate set). One signature computation (Arrow decode pass) is
+    shared by all bands and both join sides via cut_lineage.
+    """
+    assert max_hamming < len(AHASH_BANDS), "bands must outnumber differing bits"
+    from ..functions.checkpoint import cut_lineage
+
+    sig = cut_lineage(
+        image_ahash(with_ppm_payload(documents))
+        .filter(F.col("err").isNull())
+        .select("doc_id", "hi", "lo")
+    )
+
+    def band_val(hi: F.Column, lo: F.Column, j: int) -> F.Column:
+        col, off = AHASH_BANDS[j]
+        src = hi if col == "hi" else lo
+        return F.shiftright(src, off).bitwiseAND(F.lit(0xFF))
+
+    band_vals = [
+        band_val(F.col("hi"), F.col("lo"), j) for j in range(len(AHASH_BANDS))
+    ]
+    banded = sig.select(
+        "doc_id", "hi", "lo",
+        F.posexplode(F.array(*band_vals)).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    )
+    first_match = F.lit(False)
+    for idx in range(len(AHASH_BANDS)):
+        earlier_differ = F.lit(True)
+        for j in range(idx):
+            earlier_differ = earlier_differ & (
+                band_val(F.col("a.hi"), F.col("a.lo"), j)
+                != band_val(F.col("b.hi"), F.col("b.lo"), j)
+            )
+        first_match = F.when(F.col("a.band") == idx, earlier_differ).otherwise(
+            first_match
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -6872,6 +6872,58 @@ QUERIES["supplier_returns"] = q_supplier_returns
 ORACLE["supplier_returns"] = SQL_SUPPLIER_RETURNS
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs by banded aHash over REAL-decoded
+    PPM payloads (operators.multimodal.image_phash_pairs): 4×16-bit band
+    blocking with pigeonhole full recall at hamming ≤ 3, so the result
+    EQUALS the exact all-pairs answer — which is what the oracle
+    computes from the same tiled-byte pixel math."""
+    from .operators import multimodal
+
+    return multimodal.image_phash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_PH_POS = 16 * 16 * 3
+
+from .operators import multimodal as multimodal_mod  # noqa: E402
+
+SQL_IMAGE_PHASH_PAIRS = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_PH_POS})) AS i FROM nz),
+codes AS (
+  SELECT doc_id,
+         ((i // 3) // 16) // 2 AS by, ((i // 3) % 16) // 2 AS bx,
+         unicode(substr(raw, ((i % n) + 1)::INT, 1)) AS code
+  FROM pos
+),
+blocks AS (
+  SELECT doc_id, by, bx, sum(code)::BIGINT AS bs FROM codes GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, sum(bs)::BIGINT AS total FROM blocks GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, (by * 8 + bx)::BIGINT AS bi,
+         CASE WHEN bs * 256 > total * 4 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM blocks b JOIN tot USING (doc_id)
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN bi >= 32 THEN bit << (bi - 32) ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN bi < 32 THEN bit << bi ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY 1
+  UNION ALL
+  SELECT doc_id, 0::BIGINT, 0::BIGINT FROM d WHERE length(raw) = 0
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {multimodal_mod.AHASH_MAX_HAMMING}
+"""
+
+QUERIES["image_phash_pairs"] = q_image_phash_pairs
+ORACLE["image_phash_pairs"] = SQL_IMAGE_PHASH_PAIRS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------

@@ -463,3 +463,78 @@ def test_decode_jpeg_end_to_end_and_routing(spark):
     assert checks.uses_arrow_eval(df)
     assert not checks.uses_python_eval(df)
     assert checks.count_shuffle_exchanges(df) == 0
+
+
+# --- perceptual aHash --------------------------------------------------------
+
+
+def test_image_ahash_known_bits_and_reject_routing(spark):
+    """A half-bright/half-dark raster must set exactly the bright half's
+    bits (integer mean comparisons, no float threshold); dimensions not
+    divisible by the grid reject-route."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        multimodal,
+    )
+
+    # 16x16: left 8 columns bright (200), right 8 dark (10)
+    raster = bytes(
+        (200 if x < 8 else 10)
+        for _y in range(16)
+        for x in range(16)
+        for _c in range(3)
+    )
+    good = multimodal.encode_ppm(16, 16, raster)
+    bad = multimodal.encode_ppm(12, 12, bytes(12 * 12 * 3))  # 12 % 8 != 0
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.image_ahash(df).collect()}
+    # bright blocks are bx 0..3 of every by → bits b = by*8+bx, bx<4
+    want_bits = {by * 8 + bx for by in range(8) for bx in range(4)}
+    lo = sum(1 << b for b in want_bits if b < 32)
+    hi = sum(1 << (b - 32) for b in want_bits if b >= 32)
+    assert (rows[1].hi, rows[1].lo, rows[1].err) == (hi, lo, None)
+    assert rows[2].hi is None and "divisible" in rows[2].err
+
+
+def test_image_phash_pairs_banding_equals_bruteforce(spark):
+    """The 8-band blocking must equal the exact all-pairs hamming ≤ 7
+    answer (pigeonhole recall), including pairs found via a LATER band
+    whose earlier bands differ — built from crafted near-identical
+    texts."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        multimodal,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    texts = [
+        base,
+        base[:-3] + "cat",          # tiny tail change
+        base.replace("quick", "quack"),
+        "a completely different document about spark physical plans " * 15,
+        base.upper(),                # large change
+    ]
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_phash_pairs(docs).collect()
+    }
+    sigs = {
+        r.doc_id: (r.hi, r.lo)
+        for r in multimodal.image_ahash(
+            multimodal.with_ppm_payload(docs)
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if ham <= multimodal.AHASH_MAX_HAMMING:
+                want[(a, b)] = ham
+    assert got == want
+    assert want, "test corpus must produce at least one qualifying pair"
