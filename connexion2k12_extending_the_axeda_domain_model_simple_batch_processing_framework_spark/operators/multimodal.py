@@ -1054,79 +1054,107 @@ def _ycbcr_to_rgb(px: "np.ndarray") -> "np.ndarray":
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+#: encoder subsampling modes → the Y component's (h, v) sampling factors
+#: (chroma is always (1, 1) relative to them)
+_JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def encode_jpeg(
     width: int,
     height: int,
     raster: bytes,
     channels: int = 3,
     quant: int = 1,
+    subsampling: str = "444",
 ) -> bytes:
-    """Serialize a baseline JFIF JPEG (SOF0, 4:4:4, Annex K Huffman
-    tables, flat quantization ``quant`` for every coefficient) — the
-    test-vector generator for the real decode below, the PNG recipe.
-    ``quant=1`` makes FLAT 8×8 blocks round-trip exactly (the DCT of a
-    constant block is DC-only and the DC is an exact multiple of 1), so
-    a flat-tile corpus stays oracle-checkable even though JPEG is lossy
-    in general. Edge dimensions are replicate-padded to 8-multiples."""
+    """Serialize a baseline JFIF JPEG (SOF0, Annex K Huffman tables, flat
+    quantization ``quant`` for every coefficient) — the test-vector
+    generator for the real decode below, the PNG recipe. ``subsampling``
+    picks 4:4:4 (default), 4:2:2, or 4:2:0 chroma layout (the variant
+    real-world encoders emit by default). ``quant=1`` makes FLAT blocks
+    round-trip exactly (a constant block's DCT is DC-only, the DC an
+    exact multiple of 1 — and the chroma box mean of a FLAT region is
+    the same constant, so subsampling stays exact on flat tiles), which
+    keeps a flat-tile corpus oracle-checkable even though JPEG is lossy
+    in general. Edge dimensions replicate-pad to MCU multiples."""
     import numpy as np
 
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if subsampling not in _JPEG_SAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_JPEG_SAMPLING)}")
     if len(raster) != width * height * channels:
         raise ValueError(
             f"raster is {len(raster)} bytes, need {width}x{height}x{channels}"
         )
+    hs_y, vs_y = _JPEG_SAMPLING[subsampling] if channels == 3 else (1, 1)
+    samp = [(hs_y, vs_y)] + [(1, 1)] * (channels - 1)
     px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
     comps = _rgb_to_ycbcr(px) if channels == 3 else px
     A = _dct_matrix()
     zz = _zigzag_order()
     qtab = np.full(64, quant, dtype=np.int64)
-    pad_w = (width + 7) // 8 * 8
-    pad_h = (height + 7) // 8 * 8
-    padded = np.empty((pad_h, pad_w, channels), dtype=np.uint8)
+    mcu_w, mcu_h = 8 * hs_y, 8 * vs_y
+    pad_w = (width + mcu_w - 1) // mcu_w * mcu_w
+    pad_h = (height + mcu_h - 1) // mcu_h * mcu_h
+    padded = np.empty((pad_h, pad_w, channels), dtype=np.float64)
     padded[:height, :width] = comps
     padded[height:, :width] = comps[-1:, :, :]
     padded[:, width:] = padded[:, width - 1 : width, :]
+    # per-component planes at their own resolution; chroma is the box
+    # mean over the (hs_y, vs_y) window — exact on flat regions
+    planes = [padded[:, :, 0]]
+    for c in range(1, channels):
+        ch = padded[:, :, c]
+        planes.append(
+            ch.reshape(pad_h // vs_y, vs_y, pad_w // hs_y, hs_y).mean(axis=(1, 3))
+        )
 
     dc_tabs = [_huff_codes(*_JPEG_DC_LUM)] + [_huff_codes(*_JPEG_DC_CHR)] * 2
     ac_tabs = [_huff_codes(*_JPEG_AC_LUM)] + [_huff_codes(*_JPEG_AC_CHR)] * 2
     w = _BitWriter()
     pred = [0] * channels
-    for by in range(0, pad_h, 8):
-        for bx in range(0, pad_w, 8):
-            for c in range(channels):
-                block = padded[by : by + 8, bx : bx + 8, c].astype(np.float64)
-                F2 = A @ (block - 128.0) @ A.T
-                q = np.floor(F2.flatten() / quant + 0.5).astype(np.int64)
-                zzq = q[zz]
-                diff = int(zzq[0]) - pred[c]
-                pred[c] = int(zzq[0])
-                size, bits = _jpeg_magnitude(diff)
-                code, ln = dc_tabs[c][size]
+
+    def put_block(c: int, block: "np.ndarray") -> None:
+        F2 = A @ (block - 128.0) @ A.T
+        q = np.floor(F2.flatten() / quant + 0.5).astype(np.int64)
+        zzq = q[zz]
+        diff = int(zzq[0]) - pred[c]
+        pred[c] = int(zzq[0])
+        size, bits = _jpeg_magnitude(diff)
+        code, ln = dc_tabs[c][size]
+        w.put(code, ln)
+        if size:
+            w.put(bits, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zzq[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zzq[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tabs[c][0xF0]  # ZRL
                 w.put(code, ln)
-                if size:
-                    w.put(bits, size)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zzq[i]), default=0
-                )
-                for i in range(1, last_nz + 1):
-                    v = int(zzq[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[c][0xF0]  # ZRL
-                        w.put(code, ln)
-                        run -= 16
-                    size, bits = _jpeg_magnitude(v)
-                    code, ln = ac_tabs[c][(run << 4) | size]
-                    w.put(code, ln)
-                    w.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_tabs[c][0x00]  # EOB
-                    w.put(code, ln)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            code, ln = ac_tabs[c][(run << 4) | size]
+            w.put(code, ln)
+            w.put(bits, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tabs[c][0x00]  # EOB
+            w.put(code, ln)
+
+    for my in range(pad_h // mcu_h):
+        for mx in range(pad_w // mcu_w):
+            for c in range(channels):
+                hs, vs = samp[c]
+                for v in range(vs):
+                    for hh in range(hs):
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + hh) * 8
+                        put_block(c, planes[c][by : by + 8, bx : bx + 8])
     entropy = w.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -1140,7 +1168,8 @@ def encode_jpeg(
         out += seg(0xDB, b"\x01" + qz)  # DQT id 1 (chroma)
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4
+        hs, vs = samp[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
     out += seg(0xC0, sof)  # SOF0 baseline
     for tclass, tid, (bits, vals) in (
         (0, 0, _JPEG_DC_LUM),
@@ -1237,9 +1266,10 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     walk, DQT/DHT/SOF0/SOS parsing, Huffman entropy decode with byte
     un-stuffing and restart-marker handling, dequantization, zigzag
     inversion, float IDCT, level shift, and JFIF YCbCr→RGB conversion.
-    Supports 8-bit baseline (SOF0) grayscale and 4:4:4 color; progressive
+    Supports 8-bit baseline (SOF0) grayscale and 4:4:4 / 4:2:2 / 4:2:0
+    color (interleaved MCUs, nearest chroma upsampling); progressive
     (SOF2), arithmetic-coded (SOF9+), hierarchical, 12-bit, and
-    chroma-subsampled streams raise UnsupportedCodecError (the routes a
+    sampling factors above 2 raise UnsupportedCodecError (the routes a
     native-codec build would widen); malformed streams raise ValueError.
     Returns (width, height, channels, RGB/gray raster bytes)."""
     import numpy as np
@@ -1312,13 +1342,22 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     comps = []
     for c in range(ncomp):
         cid, samp, qid = sof[6 + 3 * c : 9 + 3 * c]
-        if samp != 0x11:
+        hs, vs = samp >> 4, samp & 0xF
+        if hs not in (1, 2) or vs not in (1, 2):
             raise UnsupportedCodecError(
-                "chroma-subsampled JPEG not supported (4:4:4 only)"
+                f"sampling factors {hs}x{vs} not supported (1 or 2 only)"
+            )
+        if c > 0 and (hs, vs) != (1, 1):
+            raise UnsupportedCodecError(
+                "subsampled-luma / oversampled-chroma JPEG not supported"
             )
         if qid not in qtabs:
             raise ValueError(f"component {cid} references missing quant table {qid}")
-        comps.append((cid, qtabs[qid]))
+        comps.append((cid, qtabs[qid], hs, vs))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if ncomp == 1 and (hmax, vmax) != (1, 1):
+        raise UnsupportedCodecError("subsampled grayscale JPEG not supported")
     sos_data, epos = scan
     ns = sos_data[0]
     if ns != ncomp:
@@ -1340,15 +1379,21 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     A = _dct_matrix()
     zz = np.array(_zigzag_order(), dtype=np.int64)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = np.zeros((bh * 8, bw * 8, ncomp), dtype=np.uint8)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    nmx = (width + mcu_w - 1) // mcu_w
+    nmy = (height + mcu_h - 1) // mcu_h
+    # per-component planes at the component's own resolution; chroma
+    # upsamples AFTER the scan (nearest — the box-mean inverse)
+    planes = [
+        np.zeros((nmy * vs * 8, nmx * hs * 8), dtype=np.uint8)
+        for _cid, _q, hs, vs in comps
+    ]
     pred = [0] * ncomp
     r = _BitReader(entropy)
     mcu = 0
     seg_pos = 0  # reader restart bookkeeping
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(nmy):
+        for mx in range(nmx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align and consume the RSTn marker
                 r.n = 0
@@ -1365,34 +1410,48 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 pred = [0] * ncomp
             for c in range(ncomp):
                 dc_t, ac_t = ctabs[c]
-                size = _huff_read(r, dc_t)
-                diff = _extend(r.bits(size), size) if size else 0
-                pred[c] += diff
-                coef = np.zeros(64, dtype=np.int64)
-                coef[0] = pred[c]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(r, ac_t)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coef[k] = _extend(r.bits(size), size)
-                    k += 1
-                deq = (coef * comps[c][1]).astype(np.float64)
-                block = np.zeros(64)
-                block[zz] = deq
-                pix = A.T @ block.reshape(8, 8) @ A + 128.0
-                planes[
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
-                ] = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
+                hs, vs = comps[c][2], comps[c][3]
+                for v in range(vs):
+                    for hh in range(hs):
+                        size = _huff_read(r, dc_t)
+                        diff = _extend(r.bits(size), size) if size else 0
+                        pred[c] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(r, ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[k] = _extend(r.bits(size), size)
+                            k += 1
+                        deq = (coef * comps[c][1]).astype(np.float64)
+                        block = np.zeros(64)
+                        block[zz] = deq
+                        pix = A.T @ block.reshape(8, 8) @ A + 128.0
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + hh) * 8
+                        planes[c][by : by + 8, bx : bx + 8] = np.clip(
+                            np.floor(pix + 0.5), 0, 255
+                        ).astype(np.uint8)
             mcu += 1
-    img = planes[:height, :width, :]
+    full = np.empty((height, width, ncomp), dtype=np.uint8)
+    for c in range(ncomp):
+        hs, vs = comps[c][2], comps[c][3]
+        plane = planes[c]
+        if (hs, vs) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full[:, :, c] = plane[:height, :width]
+    img = full
     if ncomp == 3:
         img = _ycbcr_to_rgb(img)
     return width, height, ncomp, img.tobytes()
@@ -1444,7 +1503,7 @@ def decode_jpeg(media: DataFrame, on_error: str = "route") -> DataFrame:
     return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
 
 
-def with_jpeg_payload(documents: DataFrame) -> DataFrame:
+def with_jpeg_payload(documents: DataFrame, subsampling: str = "444") -> DataFrame:
     """Deterministic JPEG test corpus: per doc a FLAT 16×16 RGB tile whose
     color is the first three bytes of md5(text), serialized by the real
     baseline encoder at flat quantization 1. A flat tile's DCT is DC-only
@@ -1474,7 +1533,10 @@ def with_jpeg_payload(documents: DataFrame) -> DataFrame:
                 d = hashlib.md5((text or "").encode("utf-8")).digest()
                 payloads.append(
                     encode_jpeg(
-                        PPM_TILE_W, PPM_TILE_H, bytes(d[:3]) * (PPM_TILE_W * PPM_TILE_H)
+                        PPM_TILE_W,
+                        PPM_TILE_H,
+                        bytes(d[:3]) * (PPM_TILE_W * PPM_TILE_H),
+                        subsampling=subsampling,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -5570,6 +5570,27 @@ QUERIES["jpeg_decode"] = q_jpeg_decode
 ORACLE["jpeg_decode"] = _sql_jpeg_decode()
 
 
+def q_jpeg_decode_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled baseline-JPEG decode — the variant
+    real-world encoders emit by default (operators.multimodal: MCU-
+    interleaved scan, 4 Y blocks + Cb + Cr per 16×16 MCU, nearest
+    chroma upsampling). The corpus is the same flat md5-colored tiles:
+    a flat region's chroma box mean is the same constant, so 4:2:0
+    round-trips EXACTLY and the 4:4:4 oracle formula applies verbatim —
+    the subsampled entropy layout is what this query proves end to end
+    (lossy subsampled paths are pinned by the pytest luma envelope)."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_jpeg(
+        multimodal.with_jpeg_payload(docs, subsampling="420")
+    )
+
+
+QUERIES["jpeg_decode_420"] = q_jpeg_decode_420
+ORACLE["jpeg_decode_420"] = _sql_jpeg_decode()
+
+
 SCD2_DIFF_T1 = "2024-01-10 00:00:00"
 SCD2_DIFF_T2 = "2024-01-20 00:00:00"
 

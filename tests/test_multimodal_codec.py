@@ -409,12 +409,19 @@ def test_jpeg_decoder_rejects_malformed_and_unsupported():
     arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(mm.UnsupportedCodecError, match="arithmetic"):
         mm._decode_jpeg(arith)
-    # chroma subsampling (patch Y sampling factors 0x11 -> 0x22)
+    # sampling factors above 2 route as unsupported (4:2:0/4:2:2 are
+    # now REAL decode paths, so 0x22 no longer rejects)
     i = good.find(b"\xff\xc0")
     sub = bytearray(good)
-    sub[i + 11] = 0x22  # first component's h/v sampling (FFC0 len2 prec H2 W2 n id → samp)
-    with pytest.raises(mm.UnsupportedCodecError, match="subsampled"):
+    sub[i + 11] = 0x33  # first component's h/v sampling (FFC0 len2 prec H2 W2 n id → samp)
+    with pytest.raises(mm.UnsupportedCodecError, match="not supported"):
         mm._decode_jpeg(bytes(sub))
+    # oversampled chroma (Cb at 2x2 alongside Y 2x2) stays rejected
+    sub2 = bytearray(mm.encode_jpeg(16, 16, rgb, subsampling="420"))
+    i2 = sub2.find(b"\xff\xc0")
+    sub2[i2 + 14] = 0x22
+    with pytest.raises(mm.UnsupportedCodecError, match="oversampled-chroma"):
+        mm._decode_jpeg(bytes(sub2))
     # truncated entropy stream is malformed, not unsupported
     with pytest.raises(ValueError):
         mm._decode_jpeg(good[:-20] + b"\xff\xd9")
@@ -538,3 +545,76 @@ def test_image_phash_pairs_banding_equals_bruteforce(spark):
                 want[(a, b)] = ham
     assert got == want
     assert want, "test corpus must produce at least one qualifying pair"
+
+
+# --- subsampled baseline JPEG (4:2:2 / 4:2:0) --------------------------------
+
+
+def test_jpeg_subsampled_flat_tiles_roundtrip_exactly():
+    """A flat tile's chroma box mean is the same constant, so 4:2:2 and
+    4:2:0 round-trip EXACTLY to the double color-conversion result —
+    the property the oracle-checked corpus relies on."""
+    import numpy as np
+
+    raster = bytes([123, 45, 200]) * 256
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(16, 16, 3)
+    exp = mm._ycbcr_to_rgb(mm._rgb_to_ycbcr(px))
+    for mode in ("444", "422", "420"):
+        w, h, nc, out = mm._decode_jpeg(
+            mm.encode_jpeg(16, 16, raster, subsampling=mode)
+        )
+        got = np.frombuffer(out, dtype=np.uint8).reshape(16, 16, 3)
+        assert (w, h, nc) == (16, 16, 3), mode
+        assert (got == exp).all(), mode
+
+
+def test_jpeg_420_random_raster_luma_envelope():
+    """On arbitrary rasters 4:2:0 loses chroma detail by design, but the
+    UNSUBSAMPLED luma must survive: Y recomputed from the decoded RGB
+    stays within a small envelope of the original Y, and dimensions that
+    are not MCU multiples (pad + crop) come back exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    raster = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    w, h, nc, out = mm._decode_jpeg(
+        mm.encode_jpeg(40, 24, raster.tobytes(), subsampling="420")
+    )
+    assert (w, h, nc) == (40, 24, 3)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(24, 40, 3).astype(np.int64)
+    orig = raster.astype(np.int64)
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    # chroma errors mostly cancel in the luma direction; clipping at
+    # sharp random edges bounds the residual
+    assert float(np.abs(luma(got) - luma(orig)).max()) < 16.0
+    # and chroma smoothing is bounded: block means survive (mean error
+    # well under the per-pixel noise amplitude)
+    assert float(np.abs(got - orig).mean()) < 64.0
+
+
+def test_jpeg_420_decode_query_shape(spark):
+    """The registered 4:2:0 corpus decodes through the same Arrow
+    contract with byte-identical results to the 4:4:4 corpus (flat
+    tiles: subsampling is exact), proving the subsampled scan path
+    end-to-end in the engine."""
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    a = {
+        r.doc_id: r
+        for r in mm.decode_jpeg(mm.with_jpeg_payload(docs)).collect()
+    }
+    b = {
+        r.doc_id: r
+        for r in mm.decode_jpeg(
+            mm.with_jpeg_payload(docs, subsampling="420")
+        ).collect()
+    }
+    assert set(a) == set(b) == {1, 2, 3}
+    for k in a:
+        assert (
+            a[k].mean_r, a[k].mean_g, a[k].mean_b, a[k].err
+        ) == (b[k].mean_r, b[k].mean_g, b[k].mean_b, b[k].err), k
