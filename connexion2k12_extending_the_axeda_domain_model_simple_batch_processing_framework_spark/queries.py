@@ -7009,7 +7009,10 @@ _GATE_PRIORITY = [
     # no r7 fillers remain: all seven gave way to this round's later
     # additions (every displaced key is still verified every round by
     # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11
+    # to r11, as do the four r10 additions that arrived after the
+    # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
+    # jpeg_decode_420 — all green in PARITY_r10.txt) rather than break
+    # the promised 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -103,3 +103,64 @@ def test_transitions_stream_state_is_single_row(spark, tmp_path):
     assert sum(got.values()) == 4 * 10 - 1
     # strict alternation: only a->b and b->a ever occur
     assert set(got) == {("a", "b"), ("b", "a")}
+
+
+def test_transitions_stream_state_survives_query_restart(spark, tmp_path):
+    """True checkpoint recovery: a SECOND streaming query started on the
+    same checkpoint after the first one stopped must restore each user's
+    last-event state from the state store — the pair spanning the two
+    QUERIES (not just two micro-batches) is emitted exactly once, and
+    the combined drained output equals the batch matrix."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        temporal,
+    )
+
+    src = tmp_path / "trsrc3"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_tr3")
+    rows1 = [_ev(9, 1, "view", "2026-01-03T10:00:00"),
+             _ev(9, 2, "click", "2026-01-03T10:00:10")]
+    rows2 = [_ev(9, 3, "buy", "2026-01-03T10:00:20"),
+             _ev(9, 4, "view", "2026-01-03T10:00:30")]
+    _write(src / "f0.json", rows1)
+
+    out_dir = str(tmp_path / "tr3_out")
+
+    def run_once():
+        # the memory sink refuses checkpoint recovery; a FILE sink is the
+        # restartable shape a real deployment uses
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = (
+            transitions.transitions_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    _write(src / "f1.json", rows2)
+    run_once()  # NEW query, same checkpoint: state must come back
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("prev_type", "next_type")
+        .sum("n")
+        .withColumnRenamed("sum(n)", "n")
+        .collect()
+    }
+    rows = rows1 + rows2
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["event_type"], r["event_time"]) for r in rows],
+        "user_id long, event_id long, event_type string, ts string",
+    ).selectExpr("user_id", "event_id", "event_type", "cast(ts as timestamp) AS ts")
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in temporal.event_transitions(batch_df).collect()
+    }
+    assert got == want
+    # the cross-QUERY pair (click -> buy) exists and was not duplicated
+    assert got[("click", "buy")] == 1
