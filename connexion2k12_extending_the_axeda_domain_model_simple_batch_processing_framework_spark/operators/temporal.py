@@ -518,3 +518,70 @@ def event_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def peak_concurrency(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Peak simultaneous sessions — the capacity-planning question ("how
+    many users were on AT ONCE, and when"): sessions from the shared gap
+    sessionization sweep a +1/−1 event line; the maximum of the running
+    sum is the peak, its earliest timestamp the when.
+
+    Scale shape: sessionize's one user_id shuffle, then the classic
+    interval sweep WITHOUT a global window — the running sum over the
+    2·|sessions| boundary events comes from the range-partitioned
+    two-phase prefix sum (functions/prefixsum.ordered_cumsum, fifth
+    consumer), and the peak + argmin ride the materialized cum relation
+    (two tiny passes over it, zero re-derivation).
+
+    Semantics: a session occupies its CLOSED interval [start, end] —
+    the −1 fires at end+1 µs, so a single-event (zero-length) session
+    still counts as concurrency 1 at its instant and two sessions
+    meeting at the same microsecond DO overlap there; at equal sweep
+    positions the −1 orders before the +1, remaining ties break by
+    (user_id, session_idx) — a deterministic total order in both
+    engines. All arithmetic is integer microseconds and integer deltas.
+    """
+    from ..functions.checkpoint import cut_lineage
+    from ..functions.prefixsum import ordered_cumsum
+
+    s = sessionize(events, gap_us).select(
+        "user_id", "session_idx",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+    starts = s.select(
+        F.col("start_us").alias("us"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
+        "session_idx",
+    )
+    ends = s.select(
+        (F.col("end_us") + 1).alias("us"),
+        F.lit(-1).cast("long").alias("delta"),
+        "user_id",
+        "session_idx",
+    )
+    cum = cut_lineage(
+        ordered_cumsum(
+            starts.unionAll(ends),
+            "delta",
+            "us",
+            ["delta", "user_id", "session_idx"],
+            out_col="live",
+        )
+    )  # consumed twice below (peak + earliest-peak argmin)
+    peak = cum.agg(F.max("live").alias("peak"))
+    at = (
+        cum.join(F.broadcast(peak), F.col("live") == F.col("peak"))
+        .agg(F.min("us").alias("first_peak_us"))
+    )
+    n = cum.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"))
+    return (
+        n.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_sessions",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.timestamp_micros(F.col("first_peak_us")).alias("first_peak_ts"),
+        )
+    )

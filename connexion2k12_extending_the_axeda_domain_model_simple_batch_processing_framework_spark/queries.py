@@ -5591,6 +5591,50 @@ QUERIES["jpeg_decode_420"] = q_jpeg_decode_420
 ORACLE["jpeg_decode_420"] = _sql_jpeg_decode()
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions (operators.temporal.peak_concurrency):
+    the classic +1/−1 interval sweep with its running sum on the
+    range-partitioned prefix-sum primitive — no global window, integer
+    microseconds throughout, closed-interval session semantics."""
+    return temporal.peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > {temporal.SESSION_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+),
+sess AS (
+  SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+  FROM s GROUP BY 1, 2
+),
+pts AS (
+  SELECT start_us AS us, 1::BIGINT AS delta, user_id, session_idx FROM sess
+  UNION ALL
+  SELECT end_us + 1 AS us, -1::BIGINT AS delta, user_id, session_idx FROM sess
+),
+run AS (
+  SELECT us, sum(delta) OVER (
+           ORDER BY us, delta, user_id, session_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT (SELECT (count(*) / 2)::BIGINT FROM run) AS n_sessions,
+       (SELECT max(live)::BIGINT FROM run) AS peak_concurrency,
+       make_timestamp((SELECT min(us) FROM run WHERE live = (SELECT max(live) FROM run))) AS first_peak_ts
+"""
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+ORACLE["peak_concurrency"] = SQL_PEAK_CONCURRENCY
+
+
 SCD2_DIFF_T1 = "2024-01-10 00:00:00"
 SCD2_DIFF_T2 = "2024-01-20 00:00:00"
 

@@ -506,3 +506,74 @@ def test_weighted_sample_matches_bruteforce_and_sums_to_k(spark, weights, k):
         exp = w * k / total
         assert abs(n - exp) <= 1.0
     assert got == want
+
+
+_EVENT_TIMES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),       # user
+        st.integers(min_value=0, max_value=7200),    # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=_EVENT_TIMES)
+@settings(**_SETTINGS)
+def test_peak_concurrency_matches_bruteforce_sweep(spark, evs):
+    """The +1/−1 sweep on the prefix-sum primitive against a Python
+    replay of sessionize + boundary sweep — pins the CLOSED-interval
+    rule (a zero-length single-event session still counts as 1 at its
+    instant; sessions meeting at the same microsecond overlap there)
+    and the earliest-peak argmin."""
+    import datetime
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        temporal,
+    )
+
+    gap_us = 600 * 1_000_000  # 10 min, so the small offsets split sessions
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (u, i + 1, base + datetime.timedelta(seconds=s), 1.0)
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = temporal.peak_concurrency(df, gap_us=gap_us).collect()[0]
+
+    # python replay: gap sessions per user
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, eid, ts, _v in rows:
+        per_user.setdefault(u, []).append((int(ts.timestamp() * 1e6), eid))
+    sessions = []
+    for u, evts in per_user.items():
+        evts.sort()
+        sidx = 0
+        start = end = None
+        prev = None
+        for us, _eid in evts:
+            if prev is None or us - prev > gap_us:
+                if start is not None:
+                    sessions.append((u, sidx, start, end))
+                sidx += 1
+                start = us
+            end = us
+            prev = us
+        sessions.append((u, sidx, start, end))
+    pts = [(s[2], 1, s[0], s[1]) for s in sessions] + [
+        (s[3] + 1, -1, s[0], s[1]) for s in sessions  # closed intervals
+    ]
+    pts.sort()
+    live = peak = 0
+    first_peak = None
+    for us, delta, _u, _s in pts:
+        live += delta
+        if live > peak:
+            peak = live
+            first_peak = us
+    assert got.n_sessions == len(sessions)
+    assert got.peak_concurrency == peak
+    assert int(got.first_peak_ts.replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1e6) == first_peak
