@@ -1077,3 +1077,33 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+def dup_cluster_sizes(documents: DataFrame, **cluster_kwargs) -> DataFrame:
+    """Dedup-impact report: the near-dup CLUSTER-SIZE distribution — per
+    size, how many clusters, how many documents they hold, and how many
+    a keep-one-per-cluster policy removes (size − 1 each). The number a
+    curation run quotes BEFORE committing a dedup pass ("34 % of the
+    corpus sits in 2-doc clusters, one 40-doc template cluster dominates
+    the savings") and the drift signal that catches a template flood
+    between two cuts.
+
+    Scale shape: rides ``dup_clusters`` (the session-shared band index +
+    bounded label propagation — no new pair generation), then two TINY
+    aggregations: cluster sizes (|clusters| rows) and the size histogram
+    (|distinct sizes| rows). Everything downstream of the shared index
+    is map-side combinable integers.
+    """
+    c = dup_clusters(documents, **cluster_kwargs)
+    sizes = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_docs"),
+            F.sum(F.col("size") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("size")
+    )

@@ -5635,6 +5635,31 @@ QUERIES["peak_concurrency"] = q_peak_concurrency
 ORACLE["peak_concurrency"] = SQL_PEAK_CONCURRENCY
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (operators.dedup.
+    dup_cluster_sizes): the dedup-impact report — rides the
+    session-shared band index + label propagation, then two tiny integer
+    aggregations."""
+    from .operators.dedup import dup_cluster_sizes
+
+    return dup_cluster_sizes(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH clusters AS ({SQL_DUP_CLUSTERS}),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS size FROM clusters GROUP BY 1
+)
+SELECT size, count(*)::BIGINT AS n_clusters,
+       sum(size)::BIGINT AS n_docs,
+       sum(size - 1)::BIGINT AS n_removable
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
+ORACLE["dup_cluster_sizes"] = SQL_DUP_CLUSTER_SIZES
+
+
 SCD2_DIFF_T1 = "2024-01-10 00:00:00"
 SCD2_DIFF_T2 = "2024-01-20 00:00:00"
 
