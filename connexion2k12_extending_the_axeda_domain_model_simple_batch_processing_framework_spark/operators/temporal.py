@@ -544,10 +544,14 @@ def peak_concurrency(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFra
     from ..functions.checkpoint import cut_lineage
     from ..functions.prefixsum import ordered_cumsum
 
-    s = sessionize(events, gap_us).select(
-        "user_id", "session_idx",
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
+    # the boundary union reads the session relation TWICE (starts +
+    # ends) — cut it first so sessionize's events shuffle runs once
+    s = cut_lineage(
+        sessionize(events, gap_us).select(
+            "user_id", "session_idx",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+        )
     )
     starts = s.select(
         F.col("start_us").alias("us"),
