@@ -235,12 +235,16 @@ def weighted_systematic_sample(
         ordered_cumsum(d, "__w", "__h", ["doc_id"], out_col="__cum")
     )  # consumed twice below (grand total + pick filter)
     total = cum.agg(F.max("__cum").alias("__total"))
+    # cast BEFORE multiplying: `cum * k` in LONG overflows at ~1e14
+    # total chars × 1e6 picks and only then would hit the cast — the
+    # exact overflow class the DECIMAL products exist to prevent (the
+    # oracle's HUGEINT side casts first for the same reason)
     dec = 'cast({} as decimal(38,0))'
     qa = F.expr(
-        f"{dec.format('__cum * ' + str(k))} div {dec.format('__total')}"
+        f"({dec.format('__cum')} * {k}) div {dec.format('__total')}"
     )
     qb = F.expr(
-        f"{dec.format('(__cum - __w) * ' + str(k))} div {dec.format('__total')}"
+        f"({dec.format('__cum - __w')} * {k}) div {dec.format('__total')}"
     )
     return (
         cum.crossJoin(F.broadcast(total))
