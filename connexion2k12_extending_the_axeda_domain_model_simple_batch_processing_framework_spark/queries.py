@@ -5660,6 +5660,54 @@ QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
 ORACLE["dup_cluster_sizes"] = SQL_DUP_CLUSTER_SIZES
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual aHash signatures over REAL-decoded PPM
+    payloads (operators.multimodal.image_ahash): every 64-bit signature
+    oracle-replayed bit-for-bit from the tiled-byte pixel math — the
+    per-doc signature table 29bx's banded pair join consumes."""
+    from .operators import multimodal
+
+    return (
+        multimodal.image_ahash(multimodal.with_ppm_payload(
+            load_table(spark, sf_dir, "documents")
+        ))
+        .select("doc_id", "hi", "lo")
+    )
+
+
+_AH_POS = 16 * 16 * 3
+
+SQL_IMAGE_AHASH = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+nz AS (SELECT doc_id, raw, length(raw) AS n FROM d WHERE length(raw) > 0),
+pos AS (SELECT doc_id, raw, n, unnest(range(0, {_AH_POS})) AS i FROM nz),
+codes AS (
+  SELECT doc_id,
+         ((i // 3) // 16) // 2 AS by, ((i // 3) % 16) // 2 AS bx,
+         unicode(substr(raw, ((i % n) + 1)::INT, 1)) AS code
+  FROM pos
+),
+blocks AS (
+  SELECT doc_id, by, bx, sum(code)::BIGINT AS bs FROM codes GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, sum(bs)::BIGINT AS total FROM blocks GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, (by * 8 + bx)::BIGINT AS bi,
+         CASE WHEN bs * 256 > total * 4 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM blocks b JOIN tot USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(CASE WHEN bi >= 32 THEN bit << (bi - 32) ELSE 0 END)::BIGINT AS hi,
+       sum(CASE WHEN bi < 32 THEN bit << bi ELSE 0 END)::BIGINT AS lo
+FROM bits GROUP BY 1
+UNION ALL
+SELECT doc_id::BIGINT, 0::BIGINT, 0::BIGINT FROM d WHERE length(raw) = 0
+"""
+
+QUERIES["image_ahash"] = q_image_ahash
+ORACLE["image_ahash"] = SQL_IMAGE_AHASH
+
+
 SCD2_DIFF_T1 = "2024-01-10 00:00:00"
 SCD2_DIFF_T2 = "2024-01-20 00:00:00"
 
