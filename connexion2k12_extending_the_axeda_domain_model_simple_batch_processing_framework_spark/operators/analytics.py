@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.checkpoint import cut_lineage
-from ..functions.prefixsum import ordered_cumsum
+from ..functions.prefixsum import ordered_cummax_excl, ordered_cumsum
 
 D = "decimal(18,2)"
 
@@ -2060,3 +2060,106 @@ def supplier_return_rates(
         .orderBy(F.col("wilson_lb").desc(), F.col("s_suppkey").asc())
         .limit(25)
     )
+
+
+def part_frontier(lineitem: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of parts over (total quantity shipped,
+    total discounted revenue): a part is on the frontier iff NO other part
+    is at least as good on both measures and strictly better on one — the
+    "which SKUs are undominated on volume AND money" question that
+    assortment/pricing analysis asks, and the canonical SKYLINE operator
+    Spark has no native node for.
+
+    Scale shape: the naive formulations are an all-pairs dominance
+    self-join (quadratic in parts) or a partition-less cumulative Window
+    (one task at 100 TB); this is neither. One aggregation reduces
+    lineitem to the part relation, one more dedups it to per-quantity
+    best revenue (distinct quantities <= parts), and dominance becomes an
+    EXCLUSIVE running max in quantity-descending order via the two-phase
+    range-partitioned primitive (functions/prefixsum.ordered_cummax_excl —
+    per-bucket exclusive windows + a triangular broadcast bucket-offset
+    join). A part survives iff it holds its quantity's best revenue AND
+    beats the best revenue of every STRICTLY-larger quantity; ties on
+    both measures are mutually non-dominating and all kept.
+
+    Determinism: both measures are exact DECIMAL sums (cast before
+    aggregation); every dominance compare is decimal-exact; the only
+    doubles are the two output casts. The DuckDB oracle is the genuinely
+    independent quadratic NOT-EXISTS dominance query.
+    """
+    qty = F.col("l_quantity").cast(D)
+    rev = F.col("l_extendedprice").cast(D) * (
+        F.lit(1).cast(D) - F.col("l_discount").cast(D)
+    )
+    pp = cut_lineage(
+        lineitem.groupBy("l_partkey").agg(
+            F.sum(qty).alias("tq"), F.sum(rev).alias("tr")
+        )
+    )  # consumed twice: per-quantity dedup + frontier join-back
+    best_at = pp.groupBy("tq").agg(F.max("tr").alias("best_at_qty"))
+    best_above = ordered_cummax_excl(
+        best_at,
+        "best_at_qty",
+        "tq",
+        [],
+        out_col="best_above_qty",
+        descending=True,
+        # materialize (default): the per-quantity relation is tiny but has
+        # FOUR consumers inside the primitive (cuts, totals, bucketed join,
+        # final join-back) — uncut, each re-aggregates pp (13 exchanges in
+        # the plan audit; 3 with the cut)
+    )
+    return (
+        pp.join(best_above, "tq")
+        .filter(
+            (F.col("tr") == F.col("best_at_qty"))
+            & (
+                F.col("best_above_qty").isNull()
+                | (F.col("tr") > F.col("best_above_qty"))
+            )
+        )
+        .select(
+            "l_partkey",
+            F.col("tq").cast("double").alias("total_qty"),
+            F.col("tr").cast("double").alias("total_rev"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
+    )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity screen (bots and scripted traffic concentrate on one or two
+    event types, entropy near 0; organic users spread, entropy near
+    ln(n_types)). Complements the population-level concentration screens
+    (supplier HHI) with a per-entity information measure.
+
+    Scale shape: two map-side-combined aggregations — (user, type) counts,
+    then per-user moments — with fan-in bounded by |event types| per user;
+    no windows, no joins.
+
+    Determinism: H = ln(n) - (sum c_i*ln(c_i))/n is computed from EXACT
+    integer sums of micro-nat-quantized logs (the token_zipf/unigram trick:
+    floor(ln(c)*1e6 + 0.5) as BIGINT — ln is not IEEE-correctly-rounded,
+    so quantize FIRST, sum exactly, divide ONCE), leaving a single
+    correctly-rounded double division per user, rounded at 6.
+    """
+    mln = lambda c: F.floor(F.log(c.cast("double")) * 1_000_000 + 0.5).cast(  # noqa: E731
+        "long"
+    )
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * mln(F.col("c"))).cast("long").alias("s_clnc"),
+    )
+    n = F.col("n_events")
+    num = (n * mln(n) - F.col("s_clnc")).cast("double")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(num / (n.cast("double") * 1_000_000.0), 6).alias("entropy_nats"),
+    ).orderBy("user_id")

@@ -589,3 +589,68 @@ def peak_concurrency(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFra
             F.timestamp_micros(F.col("first_peak_us")).alias("first_peak_ts"),
         )
     )
+
+
+def daily_gapfill(events: DataFrame) -> DataFrame:
+    """Calendar-complete daily series per event type: zero-filled event
+    counts and day-value sums on every calendar day of the type's observed
+    span, plus the last observed raw ``value`` carried forward across gap
+    days (LOCF) — the resample-and-forward-fill staple every monitoring
+    and feature-engineering pipeline needs before a model sees the series
+    (a missing day must read as "0 events, value unchanged", never as a
+    silently absent row).
+
+    Scale shape: ONE map-side-combined aggregation reduces the fact table
+    to a (type, day) relation — bounded by |types| x calendar days, not by
+    data volume — and everything downstream (span min/max, grid explode,
+    LOCF window) runs on that bounded relation. The grid comes from
+    ``F.sequence`` per type (fan-out = span days, calendar-bounded); the
+    LOCF window partitions by event_type, so no partition-less WindowExec
+    anywhere (suite plan contract). The within-day "last" is
+    ``F.max_by`` over the (ts, event_id) struct — deterministic under
+    timestamp ties because event_id is unique.
+
+    Determinism: counts are exact BIGINTs, day sums are exact DECIMAL
+    (cast before aggregation, the q1 convention) with one output cast to
+    DOUBLE; the carried value is a STORED double (no arithmetic), so both
+    engines emit the identical bits.
+    """
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(D)).alias("day_value"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("day_last"),
+        )
+    )
+    from ..functions.checkpoint import cut_lineage
+
+    daily = cut_lineage(daily)  # consumed twice: span scan + grid join
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce(F.col("day_value").cast("double"), F.lit(0.0)).alias(
+                "day_value"
+            ),
+            F.last("day_last", ignorenulls=True).over(locf).alias("carried_value"),
+            F.when(F.col("n_events").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_gap"),
+        )
+        .orderBy("event_type", "day")
+    )

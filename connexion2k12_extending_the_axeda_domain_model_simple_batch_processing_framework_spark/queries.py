@@ -7062,6 +7062,114 @@ QUERIES["image_phash_pairs"] = q_image_phash_pairs
 ORACLE["image_phash_pairs"] = SQL_IMAGE_PHASH_PAIRS
 
 
+def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-complete daily series per event type with zero-fill + LOCF
+    (operators.temporal.daily_gapfill): one fact reduction to the bounded
+    (type, day) relation, grid explode calendar-bounded, LOCF window
+    partitioned by type."""
+    return temporal.daily_gapfill(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_DAILY_GAPFILL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         count(*)::BIGINT AS n_events,
+         sum(value::DECIMAL(18,2)) AS day_value
+  FROM events GROUP BY 1, 2
+),
+lastv AS (
+  SELECT event_type, day, value AS day_last FROM (
+    SELECT event_type, ts::DATE AS day, value,
+           row_number() OVER (PARTITION BY event_type, ts::DATE
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+spans AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT g.event_type, g.day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events,
+       coalesce(d.day_value, 0)::DOUBLE AS day_value,
+       last_value(lv.day_last IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value,
+       (CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
+FROM grid g
+LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+LEFT JOIN lastv lv ON lv.event_type = g.event_type AND lv.day = g.day
+ORDER BY 1, 2
+"""
+
+QUERIES["events_daily_gapfill"] = q_events_daily_gapfill
+ORACLE["events_daily_gapfill"] = SQL_EVENTS_DAILY_GAPFILL
+
+
+def q_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts over (total qty, total revenue)
+    (operators.analytics.part_frontier): dominance as an exclusive
+    two-phase running max — never the quadratic all-pairs join the oracle
+    deliberately runs."""
+    return analytics.part_frontier(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PART_FRONTIER = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(l_quantity::DECIMAL(18,2)) AS tq,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount::DECIMAL(18,2))) AS tr
+  FROM lineitem GROUP BY 1
+)
+SELECT a.l_partkey, a.tq::DOUBLE AS total_qty, a.tr::DOUBLE AS total_rev
+FROM pp a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pp b
+  WHERE b.tq >= a.tq AND b.tr >= a.tr
+    AND (b.tq > a.tq OR b.tr > a.tr)
+)
+ORDER BY total_qty DESC, a.l_partkey ASC
+"""
+
+QUERIES["part_frontier"] = q_part_frontier
+ORACLE["part_frontier"] = SQL_PART_FRONTIER
+
+
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over the event-type mix
+    (operators.analytics.user_behavior_entropy): two map-side-combined
+    aggregations, micro-nat-exact log sums, one double division."""
+    return analytics.user_behavior_entropy(load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id,
+         sum(c)::BIGINT AS n_events,
+         count(*)::BIGINT AS n_types,
+         sum(c * floor(ln(c::DOUBLE) * 1000000 + 0.5)::BIGINT)::BIGINT AS s_clnc
+  FROM c GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       round((n_events * floor(ln(n_events::DOUBLE) * 1000000 + 0.5)::BIGINT
+              - s_clnc)::DOUBLE
+             / (n_events::DOUBLE * 1000000.0), 6) AS entropy_nats
+FROM p
+ORDER BY user_id
+"""
+
+QUERIES["user_entropy"] = q_user_entropy
+ORACLE["user_entropy"] = SQL_USER_ENTROPY
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7126,9 +7234,10 @@ _GATE_PRIORITY = [
     # no r7 fillers remain: all seven gave way to this round's later
     # additions (every displaced key is still verified every round by
     # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11, as do the four r10 additions that arrived after the
+    # to r11, as do the seven r10 additions that arrived after the
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
-    # jpeg_decode_420 — all green in PARITY_r10.txt) rather than break
+    # jpeg_decode_420, events_daily_gapfill, part_frontier,
+    # user_entropy — all green in PARITY_r10.txt) rather than break
     # the promised 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]

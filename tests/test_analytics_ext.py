@@ -227,3 +227,36 @@ def test_repeat_purchase_intervals_known_gaps(spark):
     assert r.n_repeat_customers == 2
     assert abs(r.mean_gap_days - 3.0) < 1e-9  # (2+7+0)/3
     assert r.p50_gap_days == 2.0
+
+
+def test_user_behavior_entropy_known_values(spark):
+    import math
+
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [
+            # user 1: 2 types, 1 each -> H = ln 2
+            (1, ts, 1, "a", 0.0),
+            (2, ts, 1, "b", 0.0),
+            # user 2: single type -> H = 0 exactly
+            (3, ts, 2, "a", 0.0),
+            (4, ts, 2, "a", 0.0),
+            # user 3: counts 3 and 1 -> H = ln4 - (3 ln3)/4
+            (5, ts, 3, "a", 0.0),
+            (6, ts, 3, "a", 0.0),
+            (7, ts, 3, "a", 0.0),
+            (8, ts, 3, "b", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    rows = {r.user_id: r for r in analytics.user_behavior_entropy(events).collect()}
+    assert (rows[1].n_events, rows[1].n_types) == (2, 2)
+    assert abs(rows[1].entropy_nats - math.log(2)) < 1e-5
+    assert rows[2].entropy_nats == 0.0
+    assert abs(rows[3].entropy_nats - (math.log(4) - 3 * math.log(3) / 4)) < 1e-5

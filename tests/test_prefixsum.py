@@ -83,3 +83,37 @@ def test_ordered_cumsum_single_row_and_all_equal(spark):
     assert [r.cum for r in rows] == [
         Decimal("2.00") * i for i in range(1, 8)
     ]
+
+
+def test_ordered_cummax_excl_equals_global_exclusive_window(spark):
+    # unique sort key (v may tie, k breaks) — row-exclusive == value-exact
+    df = _rand_df(spark, n=400, seed=11)
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.prefixsum import (
+        ordered_cummax_excl,
+    )
+
+    for descending in (True, False):
+        for nb in (2, 7, 64):
+            got = ordered_cummax_excl(
+                df, "v", "v", ["k"], out_col="cm", descending=descending,
+                n_buckets=nb,
+            )
+            head = F.col("v").desc() if descending else F.col("v").asc()
+            w = Window.orderBy(head, F.col("k").asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            want = df.withColumn("cm", F.max("v").over(w))
+            g = {(r.k, r.cm) for r in got.collect()}
+            e = {(r.k, r.cm) for r in want.collect()}
+            assert g == e, f"descending={descending} n_buckets={nb}"
+
+
+def test_ordered_cummax_excl_first_row_null_and_plan_clean(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.functions.prefixsum import (
+        ordered_cummax_excl,
+    )
+
+    df = ordered_cummax_excl(_rand_df(spark, n=50), "v", "v", ["k"], out_col="cm")
+    rows = df.collect()
+    assert sum(1 for r in rows if r.cm is None) == 1  # exactly the global first
+    assert checks.unpartitioned_windows(df) == []

@@ -577,3 +577,49 @@ def test_peak_concurrency_matches_bruteforce_sweep(spark, evs):
     assert got.peak_concurrency == peak
     assert int(got.first_peak_ts.replace(
         tzinfo=datetime.timezone.utc).timestamp() * 1e6) == first_peak
+
+
+_POINTS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=12),
+              st.integers(min_value=1, max_value=30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pts=_POINTS)
+@settings(**_SETTINGS)
+def test_part_frontier_matches_bruteforce_dominance(spark, pts):
+    """Skyline semantics against the quadratic Python dominance check on a
+    small integer domain (dense ties and duplicate points) — pins the
+    edge cases the two-phase exclusive-cummax formulation must honor:
+    identical points are mutually non-dominating (all kept), equal-qty/
+    higher-rev dominates, equal-rev/higher-qty dominates."""
+    from decimal import Decimal
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (i + 1, Decimal(q), Decimal(r) / 100, Decimal(0))
+            for i, (q, r) in enumerate(pts)
+        ],
+        "l_partkey long, l_quantity decimal(18,2), "
+        "l_extendedprice decimal(18,2), l_discount decimal(18,2)",
+    )
+    got = {
+        (r.l_partkey, r.total_qty, r.total_rev)
+        for r in analytics.part_frontier(li).collect()
+    }
+    want = set()
+    for i, (q, r) in enumerate(pts):
+        dominated = any(
+            q2 >= q and r2 >= r and (q2 > q or r2 > r)
+            for j, (q2, r2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            want.add((i + 1, float(q), r / 100.0))
+    assert got == want

@@ -286,3 +286,46 @@ def test_growth_accounting_month_and_week_boundaries(spark):
         assert (
             r.n_active == r.n_new + r.n_retained + r.n_resurrected
         ), "n_active identity"
+
+
+def test_daily_gapfill_zero_fills_and_carries_forward(spark):
+    # type "a": days 1, 4 observed -> grid 1..4 with gaps on 2, 3
+    # type "b": single day -> one dense row, no gaps
+    d = lambda day, h=12: datetime(2026, 1, day, h)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, d(1, 9), 1, "a", 10.0),
+            (2, d(1, 18), 1, "a", 7.5),   # later ts -> the day-1 carried value
+            (3, d(4), 2, "a", 2.0),
+            (4, d(2), 3, "b", 5.0),
+        ],
+        SCHEMA,
+    )
+    rows = {
+        (r.event_type, str(r.day)): r
+        for r in temporal.daily_gapfill(events).collect()
+    }
+    assert len(rows) == 5  # a: 4 grid days, b: 1
+    a1 = rows[("a", "2026-01-01")]
+    assert (a1.n_events, a1.day_value, a1.carried_value, a1.is_gap) == (
+        2, 17.5, 7.5, 0,
+    )
+    for gap_day in ("2026-01-02", "2026-01-03"):
+        g = rows[("a", gap_day)]
+        assert (g.n_events, g.day_value, g.carried_value, g.is_gap) == (
+            0, 0.0, 7.5, 1,
+        )
+    a4 = rows[("a", "2026-01-04")]
+    assert (a4.n_events, a4.carried_value, a4.is_gap) == (1, 2.0, 0)
+    b = rows[("b", "2026-01-02")]
+    assert (b.n_events, b.day_value, b.carried_value, b.is_gap) == (1, 5.0, 5.0, 0)
+
+
+def test_daily_gapfill_within_day_last_breaks_ts_ties_by_event_id(spark):
+    events = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), 1, "a", 1.0),
+         (2, datetime(2026, 1, 1), 1, "a", 9.0)],  # same ts: higher id wins
+        SCHEMA,
+    )
+    [row] = temporal.daily_gapfill(events).collect()
+    assert row.carried_value == 9.0
