@@ -2163,3 +2163,124 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         "n_types",
         F.round(num / (n.cast("double") * 1_000_000.0), 6).alias("entropy_nats"),
     ).orderBy("user_id")
+
+
+def referential_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    child→parent relationship, the child row count, NULL foreign keys,
+    and ORPHAN rows (non-null key with no parent) — the data-quality
+    contract check a pipeline runs after every load and before every
+    join-heavy workload (an orphan silently drops rows from inner joins;
+    a null key silently drops them from BOTH join sides). The relational
+    generalization of the reference's per-line AnalyzeBatch validation
+    (AnalyzeBatch.groovy:89-151 validates field syntax per task line;
+    this validates cross-entity existence per fact row).
+
+    Scale shape: per relationship, the child is reduced to its DISTINCT
+    key relation FIRST (map-side combine, keys ≪ rows), then one LEFT
+    ANTI join against the parent key — the anti join ships distinct keys,
+    never fact rows; orphan ROW counts come from summing the per-key
+    counts that rode along. Null keys are a scan-shaped conditional sum.
+    Four bounded 1-row aggregates union into the report.
+
+    Everything is exact integer counting — nothing engine-dependent.
+    """
+
+    def leg(child, key, parent, pkey, name):
+        # one child scan per leg: distinct-key reduction, a LEFT join
+        # against the parent key with a presence marker, then ONE 1-row
+        # aggregate reads all three counts off the marked relation
+        per_key = child.groupBy(F.col(key).alias("__k")).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        marked = per_key.join(
+            parent.select(F.col(pkey).alias("__k"), F.lit(1).alias("__p")),
+            "__k",
+            "left",
+        )
+        orphan = F.col("__k").isNotNull() & F.col("__p").isNull()
+        return marked.agg(
+            F.lit(name).alias("relationship"),
+            F.sum("__c").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("__k").isNull(), F.col("__c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_null_keys"),
+            F.coalesce(F.sum(F.when(orphan, F.col("__c"))), F.lit(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    legs = [
+        leg(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        leg(lineitem, "l_partkey", part, "p_partkey", "lineitem->part"),
+        leg(
+            lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"
+        ),
+        leg(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out.orderBy("relationship")
+
+
+def equal_frequency_bins(
+    df: DataFrame, col: str = "l_extendedprice", n_bins: int = 10
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-engineering
+    discretization step every tabular training pipeline runs (decile
+    flags, rank features, calibration buckets): ``n_bins - 1`` interior
+    edges at p = i/n from the mergeable ``approx_percentile`` sketch,
+    every row assigned bin = count of edges STRICTLY below its value,
+    then one per-bin profile row (count, min, max, exact-decimal mean).
+
+    Scale shape: one constant-size sketch aggregate, edges broadcast
+    back onto the scan (the prefixsum bucketizer's shape), bin
+    assignment is a JVM ``F.aggregate`` fold over the tiny edge array
+    (whole-stage codegen — no UDF), and the profile is one
+    map-side-combined groupBy on ≤ n_bins keys.
+
+    Determinism: the sketch's discrete value-at-rank semantics are
+    engine-exact below PCTL_ACCURACY rows (the 17p/`price_quantiles`
+    contract, oracle-checked vs DuckDB ``quantile_disc``); ties at an
+    edge always fall to the LOWER bin in both engines (strict-less
+    rule); min/max are stored doubles, the mean is an exact DECIMAL sum
+    with one rounded double division.
+    """
+    probs = ", ".join(f"{i / n_bins!r}D" for i in range(1, n_bins))
+    edges = df.agg(
+        F.expr(
+            f"approx_percentile(CAST({col} AS DOUBLE), array({probs}),"
+            f" {PCTL_ACCURACY})"
+        ).alias("__edges")
+    )
+    v = F.col(col).cast("double")
+    bin_id = F.aggregate(
+        "__edges",
+        F.lit(0),
+        lambda acc, e: acc + F.when(e < v, 1).otherwise(0),
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(bin_id.alias("bin_id"), v.alias("__v"), F.col(col).cast(D).alias("__vd"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+            F.round(
+                F.sum("__vd").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy("bin_id")
+    )

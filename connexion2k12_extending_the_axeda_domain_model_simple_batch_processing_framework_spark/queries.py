@@ -7170,6 +7170,99 @@ QUERIES["user_entropy"] = q_user_entropy
 ORACLE["user_entropy"] = SQL_USER_ENTROPY
 
 
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema referential-integrity audit
+    (operators.analytics.referential_audit): per child→parent
+    relationship, child rows / null FKs / orphan rows; distinct-key
+    anti-joins, never fact-row shipping."""
+    return analytics.referential_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+SQL_REFERENTIAL_AUDIT = """
+WITH legs AS (
+  SELECT 'lineitem->orders' AS relationship,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+           AS n_null_keys,
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_orderkey = l_orderkey))::BIGINT
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM lineitem
+          WHERE l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part
+                            WHERE p_partkey = l_partkey))::BIGINT
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM lineitem
+          WHERE l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier
+                            WHERE s_suppkey = l_suppkey))::BIGINT
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey))::BIGINT
+)
+SELECT relationship, n_rows, n_null_keys, n_orphans
+FROM legs ORDER BY relationship
+"""
+
+QUERIES["referential_audit"] = q_referential_audit
+ORACLE["referential_audit"] = SQL_REFERENTIAL_AUDIT
+
+
+def q_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of extendedprice
+    (operators.analytics.equal_frequency_bins): one mergeable-sketch
+    edge aggregate broadcast onto the scan, JVM fold assignment, one
+    bounded groupBy."""
+    return analytics.equal_frequency_bins(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 10
+    )
+
+
+SQL_PRICE_BINS = """
+WITH e AS (
+  SELECT quantile_disc(l_extendedprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM lineitem
+),
+b AS (
+  SELECT len(list_filter(e.edges, x -> x < l.l_extendedprice))::BIGINT
+           AS bin_id,
+         l.l_extendedprice AS v
+  FROM lineitem l, e
+)
+SELECT bin_id,
+       count(*)::BIGINT AS n_rows,
+       min(v)::DOUBLE AS min_value,
+       max(v)::DOUBLE AS max_value,
+       round(sum(v::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_value
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["price_bins"] = q_price_bins
+ORACLE["price_bins"] = SQL_PRICE_BINS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7234,11 +7327,12 @@ _GATE_PRIORITY = [
     # no r7 fillers remain: all seven gave way to this round's later
     # additions (every displaced key is still verified every round by
     # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11, as do the seven r10 additions that arrived after the
+    # to r11, as do the nine r10 additions that arrived after the
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
-    # user_entropy — all green in PARITY_r10.txt) rather than break
-    # the promised 21-key r6-stale re-verification block
+    # user_entropy, referential_audit, price_bins — all green in
+    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
+    # re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -260,3 +260,63 @@ def test_user_behavior_entropy_known_values(spark):
     assert abs(rows[1].entropy_nats - math.log(2)) < 1e-5
     assert rows[2].entropy_nats == 0.0
     assert abs(rows[3].entropy_nats - (math.log(4) - 3 * math.log(3) / 4)) < 1e-5
+
+
+def test_referential_audit_counts_orphans_and_null_keys(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 100, 1.0),     # all parents exist
+            (1, 10, 100, 2.0),
+            (2, 99, 100, 3.0),     # orphan partkey
+            (None, 10, 999, 4.0),  # null orderkey AND orphan suppkey
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 5), (2, 6), (3, None)], "o_orderkey long, o_custkey long"
+    )
+    customer = spark.createDataFrame([(5,)], "c_custkey long")
+    supplier = spark.createDataFrame([(100,)], "s_suppkey long")
+    part = spark.createDataFrame([(10,)], "p_partkey long")
+    got = {
+        r.relationship: (r.n_rows, r.n_null_keys, r.n_orphans)
+        for r in analytics.referential_audit(
+            lineitem, orders, customer, supplier, part
+        ).collect()
+    }
+    assert got == {
+        "lineitem->orders": (4, 1, 0),
+        "lineitem->part": (4, 0, 1),
+        "lineitem->supplier": (4, 0, 1),
+        "orders->customer": (3, 1, 1),  # custkey 6 orphan, one null
+    }
+
+
+def test_equal_frequency_bins_quartiles_of_1_to_100(spark):
+    from pyspark.sql import functions as F
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    df = spark.range(1, 101).select(
+        (F.col("id").cast("double")).alias("l_extendedprice")
+    )
+    rows = {
+        r.bin_id: r
+        for r in analytics.equal_frequency_bins(
+            df, "l_extendedprice", 4
+        ).collect()
+    }
+    # edges 25/50/75; strict-less rule puts each edge value in the LOWER bin
+    assert {b: (rows[b].n_rows, rows[b].min_value, rows[b].max_value) for b in rows} == {
+        0: (25, 1.0, 25.0),
+        1: (25, 26.0, 50.0),
+        2: (25, 51.0, 75.0),
+        3: (25, 76.0, 100.0),
+    }
+    assert rows[0].mean_value == 13.0
