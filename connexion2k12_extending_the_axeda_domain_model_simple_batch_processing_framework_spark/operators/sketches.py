@@ -465,3 +465,107 @@ def hll_distinct_users(events: DataFrame, m: int = HLL_M) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    lkey: str,
+    right: DataFrame,
+    rkey: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Pre-join cardinality estimation — the planning question every
+    100 TB join should answer BEFORE it runs ("will clickstream ⋈ orders
+    blow up?"): the exact join size Σ_k cL(k)·cR(k) next to the
+    count-min-sketch INNER-PRODUCT estimate min_r Σ_b L_r[b]·R_r[b]
+    (Cormode & Muthukrishnan's CM dot product — an upper bound whose
+    error collisions drive, so estimate ≥ exact always).
+
+    Scale shape: the sketch path never materializes per-key counts —
+    each side folds to its constant depth×width counter grid in one
+    map-side-combined pass (≤ 4k rows per side whatever the input), and
+    the inner product is a join of two tiny grids; that is the piece a
+    planner would persist per table and dot against ANY other table's
+    sketch. The exact side (per-key count join) is the disclosed
+    accuracy reference — itself keys ≪ rows, but still proportional to
+    the key cardinality the sketch path avoids.
+
+    Determinism: counts are exact integers; products/sums run
+    DECIMAL(38,0) (cL·cR at 100 TB overflows int64) against the
+    oracle's HUGEINT-capable decimals; the overestimate ratio is the
+    single rounded double division. NULL keys join nothing and are
+    excluded on both sides, counted separately upstream by
+    `referential_audit`.
+    """
+    dec = "decimal(38,0)"
+
+    def side(df, key):
+        s = df.filter(F.col(key).isNotNull()).select(
+            F.col(key).cast("string").alias("k")
+        )
+        cells = s.select(
+            F.posexplode(_cms_buckets(F.col("k"), depth, width)).alias(
+                "r", "bucket"
+            )
+        )
+        sketch = cells.groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        counts = s.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return sketch, counts, n
+
+    ls, lc, ln = side(left, lkey)
+    rs, rc, rn = side(right, rkey)
+    exact = (
+        lc.withColumnRenamed("c", "cl")
+        .join(rc.withColumnRenamed("c", "cr"), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("cl").cast(dec) * F.col("cr").cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("exact_pairs")
+        )
+    )
+    per_r = (
+        ls.withColumnRenamed("cnt", "cl")
+        .join(rs.withColumnRenamed("cnt", "cr"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cl").cast(dec) * F.col("cr").cast(dec)).alias("ipr"))
+    )
+    # every sketch row must vote in the min — a row whose cell overlap is
+    # EMPTY has inner product 0 (and 0 is then the estimate), which the
+    # inner join alone would silently drop
+    all_r = left.sparkSession.range(depth).select(F.col("id").cast("int").alias("r"))
+    est = (
+        all_r.join(per_r, "r", "left")
+        .agg(
+            F.min(F.coalesce(F.col("ipr"), F.lit(0).cast(dec))).alias(
+                "cms_estimate"
+            )
+        )
+    )
+    return (
+        ln.select(F.col("n").alias("n_left"))
+        .crossJoin(rn.select(F.col("n").alias("n_right")))
+        .crossJoin(exact)
+        .crossJoin(est)
+        .select(
+            "n_left",
+            "n_right",
+            # exact DECIMAL(38,0) internally; the OUTPUT is double (the
+            # oracle's HUGEINT sums reach pandas as float64 anyway, and a
+            # size estimate needs magnitude, not the last digit)
+            F.col("exact_pairs").cast("double").alias("exact_pairs"),
+            F.col("cms_estimate").cast("double").alias("cms_estimate"),
+            F.when(
+                F.col("exact_pairs") > 0,
+                F.round(
+                    F.col("cms_estimate").cast("double")
+                    / F.col("exact_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("overestimate"),
+        )
+    )

@@ -7263,6 +7263,57 @@ QUERIES["price_bins"] = q_price_bins
 ORACLE["price_bins"] = SQL_PRICE_BINS
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality: exact Σ cL·cR vs the CMS inner-product
+    estimate for events(user_id) ⋈ orders(o_custkey)
+    (operators.sketches.join_size_estimate): constant-size sketch grids,
+    per-key exact legs as the disclosed accuracy reference."""
+    return sketches.join_size_estimate(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+    )
+
+
+def _join_cardinality_oracle() -> str:
+    d, w = sketches.CMS_DEPTH, sketches.CMS_WIDTH
+    bucket = _HEX64.format(
+        expr=f"k || '#' || (r + {sketches.CMS_SEED_BASE})::VARCHAR"
+    )
+    return f"""
+WITH l AS (SELECT user_id::VARCHAR AS k FROM events WHERE user_id IS NOT NULL),
+r2 AS (SELECT o_custkey::VARCHAR AS k FROM orders WHERE o_custkey IS NOT NULL),
+lcnt AS (SELECT k, count(*)::BIGINT AS c FROM l GROUP BY 1),
+rcnt AS (SELECT k, count(*)::BIGINT AS c FROM r2 GROUP BY 1),
+ex AS (SELECT coalesce(sum(a.c::HUGEINT * b.c::HUGEINT), 0::HUGEINT)
+         AS exact_pairs FROM lcnt a JOIN rcnt b USING (k)),
+rs AS (SELECT unnest(range({d}))::INT AS r),
+lsk AS (SELECT r, ({bucket}) % {w} AS bucket, count(*)::BIGINT AS cnt
+        FROM l CROSS JOIN rs GROUP BY 1, 2),
+rsk AS (SELECT r, ({bucket}) % {w} AS bucket, count(*)::BIGINT AS cnt
+        FROM r2 CROSS JOIN rs GROUP BY 1, 2),
+cellp AS (SELECT a.r, a.cnt::HUGEINT * b.cnt::HUGEINT AS p
+          FROM lsk a JOIN rsk b ON a.r = b.r AND a.bucket = b.bucket),
+ipr AS (SELECT rs.r, coalesce(sum(cellp.p), 0::HUGEINT) AS ipr
+        FROM rs LEFT JOIN cellp ON rs.r = cellp.r GROUP BY 1),
+est AS (SELECT min(ipr) AS cms_estimate FROM ipr),
+nl AS (SELECT count(*)::BIGINT AS n_left FROM l),
+nr AS (SELECT count(*)::BIGINT AS n_right FROM r2)
+SELECT n_left, n_right,
+       exact_pairs::DOUBLE AS exact_pairs,
+       cms_estimate::DOUBLE AS cms_estimate,
+       CASE WHEN exact_pairs > 0
+            THEN round(cms_estimate::DOUBLE / exact_pairs::DOUBLE, 6)
+       END AS overestimate
+FROM nl, nr, ex, est
+"""
+
+
+QUERIES["join_cardinality"] = q_join_cardinality
+ORACLE["join_cardinality"] = _join_cardinality_oracle()
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7327,12 +7378,12 @@ _GATE_PRIORITY = [
     # no r7 fillers remain: all seven gave way to this round's later
     # additions (every displaced key is still verified every round by
     # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11, as do the nine r10 additions that arrived after the
+    # to r11, as do the ten r10 additions that arrived after the
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
-    # user_entropy, referential_audit, price_bins — all green in
-    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
-    # re-verification block
+    # user_entropy, referential_audit, price_bins, join_cardinality —
+    # all green in PARITY_r10.txt) rather than break the promised
+    # 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

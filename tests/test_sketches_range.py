@@ -356,3 +356,29 @@ def test_kmv_source_overlap_pair_grid_and_bounds(spark, sf_dir):
         assert 0.0 <= r.jaccard_est <= 1.0
         assert 0.0 <= r.jaccard_exact <= 1.0
         assert r.union_est >= r.k_union  # estimator ≥ sketch occupancy
+
+
+def test_join_size_estimate_exact_and_upper_bound(spark):
+    """Exact Σ cL·cR on a known key multiset, the CMS upper-bound
+    guarantee (estimate ≥ exact always), and null-key exclusion."""
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "k long")
+    [r] = sketches.join_size_estimate(left, "k", right, "k").collect()
+    assert (r.n_left, r.n_right) == (5, 4)
+    assert r.exact_pairs == 3 * 1 + 1 * 2  # k=1: 3·1, k=2: 1·2, k=3/9: no match
+    assert r.cms_estimate >= r.exact_pairs
+    assert r.overestimate >= 1.0
+
+
+def test_join_size_estimate_disjoint_keys_zero(spark):
+    """Disjoint key sets: exact 0, overestimate NULL; the all-rows
+    completion means an empty cell overlap still yields a 0-row vote
+    (without it the min would read off only colliding rows)."""
+    left = spark.createDataFrame([(i,) for i in range(1, 6)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(1001, 1004)], "k long")
+    [r] = sketches.join_size_estimate(left, "k", right, "k").collect()
+    assert r.exact_pairs == 0.0
+    assert r.overestimate is None
+    assert r.cms_estimate >= 0.0
