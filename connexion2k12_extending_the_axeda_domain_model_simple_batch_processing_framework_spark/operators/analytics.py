@@ -2284,3 +2284,68 @@ def equal_frequency_bins(
         )
         .orderBy("bin_id")
     )
+
+
+def column_correlation_matrix(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric fact columns in
+    ONE aggregation pass — the multivariate screen (is discount actually
+    driving quantity? are price and quantity independent?) a feature-
+    selection or pricing analysis starts from; generalizes
+    ``user_value_correlation``'s exact-sufficient-statistics recipe from
+    one pair to the full upper triangle.
+
+    Scale shape: a single map-side-combined aggregate computes n, every
+    Σxᵢ, and every Σxᵢxⱼ (i ≤ j) together — one pass over the fact table
+    however many columns, the classic one-scan moment matrix; the pair
+    rows inline from the 1-row result, so nothing else shuffles.
+
+    Determinism: every sum is exact DECIMAL — values cast to (18,2)
+    before any product, products are (37,4) elements summed at (38,4)
+    with a spare integer digit (the user_value_correlation overflow
+    lesson; beyond ~10^34 non-ANSI Spark NULLs the pair rather than
+    returning a wrong number) — and each correlation is the one fixed
+    dag of IEEE double ops (mul/sub/div and a correctly-rounded sqrt)
+    both engines evaluate identically, rounded at 6.
+    """
+    k = len(cols)
+    sel = df.select(
+        *[
+            F.col(c).cast("decimal(18,2)").alias(f"v{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(f"v{i}").alias(f"s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"p{i}_{j}")
+            )
+    row = sel.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def corr(i: int, j: int) -> F.Column:
+        si = F.col(f"s{i}").cast("double")
+        sj = F.col(f"s{j}").cast("double")
+        cov = n * F.col(f"p{i}_{j}").cast("double") - si * sj
+        vi = n * F.col(f"p{i}_{i}").cast("double") - si * si
+        vj = n * F.col(f"p{j}_{j}").cast("double") - sj * sj
+        return F.round(cov / F.sqrt(vi * vj), 6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col("n").alias("n_rows"),
+                corr(i, j).alias("corr"),
+            )
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+    )
+    return row.select(F.inline(pairs)).orderBy("col_a", "col_b")

@@ -56,6 +56,30 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def _step_reach_times(
+    events: DataFrame, steps: tuple[str, ...]
+) -> DataFrame:
+    """One row per user with the first-reach timestamp of every funnel
+    step (``__t0 … __tN``, NULL where never reached): each step's reach
+    is an unordered window min over the SAME partitionBy(user_id), so
+    Catalyst plans one Exchange feeding a chain of Window operators, and
+    the per-user reduce rides that partitioning."""
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "ts", "event_type")
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            # strictly-ordered reach: same-timestamp follow-ups count
+            # (>=), matching ASOF attribution's tie semantics above
+            cond = cond & (F.col("ts") >= F.col(prev))
+        df = df.withColumn(f"__t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"__t{i}"
+    return df.groupBy("user_id").agg(
+        *[F.first(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+
+
 def funnel(
     events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
 ) -> DataFrame:
@@ -74,20 +98,7 @@ def funnel(
     Output: one row per step — (step, event_type, n_users), n_users
     monotonically non-increasing down the funnel.
     """
-    w = Window.partitionBy("user_id")
-    df = events.select("user_id", "ts", "event_type")
-    prev: str | None = None
-    for i, step in enumerate(steps):
-        cond = F.col("event_type") == step
-        if prev is not None:
-            # strictly-ordered reach: same-timestamp follow-ups count
-            # (>=), matching ASOF attribution's tie semantics above
-            cond = cond & (F.col("ts") >= F.col(prev))
-        df = df.withColumn(f"__t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
-        prev = f"__t{i}"
-    per_user = df.groupBy("user_id").agg(
-        *[F.first(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
-    )
+    per_user = _step_reach_times(events, steps)
     counts = per_user.agg(
         *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(steps))]
     )
@@ -654,3 +665,60 @@ def daily_gapfill(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def funnel_latency(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Funnel time-to-convert: for each consecutive step pair, over the
+    users who COMPLETED the pair, the conversion-latency distribution —
+    count, mean, p50/p90 seconds ("users click 40 s after viewing, but
+    the purchase tail is hours"). The measurement 17h's conversion counts
+    don't carry, on the same single-Exchange reach-time relation
+    (``_step_reach_times`` — the funnel's window chain is shared code,
+    so both operators stay semantics-identical by construction).
+
+    Latencies are exact INTEGER microseconds (unix_micros difference —
+    no timestamp rounding); the mean divides an exact BIGINT sum once,
+    percentiles are mergeable ``approx_percentile`` over those integers
+    cast to double (< 2^53 ⇒ exact; discrete value-at-rank ≡ the
+    oracle's quantile_disc — the 17ae/17ai argument), divided to seconds
+    AFTER rank selection so both engines round identically.
+    """
+    per_user = _step_reach_times(events, steps)
+    pair_rows = []
+    for i in range(1, len(steps)):
+        lat = F.unix_micros(F.col(f"__t{i}")) - F.unix_micros(
+            F.col(f"__t{i - 1}")
+        )
+        agg = per_user.filter(F.col(f"__t{i}").isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.sum(lat).cast("long").alias("__sum_us"),
+            F.expr(
+                f"approx_percentile(CAST(unix_micros(__t{i}) - "
+                f"unix_micros(__t{i - 1}) AS DOUBLE), array(0.5D, 0.9D),"
+                f" {1_000_000})"
+            ).alias("__q"),
+        )
+        pair_rows.append(
+            agg.select(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(steps[i - 1]).alias("from_type"),
+                F.lit(steps[i]).alias("to_type"),
+                "n_converted",
+                F.round(
+                    (
+                        F.col("__sum_us").cast("double")
+                        / F.col("n_converted").cast("double")
+                    )
+                    / 1_000_000.0,
+                    6,
+                ).alias("mean_seconds"),
+                (F.col("__q")[0] / 1_000_000.0).alias("p50_seconds"),
+                (F.col("__q")[1] / 1_000_000.0).alias("p90_seconds"),
+            )
+        )
+    out = pair_rows[0]
+    for other in pair_rows[1:]:
+        out = out.unionByName(other)
+    return out.orderBy("step")

@@ -7314,6 +7314,107 @@ QUERIES["join_cardinality"] = q_join_cardinality
 ORACLE["join_cardinality"] = _join_cardinality_oracle()
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution per consecutive step pair
+    (operators.temporal.funnel_latency): shares the funnel's
+    single-Exchange reach-time relation; exact integer-microsecond
+    latencies, mergeable percentiles."""
+    return temporal.funnel_latency(load_table(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL_LATENCY = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+  GROUP BY e.user_id
+),
+j1 AS (
+  SELECT epoch_us(s1.t) - epoch_us(s0.t) AS lat
+  FROM s1 JOIN s0 USING (user_id)
+),
+j2 AS (
+  SELECT epoch_us(s2.t) - epoch_us(s1.t) AS lat
+  FROM s2 JOIN s1 USING (user_id)
+)
+SELECT 1::BIGINT AS step, 'view' AS from_type, 'click' AS to_type,
+       count(*)::BIGINT AS n_converted,
+       round((sum(lat)::DOUBLE / count(*)::DOUBLE) / 1000000.0, 6)
+         AS mean_seconds,
+       quantile_disc(lat::DOUBLE, 0.5) / 1000000.0 AS p50_seconds,
+       quantile_disc(lat::DOUBLE, 0.9) / 1000000.0 AS p90_seconds
+FROM j1
+UNION ALL
+SELECT 2::BIGINT, 'click', 'purchase',
+       count(*)::BIGINT,
+       round((sum(lat)::DOUBLE / count(*)::DOUBLE) / 1000000.0, 6),
+       quantile_disc(lat::DOUBLE, 0.5) / 1000000.0,
+       quantile_disc(lat::DOUBLE, 0.9) / 1000000.0
+FROM j2
+ORDER BY step
+"""
+
+QUERIES["funnel_latency"] = q_funnel_latency
+ORACLE["funnel_latency"] = SQL_FUNNEL_LATENCY
+
+
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over (quantity, price, discount) in one
+    aggregation pass (operators.analytics.column_correlation_matrix):
+    exact DECIMAL moment sums, one double formula per pair."""
+    return analytics.column_correlation_matrix(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_LINEITEM_CORRELATIONS = """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(l_quantity::DECIMAL(18,2)) AS s0,
+         sum(l_extendedprice::DECIMAL(18,2)) AS s1,
+         sum(l_discount::DECIMAL(18,2)) AS s2,
+         sum(l_quantity::DECIMAL(19,2) * l_quantity::DECIMAL(19,2)) AS p00,
+         sum(l_quantity::DECIMAL(19,2) * l_extendedprice::DECIMAL(19,2)) AS p01,
+         sum(l_quantity::DECIMAL(19,2) * l_discount::DECIMAL(19,2)) AS p02,
+         sum(l_extendedprice::DECIMAL(19,2) * l_extendedprice::DECIMAL(19,2)) AS p11,
+         sum(l_extendedprice::DECIMAL(19,2) * l_discount::DECIMAL(19,2)) AS p12,
+         sum(l_discount::DECIMAL(19,2) * l_discount::DECIMAL(19,2)) AS p22
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n AS n_rows,
+       round((n::DOUBLE * p01::DOUBLE - s0::DOUBLE * s1::DOUBLE)
+             / sqrt((n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE)
+                    * (n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE)), 6)
+         AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount', n,
+       round((n::DOUBLE * p02::DOUBLE - s0::DOUBLE * s2::DOUBLE)
+             / sqrt((n::DOUBLE * p00::DOUBLE - s0::DOUBLE * s0::DOUBLE)
+                    * (n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE)), 6)
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', n,
+       round((n::DOUBLE * p12::DOUBLE - s1::DOUBLE * s2::DOUBLE)
+             / sqrt((n::DOUBLE * p11::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                    * (n::DOUBLE * p22::DOUBLE - s2::DOUBLE * s2::DOUBLE)), 6)
+FROM m
+ORDER BY col_a, col_b
+"""
+
+QUERIES["lineitem_correlations"] = q_lineitem_correlations
+ORACLE["lineitem_correlations"] = SQL_LINEITEM_CORRELATIONS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7378,12 +7479,13 @@ _GATE_PRIORITY = [
     # no r7 fillers remain: all seven gave way to this round's later
     # additions (every displaced key is still verified every round by
     # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11, as do the ten r10 additions that arrived after the
+    # to r11, as do the twelve r10 additions that arrived after the
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
-    # user_entropy, referential_audit, price_bins, join_cardinality —
-    # all green in PARITY_r10.txt) rather than break the promised
-    # 21-key r6-stale re-verification block
+    # user_entropy, referential_audit, price_bins, join_cardinality,
+    # funnel_latency, lineitem_correlations — all green in
+    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
+    # re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -320,3 +320,24 @@ def test_equal_frequency_bins_quartiles_of_1_to_100(spark):
         3: (25, 76.0, 100.0),
     }
     assert rows[0].mean_value == 13.0
+
+
+def test_column_correlation_matrix_known_signs(spark):
+    from decimal import Decimal
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    # a = 1..4; b = 2a (corr +1); c = -a + 10 (corr -1 with a and b)
+    rows = [
+        (Decimal(i), Decimal(2 * i), Decimal(10 - i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "a decimal(18,2), b decimal(18,2), c decimal(18,2)"
+    )
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in analytics.column_correlation_matrix(df, ("a", "b", "c")).collect()
+    }
+    assert got == {("a", "b"): 1.0, ("a", "c"): -1.0, ("b", "c"): -1.0}

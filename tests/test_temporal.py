@@ -329,3 +329,25 @@ def test_daily_gapfill_within_day_last_breaks_ts_ties_by_event_id(spark):
     )
     [row] = temporal.daily_gapfill(events).collect()
     assert row.carried_value == 9.0
+
+
+def test_funnel_latency_exact_pair_timings(spark):
+    # user 1: view@0 -> click@40s -> purchase@100s; user 2: view@0 -> click@60s
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 10, 0, 0), 1, "view", 0.0),
+            (2, datetime(2026, 1, 1, 10, 0, 40), 1, "click", 0.0),
+            (3, datetime(2026, 1, 1, 10, 1, 40), 1, "purchase", 0.0),
+            (4, datetime(2026, 1, 1, 10, 0, 0), 2, "view", 0.0),
+            (5, datetime(2026, 1, 1, 10, 1, 0), 2, "click", 0.0),
+        ],
+        SCHEMA,
+    )
+    rows = {r.step: r for r in temporal.funnel_latency(events).collect()}
+    s1 = rows[1]
+    assert (s1.from_type, s1.to_type, s1.n_converted) == ("view", "click", 2)
+    assert s1.mean_seconds == 50.0  # (40 + 60) / 2
+    assert s1.p50_seconds == 40.0   # discrete rank on [40, 60]
+    assert s1.p90_seconds == 60.0
+    s2 = rows[2]
+    assert (s2.n_converted, s2.mean_seconds, s2.p50_seconds) == (1, 60.0, 60.0)
