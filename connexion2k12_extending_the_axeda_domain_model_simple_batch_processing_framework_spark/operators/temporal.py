@@ -27,18 +27,24 @@ D = "decimal(18,2)"
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
-def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
-    """Gap-based sessions per user: a new session starts when the time since
-    the user's previous event exceeds ``gap_us``. Output: one row per
-    session with start/end, event count and exact value sum."""
+def _with_session_idx(events: DataFrame, gap_us: int) -> DataFrame:
+    """Tag every event with its gap-session index: one user_id shuffle,
+    lag + running sum inside each partition (the Exchange every
+    session-scoped operator shares)."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col("ts"))
     prev_us = F.lag(us).over(order)
     is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
-    with_session = events.withColumn("session_idx", F.sum(is_new).over(run))
+    return events.withColumn("session_idx", F.sum(is_new).over(run))
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the user's previous event exceeds ``gap_us``. Output: one row per
+    session with start/end, event count and exact value sum."""
     return (
-        with_session.groupBy("user_id", "session_idx")
+        _with_session_idx(events, gap_us).groupBy("user_id", "session_idx")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -722,3 +728,58 @@ def funnel_latency(
     for other in pair_rows[1:]:
         out = out.unionByName(other)
     return out.orderBy("step")
+
+
+SESSION_PATH_DEPTH = 3
+SESSION_PATH_TOPK = 20
+
+
+def session_paths(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    depth: int = SESSION_PATH_DEPTH,
+    top_k: int = SESSION_PATH_TOPK,
+) -> DataFrame:
+    """Top session journeys: the most common opening sequences — each
+    session's first ``depth`` event types joined " > " — ranked by
+    session count ("view > click > purchase is the #1 path; view > view
+    > view means discovery is broken"). The sequence-mining staple
+    product analytics runs right after the funnel, restricted to session
+    OPENINGS so the path space stays bounded (|types|^depth, not
+    arbitrary-length).
+
+    Scale shape: rides the session-tagging Exchange every session
+    operator shares (``_with_session_idx``); the per-session row_number
+    window partitions by (user_id, session_idx), which hash(user_id)
+    already clusters — no second Exchange; the first-``depth`` slots
+    pivot via MAX(CASE rn = i) (map-side combinable, no ordered
+    collect_list), and the final top-k is a distributed TakeOrdered
+    (n desc, path asc — a deterministic total order at the cut).
+
+    (ts, event_id) ordering is tie-free across engines; everything else
+    is exact integer counting and string concat (``concat_ws`` drops the
+    NULL slots of short sessions identically in both engines).
+    """
+    tagged = _with_session_idx(
+        events.select("user_id", "ts", "event_id", "event_type"), gap_us
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    )
+    head = tagged.withColumn("rn", rn).filter(F.col("rn") <= depth)
+    slots = head.groupBy("user_id", "session_idx").agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(
+                f"__s{i}"
+            )
+            for i in range(1, depth + 1)
+        ]
+    )
+    path = F.concat_ws(" > ", *[f"__s{i}" for i in range(1, depth + 1)])
+    return (
+        slots.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

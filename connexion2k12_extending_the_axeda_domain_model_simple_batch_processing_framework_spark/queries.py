@@ -7415,6 +7415,56 @@ QUERIES["lineitem_correlations"] = q_lineitem_correlations
 ORACLE["lineitem_correlations"] = SQL_LINEITEM_CORRELATIONS
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening journeys (operators.temporal.session_paths):
+    first-3 event types per gap session, ranked by session count; rides
+    the shared session-tagging Exchange, MAX(CASE) slot pivot, TakeOrdered
+    top-k."""
+    return temporal.session_paths(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_PATHS = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {{gap}} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+),
+r AS (
+  SELECT user_id, session_idx, event_type,
+         row_number() OVER (PARTITION BY user_id, session_idx
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+slots AS (
+  SELECT user_id, session_idx,
+         max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+         max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+         max(CASE WHEN rn = 3 THEN event_type END) AS s3
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT concat_ws(' > ', s1, s2, s3) AS path,
+       count(*)::BIGINT AS n_sessions
+FROM slots
+GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT {{topk}}
+""".format(
+    gap=temporal.SESSION_GAP_US, topk=temporal.SESSION_PATH_TOPK
+)
+
+QUERIES["session_paths"] = q_session_paths
+ORACLE["session_paths"] = SQL_SESSION_PATHS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7483,8 +7533,8 @@ _GATE_PRIORITY = [
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
     # user_entropy, referential_audit, price_bins, join_cardinality,
-    # funnel_latency, lineitem_correlations — all green in
-    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
+    # funnel_latency, lineitem_correlations, session_paths — all green
+    # in PARITY_r10.txt) rather than break the promised 21-key r6-stale
     # re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]

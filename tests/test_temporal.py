@@ -351,3 +351,29 @@ def test_funnel_latency_exact_pair_timings(spark):
     assert s1.p90_seconds == 60.0
     s2 = rows[2]
     assert (s2.n_converted, s2.mean_seconds, s2.p50_seconds) == (1, 60.0, 60.0)
+
+
+def test_session_paths_openings_and_short_sessions(spark):
+    # user 1, session 1: view->click->buy->view (4th event beyond depth)
+    # user 1, session 2 (after 40-min gap): view alone
+    # user 2, session 1: view->click->buy  (same path as u1 s1)
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    mk = lambda m: datetime(2026, 1, 1, 10 + m // 60, m % 60, 0)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, mk(0), 1, "view", 0.0),
+            (2, mk(1), 1, "click", 0.0),
+            (3, mk(2), 1, "buy", 0.0),
+            (4, mk(3), 1, "view", 0.0),
+            (5, mk(50), 1, "view", 0.0),   # 47-min gap -> new session
+            (6, mk(0), 2, "view", 0.0),
+            (7, mk(1), 2, "click", 0.0),
+            (8, mk(2), 2, "buy", 0.0),
+        ],
+        SCHEMA,
+    )
+    got = {
+        r.path: r.n_sessions for r in temporal.session_paths(events).collect()
+    }
+    assert got == {"view > click > buy": 2, "view": 1}
+    assert t0  # silence unused
