@@ -2349,3 +2349,138 @@ def column_correlation_matrix(
         ]
     )
     return row.select(F.inline(pairs)).orderBy("col_a", "col_b")
+
+
+def uniqueness_audit(
+    specs: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Candidate-key uniqueness audit — the second half of the
+    data-quality contract (`referential_audit` checks existence ACROSS
+    tables; this checks identity WITHIN one): for each declared
+    candidate key, row count, distinct key count, and duplicate rows
+    (rows beyond the first per key) — a duplicated primary key silently
+    double-counts every downstream join and aggregate.
+
+    Scale shape: per candidate ONE map-side-combined groupBy on the key
+    (keys ≪ rows) followed by a 1-row reduce; the report unions the
+    bounded leg outputs. NULL key tuples group like any other value and
+    are counted as keys (a null PK is the orphan check's job, not
+    this one). Exact integer counting throughout.
+    """
+    legs = []
+    for name, df, cols in specs:
+        per_key = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        legs.append(
+            per_key.agg(
+                F.sum("__c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+                F.sum(F.col("__c") - 1).cast("long").alias("n_duplicate_rows"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.lit(",".join(cols)).alias("key_cols"),
+                "n_rows",
+                "n_distinct_keys",
+                "n_duplicate_rows",
+            )
+        )
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out.orderBy("table_name", "key_cols")
+
+
+def category_association(
+    df: DataFrame, col_a: str = "l_returnflag", col_b: str = "l_linestatus"
+) -> DataFrame:
+    """Categorical association (Cramér's V) between two low-cardinality
+    columns via the chi-square contingency statistic — the categorical
+    sibling of the Pearson matrix (is return behavior independent of
+    line status?), the screen that catches encoded-duplicate columns
+    (V ≈ 1) and dead features (V ≈ 0) before training.
+
+    Scale shape: ONE map-side-combined groupBy builds the contingency
+    table (|A|·|B| cells — a data-model constant), marginals reduce from
+    the cells (never a second scan), and the statistic folds on the
+    driver-free broadcast of those bounded relations.
+
+    Determinism: observed counts and marginals are exact BIGINTs;
+    chi² = n·(Σ o_ij²/(r_i·c_j)) − n needs one double fold — each term
+    is o²/(r·c) with EXACT integer operands, so both engines evaluate
+    the identical correctly-rounded divisions — summed in a CANONICAL
+    cell order ((a, b) ascending via array_sort over the collected cell
+    structs, dozens of elements) so float addition order is pinned, then
+    V = sqrt(chi² / (n·min(|A|−1, |B|−1))), rounded at 6.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    joined = cells.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+    # one struct per cell, sorted canonically, folded in that order
+    packed = joined.agg(
+        F.array_sort(
+            F.collect_list(F.struct("a", "b", "o", "ra", "cb"))
+        ).alias("cells"),
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("ka"),
+        F.countDistinct("b").cast("long").alias("kb"),
+    )
+    term = F.aggregate(
+        "cells",
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c["o"].cast("double") * c["o"].cast("double"))
+        / (c["ra"].cast("double") * c["cb"].cast("double")),
+    )
+    n = F.col("n").cast("double")
+    chi2 = n * term - n
+    dof = F.least(F.col("ka") - 1, F.col("kb") - 1).cast("double")
+    return packed.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "n",
+        F.col("ka").alias("n_cat_a"),
+        F.col("kb").alias("n_cat_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (n * dof)), 6).alias("cramers_v"),
+    )
+
+
+def value_lognormal_fit(
+    orders: DataFrame, col: str = "o_totalprice"
+) -> DataFrame:
+    """Log-normal fit of a positive value column (order totals are the
+    textbook case): μ and σ of ln(value) — the two numbers that
+    parameterize the heavy-tail model pricing and capacity analyses
+    assume — plus the sample count. Complements 29bw's Zipf fit
+    (rank-frequency law) with the value-distribution law.
+
+    Determinism: ln quantizes to integer micro-nats FIRST (the
+    29bw/17ao trick — ln is not IEEE-correctly-rounded), Σ and Σ² are
+    exact BIGINTs (micro-nat squares at ~2·10¹⁵ per row need DECIMAL(38,0)
+    accumulation at 100 TB row counts), and μ/σ come from the two
+    standard double formulas on those exact sums, rounded at 6. One
+    map-side-combined 1-row aggregate — no shuffle beyond the partials.
+    """
+    mln = F.floor(
+        F.log(F.col(col).cast("double")) * 1_000_000 + 0.5
+    ).cast("long")
+    dec = "decimal(38,0)"
+    s = orders.filter(F.col(col) > 0).select(mln.alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mu_micro = F.col("sx").cast("double") / n
+    var_micro2 = (
+        F.col("sxx").cast("double") / n - mu_micro * mu_micro
+    )
+    return s.select(
+        "n",
+        F.round(mu_micro / 1_000_000.0, 6).alias("mu_nats"),
+        F.round(F.sqrt(var_micro2) / 1_000_000.0, 6).alias("sigma_nats"),
+    )

@@ -7465,6 +7465,126 @@ QUERIES["session_paths"] = q_session_paths
 ORACLE["session_paths"] = SQL_SESSION_PATHS
 
 
+def q_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit
+    (operators.analytics.uniqueness_audit): declared PKs plus one
+    deliberately non-unique candidate (lineitem.l_orderkey) so the
+    duplicate column is exercised."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return analytics.uniqueness_audit(
+        [
+            ("events", load_table(spark, sf_dir, "events"), ["event_id"]),
+            ("lineitem", li, ["l_orderkey"]),
+            ("lineitem", li, ["l_orderkey", "l_linenumber"]),
+            ("orders", load_table(spark, sf_dir, "orders"), ["o_orderkey"]),
+        ]
+    )
+
+
+SQL_UNIQUENESS_AUDIT = """
+WITH leg1 AS (
+  SELECT 'events' AS table_name, 'event_id' AS key_cols,
+         sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct_keys,
+         sum(c - 1)::BIGINT AS n_duplicate_rows
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+),
+leg2 AS (
+  SELECT 'lineitem', 'l_orderkey', sum(c)::BIGINT, count(*)::BIGINT,
+         sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+),
+leg3 AS (
+  SELECT 'lineitem', 'l_orderkey,l_linenumber', sum(c)::BIGINT,
+         count(*)::BIGINT, sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+leg4 AS (
+  SELECT 'orders', 'o_orderkey', sum(c)::BIGINT, count(*)::BIGINT,
+         sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+)
+SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+UNION ALL SELECT * FROM leg3 UNION ALL SELECT * FROM leg4
+ORDER BY table_name, key_cols
+"""
+
+QUERIES["uniqueness_audit"] = q_uniqueness_audit
+ORACLE["uniqueness_audit"] = SQL_UNIQUENESS_AUDIT
+
+
+def q_category_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between returnflag and linestatus
+    (operators.analytics.category_association): bounded contingency
+    cells, canonical-order double fold."""
+    return analytics.category_association(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_CATEGORY_ASSOCIATION = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*)::BIGINT AS o
+  FROM lineitem GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+j AS (
+  SELECT cells.a, cells.b, o, ra.ra, cb.cb
+  FROM cells JOIN ra USING (a) JOIN cb USING (b)
+),
+p AS (
+  SELECT list((o::DOUBLE * o::DOUBLE) / (ra::DOUBLE * cb::DOUBLE)
+              ORDER BY a, b) AS terms,
+         sum(o)::BIGINT AS n,
+         count(DISTINCT a)::BIGINT AS ka,
+         count(DISTINCT b)::BIGINT AS kb
+  FROM j
+)
+SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
+       n, ka AS n_cat_a, kb AS n_cat_b,
+       round(n::DOUBLE * list_reduce(list_prepend(0.0, terms),
+                                     (acc, x) -> acc + x)
+             - n::DOUBLE, 6) AS chi2,
+       round(sqrt((n::DOUBLE * list_reduce(list_prepend(0.0, terms),
+                                           (acc, x) -> acc + x)
+                   - n::DOUBLE)
+                  / (n::DOUBLE * least(ka - 1, kb - 1)::DOUBLE)), 6)
+         AS cramers_v
+FROM p
+"""
+
+QUERIES["category_association"] = q_category_association
+ORACLE["category_association"] = SQL_CATEGORY_ASSOCIATION
+
+
+def q_order_value_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of order totals
+    (operators.analytics.value_lognormal_fit): micro-nat-exact log
+    moments, one double formula pair."""
+    return analytics.value_lognormal_fit(load_table(spark, sf_dir, "orders"))
+
+
+SQL_ORDER_VALUE_LOGNORMAL = """
+WITH x AS (
+  SELECT floor(ln(o_totalprice::DOUBLE) * 1000000 + 0.5)::BIGINT AS x
+  FROM orders WHERE o_totalprice > 0
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx
+  FROM x
+)
+SELECT n,
+       round((sx::DOUBLE / n::DOUBLE) / 1000000.0, 6) AS mu_nats,
+       round(sqrt(sxx::DOUBLE / n::DOUBLE
+                  - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE))
+             / 1000000.0, 6) AS sigma_nats
+FROM s
+"""
+
+QUERIES["order_value_lognormal"] = q_order_value_lognormal
+ORACLE["order_value_lognormal"] = SQL_ORDER_VALUE_LOGNORMAL
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7533,9 +7653,10 @@ _GATE_PRIORITY = [
     # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
     # user_entropy, referential_audit, price_bins, join_cardinality,
-    # funnel_latency, lineitem_correlations, session_paths — all green
-    # in PARITY_r10.txt) rather than break the promised 21-key r6-stale
-    # re-verification block
+    # funnel_latency, lineitem_correlations, session_paths,
+    # uniqueness_audit, category_association, order_value_lognormal —
+    # all green in PARITY_r10.txt) rather than break the promised
+    # 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

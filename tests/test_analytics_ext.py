@@ -341,3 +341,67 @@ def test_column_correlation_matrix_known_signs(spark):
         for r in analytics.column_correlation_matrix(df, ("a", "b", "c")).collect()
     }
     assert got == {("a", "b"): 1.0, ("a", "c"): -1.0, ("b", "c"): -1.0}
+
+
+def test_uniqueness_audit_counts_duplicates(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (None, "z"), (None, "w")],
+        "k long, v string",
+    )
+    got = {
+        (r.table_name, r.key_cols): (
+            r.n_rows,
+            r.n_distinct_keys,
+            r.n_duplicate_rows,
+        )
+        for r in analytics.uniqueness_audit(
+            [("t", t, ["k"]), ("t", t, ["k", "v"])]
+        ).collect()
+    }
+    # null groups like a value: keys {1, 2, NULL} -> 3 distinct, 2 dups
+    assert got[("t", "k")] == (5, 3, 2)
+    assert got[("t", "k,v")] == (5, 5, 0)
+
+
+def test_category_association_extremes(spark):
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    # perfect association: b == a -> V = 1
+    rows = [("p", "p")] * 4 + [("q", "q")] * 6
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = analytics.category_association(df, "a", "b").collect()
+    assert (r.n, r.n_cat_a, r.n_cat_b, r.cramers_v) == (10, 2, 2, 1.0)
+    # independence: uniform 2x2 -> chi2 = 0, V = 0
+    rows = [("p", "p"), ("p", "q"), ("q", "p"), ("q", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = analytics.category_association(df, "a", "b").collect()
+    assert (r.chi2, r.cramers_v) == (0.0, 0.0)
+
+
+def test_value_lognormal_fit_constant_and_known(spark):
+    import math
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    # constant value: sigma = 0, mu = ln(v)
+    df = spark.createDataFrame([(100.0,)] * 5, "o_totalprice double")
+    [r] = analytics.value_lognormal_fit(df).collect()
+    assert r.n == 5
+    assert abs(r.mu_nats - math.log(100.0)) < 1e-5
+    assert r.sigma_nats == 0.0
+    # non-positive values are excluded from the fit
+    df = spark.createDataFrame(
+        [(math.e,), (math.e**3,), (0.0,), (-5.0,)], "o_totalprice double"
+    )
+    [r] = analytics.value_lognormal_fit(df).collect()
+    assert r.n == 2
+    assert abs(r.mu_nats - 2.0) < 1e-5
+    assert abs(r.sigma_nats - 1.0) < 1e-5
