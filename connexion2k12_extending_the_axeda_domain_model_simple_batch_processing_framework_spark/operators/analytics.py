@@ -2484,3 +2484,118 @@ def value_lognormal_fit(
         F.round(mu_micro / 1_000_000.0, 6).alias("mu_nats"),
         F.round(F.sqrt(var_micro2) / 1_000_000.0, 6).alias("sigma_nats"),
     )
+
+
+PSI_BINS = 10
+
+
+def value_psi(events: DataFrame, n_bins: int = PSI_BINS) -> DataFrame:
+    """Population stability index of the value distribution between the
+    observed time span's FIRST and SECOND half — THE standard
+    ML-monitoring drift statistic (PSI < 0.1 stable, 0.1–0.25 shifting,
+    > 0.25 retrain): Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over ``n_bins``
+    equal-frequency bins whose edges come from the BASELINE (first)
+    half, the way a production monitor freezes training-time edges and
+    scores serving traffic against them.
+
+    Scale shape: the split point is one (min, max) aggregate (integer
+    microsecond midpoint — no doubles near the boundary); edges are one
+    mergeable ``approx_percentile`` sketch over the baseline half; both
+    halves then bin in a single shared scan (the JVM edge-fold, the
+    price_bins shape) and reduce to ≤ n_bins cells each. Everything
+    downstream operates on the bounded cell relation.
+
+    Determinism: bin counts are exact BIGINTs; each term's log ratio is
+    ln(cᵢ·m) − ln(dᵢ·n) quantized to integer micro-nats BEFORE the
+    subtraction (exact ln-of-integer-products — the 29bw trick, no
+    float division inside the log), the share difference is two exact
+    divisions, and the Σ folds in CANONICAL bin order on both engines
+    (the 17av sorted-fold pattern). Bins empty on either side
+    contribute an unbounded/undefined term, so they are SKIPPED and
+    disclosed via ``n_degenerate_bins`` (the standard epsilon-free
+    treatment — a degenerate bin is itself the drift signal).
+
+    Output (1 row): n_baseline, n_current, n_bins_used,
+    n_degenerate_bins, psi.
+    """
+    us = F.unix_micros(F.col("ts"))
+    span = events.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).select(
+        "lo",
+        "hi",
+        # INTEGER midpoint: `div` on BIGINTs (the oracle's `//`) — a
+        # double `/ 2` then cast would round differently across engines
+        # on odd sums
+        F.expr("(lo + hi) div 2").alias("mid"),
+    )
+    tagged = events.crossJoin(F.broadcast(span)).select(
+        F.col("value").cast("double").alias("v"),
+        (us <= F.col("mid")).alias("is_base"),
+    )
+    probs = ", ".join(f"{i / n_bins!r}D" for i in range(1, n_bins))
+    edges = tagged.filter("is_base").agg(
+        F.expr(
+            f"approx_percentile(v, array({probs}), {PCTL_ACCURACY})"
+        ).alias("__edges")
+    )
+    bin_id = F.aggregate(
+        "__edges",
+        F.lit(0),
+        lambda acc, e: acc + F.when(e < F.col("v"), 1).otherwise(0),
+    ).cast("long")
+    cells = (
+        tagged.crossJoin(F.broadcast(edges))
+        .select(bin_id.alias("bin_id"), "is_base")
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    # count PRODUCTS (c·m, d·n) run DECIMAL(38,0) — at 100 TB row counts
+    # the int64 product wraps silently; the decimal→double cast feeding
+    # ln is correctly rounded in both engines (the oracle's HUGEINT path)
+    dec38 = "decimal(38,0)"
+    mln = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * 1_000_000 + 0.5
+    ).cast("long")
+    packed = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("m"),
+        F.array_sort(F.collect_list(F.struct("bin_id", "c", "d"))).alias(
+            "cells"
+        ),
+    )
+    n = F.col("n")
+    m = F.col("m")
+    term = lambda c: (  # noqa: E731
+        c["c"].cast("double") / n.cast("double")
+        - c["d"].cast("double") / m.cast("double")
+    ) * (
+        (
+            mln(c["c"].cast(dec38) * m.cast(dec38))
+            - mln(c["d"].cast(dec38) * n.cast(dec38))
+        ).cast("double")
+        / 1_000_000.0
+    )
+    live = lambda c: (c["c"] > 0) & (c["d"] > 0)  # noqa: E731
+    psi = F.aggregate(
+        "cells",
+        F.lit(0.0),
+        lambda acc, c: acc + F.when(live(c), term(c)).otherwise(F.lit(0.0)),
+    )
+    degenerate = F.aggregate(
+        "cells",
+        F.lit(0),
+        lambda acc, c: acc + F.when(live(c), 0).otherwise(1),
+    )
+    return packed.select(
+        n.alias("n_baseline"),
+        m.alias("n_current"),
+        F.size("cells").cast("long").alias("n_bins_used"),
+        degenerate.cast("long").alias("n_degenerate_bins"),
+        F.round(psi, 6).alias("psi"),
+    )

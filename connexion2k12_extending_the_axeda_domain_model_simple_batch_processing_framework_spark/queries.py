@@ -7585,6 +7585,59 @@ QUERIES["order_value_lognormal"] = q_order_value_lognormal
 ORACLE["order_value_lognormal"] = SQL_ORDER_VALUE_LOGNORMAL
 
 
+def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution, first half
+    vs second half of the observed span
+    (operators.analytics.value_psi): baseline-frozen decile edges,
+    micro-nat-exact log ratios, canonical-order fold."""
+    return analytics.value_psi(load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_PSI = """
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+tagged AS (
+  SELECT value::DOUBLE AS v,
+         epoch_us(ts) <= ((span.lo + span.hi) // 2) AS is_base
+  FROM events, span
+),
+e AS (
+  SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS edges
+  FROM tagged WHERE is_base
+),
+cells AS (
+  SELECT len(list_filter(e.edges, x -> x < t.v))::BIGINT AS bin_id,
+         sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS d
+  FROM tagged t, e GROUP BY 1
+),
+tot AS (
+  SELECT sum(c)::BIGINT AS n, sum(d)::BIGINT AS m,
+         count(*)::BIGINT AS n_bins_used,
+         sum(CASE WHEN c > 0 AND d > 0 THEN 0 ELSE 1 END)::BIGINT
+           AS n_degenerate_bins,
+         list(struct_pack(bin_id := bin_id, c := c, d := d)
+              ORDER BY bin_id) AS cl
+  FROM cells
+)
+SELECT n AS n_baseline, m AS n_current, n_bins_used, n_degenerate_bins,
+       round(list_reduce(list_prepend(0.0, list_transform(cl, cc ->
+         CASE WHEN cc.c > 0 AND cc.d > 0 THEN
+           (cc.c::DOUBLE / n::DOUBLE - cc.d::DOUBLE / m::DOUBLE)
+           * ((floor(ln((cc.c::HUGEINT * m::HUGEINT)::DOUBLE)
+                     * 1000000 + 0.5)::BIGINT
+               - floor(ln((cc.d::HUGEINT * n::HUGEINT)::DOUBLE)
+                       * 1000000 + 0.5)::BIGINT)::DOUBLE / 1000000.0)
+         ELSE 0.0 END)), (acc, x) -> acc + x), 6) AS psi
+FROM tot
+"""
+
+QUERIES["value_psi"] = q_value_psi
+ORACLE["value_psi"] = SQL_VALUE_PSI
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7654,9 +7707,9 @@ _GATE_PRIORITY = [
     # jpeg_decode_420, events_daily_gapfill, part_frontier,
     # user_entropy, referential_audit, price_bins, join_cardinality,
     # funnel_latency, lineitem_correlations, session_paths,
-    # uniqueness_audit, category_association, order_value_lognormal —
-    # all green in PARITY_r10.txt) rather than break the promised
-    # 21-key r6-stale re-verification block
+    # uniqueness_audit, category_association, order_value_lognormal,
+    # value_psi — all green in PARITY_r10.txt) rather than break the
+    # promised 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -405,3 +405,40 @@ def test_value_lognormal_fit_constant_and_known(spark):
     assert r.n == 2
     assert abs(r.mu_nats - 2.0) < 1e-5
     assert abs(r.sigma_nats - 1.0) < 1e-5
+
+
+def test_value_psi_identical_halves_zero_and_shift_positive(spark):
+    import math
+
+    from datetime import datetime, timedelta
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    mk = lambda i, v: (i, t0 + timedelta(minutes=i), 1, "a", float(v))  # noqa: E731
+    # identical value multisets in both halves -> every term ln(1) = 0
+    vals = list(range(1, 21))
+    rows = [mk(i, v) for i, v in enumerate(vals)] + [
+        mk(100 + i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r] = analytics.value_psi(df).collect()
+    assert (r.n_baseline, r.n_current, r.psi) == (20, 20, 0.0)
+    assert r.n_degenerate_bins == 0
+    # shifted second half -> strictly positive psi, degenerate bins appear
+    rows = [mk(i, v) for i, v in enumerate(vals)] + [
+        mk(100 + i, v + 100) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r] = analytics.value_psi(df).collect()
+    assert r.psi >= 0.0
+    assert r.n_degenerate_bins > 0  # disjoint supports -> one-sided bins
+    assert math.isfinite(r.psi)
