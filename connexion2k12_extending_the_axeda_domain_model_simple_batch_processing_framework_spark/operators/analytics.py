@@ -2599,3 +2599,77 @@ def value_psi(events: DataFrame, n_bins: int = PSI_BINS) -> DataFrame:
         degenerate.cast("long").alias("n_degenerate_bins"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+def domain_constraints_audit(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Domain/value-constraint audit — the third leg of the data-quality
+    contract (17ap existence, 17au identity, this VALIDITY): declarative
+    per-column rules (positivity, closed ranges, enum membership,
+    required fields) evaluated as conditional sums in ONE scan per
+    table — the relational generalization of the reference's per-field
+    task validation (AnalyzeBatch.groovy:89-151 enforces regex/length
+    per CSV field; this enforces range/enum/null per fact column).
+
+    Each table contributes a single map-side-combined 1-row aggregate
+    carrying every rule's violation count; the report inlines one row
+    per rule from it. Adding a rule is adding one expression — the scan
+    count never grows. Exact integer counting; NULL predicate inputs
+    count as violations for required-field rules and are otherwise
+    excluded (SQL three-valued logic made explicit per rule).
+    """
+
+    def leg(df, table, rules):
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+                for i, (_r, cond) in enumerate(rules)
+            ],
+        )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(table).alias("table_name"),
+                    F.lit(rule).alias("rule"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, (rule, _c) in enumerate(rules)
+            ]
+        )
+        return agg.select(F.inline(rows))
+
+    li_rules = [
+        (
+            "l_discount in [0,1]",
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+        ),
+        ("l_quantity > 0", F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+        (
+            "l_returnflag in (A,N,R)",
+            ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull(),
+        ),
+        ("l_shipdate not null", F.col("l_shipdate").isNull()),
+        ("l_tax >= 0", F.col("l_tax").isNull() | (F.col("l_tax") < 0)),
+    ]
+    o_rules = [
+        (
+            "o_orderstatus in (F,O,P)",
+            ~F.col("o_orderstatus").isin("F", "O", "P")
+            | F.col("o_orderstatus").isNull(),
+        ),
+        (
+            "o_totalprice > 0",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        ),
+    ]
+    return (
+        leg(lineitem, "lineitem", li_rules)
+        .unionByName(leg(orders, "orders", o_rules))
+        .orderBy("table_name", "rule")
+    )

@@ -783,3 +783,41 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+DUP_WINDOW_US = 5 * 1_000_000  # 5 s
+
+
+def event_dedup_report(
+    events: DataFrame, window_us: int = DUP_WINDOW_US
+) -> DataFrame:
+    """Windowed duplicate-suppression report — the telemetry retry /
+    double-fire cleanup every at-least-once ingest needs (the reference's
+    ProcessBatch rejects duplicate serials batch-wide; device telemetry
+    needs the TIME-windowed form): an event is a duplicate when an event
+    with the SAME (user, type, value) payload precedes it within
+    ``window_us`` — chain-collapsing (each retry is judged against its
+    predecessor, so a retry storm collapses to its head however long it
+    runs). Output: per event type, events seen / duplicates / kept.
+
+    Scale shape: ONE shuffle on the (user, type, value) identity key,
+    a lag inside each partition (the sessionize Exchange family), then a
+    map-side-combined per-type rollup. Integer-microsecond gap compare —
+    no double rounding at the window edge.
+    """
+    order = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order)
+    is_dup = prev_us.isNotNull() & ((us - prev_us) <= window_us)
+    return (
+        events.withColumn("__dup", is_dup.cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__dup").cast("long").alias("n_duplicates"),
+            (F.count(F.lit(1)) - F.sum("__dup")).cast("long").alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

@@ -7638,6 +7638,87 @@ QUERIES["value_psi"] = q_value_psi
 ORACLE["value_psi"] = SQL_VALUE_PSI
 
 
+def q_domain_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/value-constraint audit
+    (operators.analytics.domain_constraints_audit): declarative range /
+    enum / required-field rules as conditional sums, one scan per
+    table."""
+    return analytics.domain_constraints_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+SQL_DOMAIN_CONSTRAINTS = """
+WITH li AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                    OR l_discount > 1 THEN 1 ELSE 0 END)::BIGINT AS v0,
+         sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v1,
+         sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+                    OR l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS v2,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v3,
+         sum(CASE WHEN l_tax IS NULL OR l_tax < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v4
+  FROM lineitem
+),
+o AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P'))
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v1
+  FROM orders
+)
+SELECT 'lineitem' AS table_name, 'l_discount in [0,1]' AS rule,
+       n AS n_rows, v0 AS n_violations FROM li
+UNION ALL SELECT 'lineitem', 'l_quantity > 0', n, v1 FROM li
+UNION ALL SELECT 'lineitem', 'l_returnflag in (A,N,R)', n, v2 FROM li
+UNION ALL SELECT 'lineitem', 'l_shipdate not null', n, v3 FROM li
+UNION ALL SELECT 'lineitem', 'l_tax >= 0', n, v4 FROM li
+UNION ALL SELECT 'orders', 'o_orderstatus in (F,O,P)', n, v0 FROM o
+UNION ALL SELECT 'orders', 'o_totalprice > 0', n, v1 FROM o
+ORDER BY table_name, rule
+"""
+
+QUERIES["domain_constraints"] = q_domain_constraints
+ORACLE["domain_constraints"] = SQL_DOMAIN_CONSTRAINTS
+
+
+def q_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed duplicate-suppression report
+    (operators.temporal.event_dedup_report): same-(user, type, value)
+    events within 5 s of their predecessor are retries; one identity-key
+    shuffle + per-type rollup."""
+    return temporal.event_dedup_report(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_DEDUP_WINDOW = f"""
+WITH lagged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type, value
+           ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN gap_us IS NOT NULL
+                  AND gap_us <= {temporal.DUP_WINDOW_US}
+                THEN 1 ELSE 0 END)::BIGINT AS n_duplicates,
+       (count(*) - sum(CASE WHEN gap_us IS NOT NULL
+                              AND gap_us <= {temporal.DUP_WINDOW_US}
+                            THEN 1 ELSE 0 END))::BIGINT AS n_kept
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["event_dedup_window"] = q_event_dedup_window
+ORACLE["event_dedup_window"] = SQL_EVENT_DEDUP_WINDOW
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7708,8 +7789,9 @@ _GATE_PRIORITY = [
     # user_entropy, referential_audit, price_bins, join_cardinality,
     # funnel_latency, lineitem_correlations, session_paths,
     # uniqueness_audit, category_association, order_value_lognormal,
-    # value_psi — all green in PARITY_r10.txt) rather than break the
-    # promised 21-key r6-stale re-verification block
+    # value_psi, domain_constraints, event_dedup_window — all green in
+    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
+    # re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

@@ -442,3 +442,39 @@ def test_value_psi_identical_halves_zero_and_shift_positive(spark):
     assert r.psi >= 0.0
     assert r.n_degenerate_bins > 0  # disjoint supports -> one-sided bins
     assert math.isfinite(r.psi)
+
+
+def test_domain_constraints_audit_counts_violations(spark):
+    from datetime import datetime
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    ts = datetime(2026, 1, 1)
+    lineitem = spark.createDataFrame(
+        [
+            (1.0, 0.05, "N", ts, 0.02),     # clean
+            (0.0, 1.5, "X", None, -0.1),    # violates all five
+            (2.0, None, None, ts, 0.0),     # null discount + null flag
+        ],
+        "l_quantity double, l_discount double, l_returnflag string, "
+        "l_shipdate timestamp, l_tax double",
+    )
+    orders = spark.createDataFrame(
+        [("F", 10.0), ("Z", 0.0), (None, None)],
+        "o_orderstatus string, o_totalprice double",
+    )
+    got = {
+        (r.table_name, r.rule): (r.n_rows, r.n_violations)
+        for r in analytics.domain_constraints_audit(lineitem, orders).collect()
+    }
+    assert got == {
+        ("lineitem", "l_discount in [0,1]"): (3, 2),
+        ("lineitem", "l_quantity > 0"): (3, 1),
+        ("lineitem", "l_returnflag in (A,N,R)"): (3, 2),
+        ("lineitem", "l_shipdate not null"): (3, 1),
+        ("lineitem", "l_tax >= 0"): (3, 1),
+        ("orders", "o_orderstatus in (F,O,P)"): (3, 2),
+        ("orders", "o_totalprice > 0"): (3, 2),
+    }

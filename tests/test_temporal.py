@@ -377,3 +377,30 @@ def test_session_paths_openings_and_short_sessions(spark):
     }
     assert got == {"view > click > buy": 2, "view": 1}
     assert t0  # silence unused
+
+
+def test_event_dedup_report_chain_collapse_and_window_edge(spark):
+    t = lambda s: datetime(2026, 1, 1, 10, 0, s)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            # retry chain: 0s, 3s, 6s — both retries within 5s of their
+            # PREDECESSOR (chain-collapsing), even though 6s > 5s from head
+            (1, t(0), 1, "ping", 1.0),
+            (2, t(3), 1, "ping", 1.0),
+            (3, t(6), 1, "ping", 1.0),
+            # exactly 5s gap IS a duplicate (<=); 6s is not
+            (4, t(20), 1, "pong", 2.0),
+            (5, t(25), 1, "pong", 2.0),
+            (6, t(31), 1, "pong", 2.0),
+            # same payload, different user: independent
+            (7, t(0), 2, "ping", 1.0),
+            # same user+type, different value: not a duplicate
+            (8, t(1), 1, "ping", 9.9),
+        ],
+        SCHEMA,
+    )
+    got = {
+        r.event_type: (r.n_events, r.n_duplicates, r.n_kept)
+        for r in temporal.event_dedup_report(events).collect()
+    }
+    assert got == {"ping": (5, 2, 3), "pong": (3, 1, 2)}
