@@ -2555,6 +2555,14 @@ def value_psi(events: DataFrame, n_bins: int = PSI_BINS) -> DataFrame:
             .alias("d"),
         )
     )
+    return psi_from_cells(cells)
+
+
+def psi_from_cells(cells: DataFrame) -> DataFrame:
+    """The PSI report from a (bin_id, c, d) cell relation — shared by the
+    batch operator above and the streaming drift monitor
+    (streaming/drift.py), so the two produce bit-identical statistics
+    from identical cells by construction."""
     # count PRODUCTS (c·m, d·n) run DECIMAL(38,0) — at 100 TB row counts
     # the int64 product wraps silently; the decimal→double cast feeding
     # ln is correctly rounded in both engines (the oracle's HUGEINT path)
