@@ -623,3 +623,121 @@ def test_part_frontier_matches_bruteforce_dominance(spark, pts):
         if not dominated:
             want.add((i + 1, float(q), r / 100.0))
     assert got == want
+
+
+_GAPFILL_EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                # event_type
+        st.integers(min_value=0, max_value=9),      # day offset
+        st.integers(min_value=0, max_value=86399),  # second within day
+        st.integers(min_value=0, max_value=999),    # value cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_GAPFILL_EVENTS)
+@settings(**_SETTINGS)
+def test_daily_gapfill_matches_bruteforce(spark, rows):
+    """Calendar gap-fill vs a brute-force Python replay on random sparse
+    day patterns — pins grid completeness, zero-fill, LOCF across
+    arbitrary-length gap runs, and within-day last under (ts, event_id)
+    ordering with second-level ties."""
+    data = [
+        (
+            i,
+            _BASE + datetime.timedelta(days=d, seconds=s),
+            1,
+            et,
+            c / 100.0,
+        )
+        for i, (et, d, s, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = {
+        (r.event_type, str(r.day)): (
+            r.n_events,
+            round(r.day_value, 2),
+            r.carried_value,
+            r.is_gap,
+        )
+        for r in temporal.daily_gapfill(df).collect()
+    }
+    want = {}
+    by_type: dict[str, list] = {}
+    for i, (et, d, s, c) in enumerate(rows):
+        by_type.setdefault(et, []).append((d, s, i, c))
+    for et, evs in by_type.items():
+        days = sorted({d for d, *_ in evs})
+        last_val = None
+        for d in range(days[0], days[-1] + 1):
+            today = sorted(
+                [(s, i, c) for dd, s, i, c in evs if dd == d]
+            )
+            if today:
+                n = len(today)
+                dv = round(sum(c for _s, _i, c in today) / 100.0, 2)
+                last_val = today[-1][2] / 100.0
+                want[(et, str((_BASE + datetime.timedelta(days=d)).date()))] = (
+                    n, dv, last_val, 0,
+                )
+            else:
+                want[(et, str((_BASE + datetime.timedelta(days=d)).date()))] = (
+                    0, 0.0, last_val, 1,
+                )
+    assert got == want
+
+
+_DUP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),     # user_id
+        st.sampled_from(["x", "y"]),               # event_type
+        st.integers(min_value=0, max_value=30),    # seconds offset
+        st.sampled_from([1.0, 2.0]),               # value payload
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_DUP_EVENTS)
+@settings(**_SETTINGS)
+def test_event_dedup_report_matches_bruteforce(spark, rows):
+    """Windowed duplicate suppression vs a Python replay — pins the
+    chain-collapsing rule (each event judged against its PREDECESSOR in
+    the identity group) and the inclusive <= window edge on dense
+    random collision patterns."""
+    data = [
+        (i, _BASE + datetime.timedelta(seconds=s), u, et, v)
+        for i, (u, et, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = {
+        r.event_type: (r.n_events, r.n_duplicates, r.n_kept)
+        for r in temporal.event_dedup_report(df, window_us=5_000_000).collect()
+    }
+    groups: dict[tuple, list] = {}
+    for i, (u, et, s, v) in enumerate(rows):
+        groups.setdefault((u, et, v), []).append((s, i, et))
+    dups: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for _key, evs in groups.items():
+        evs.sort()
+        for j, (s, _i, et) in enumerate(evs):
+            totals[et] = totals.get(et, 0) + 1
+            if j > 0 and (s - evs[j - 1][0]) <= 5:
+                dups[et] = dups.get(et, 0) + 1
+    want = {
+        et: (totals[et], dups.get(et, 0), totals[et] - dups.get(et, 0))
+        for et in totals
+    }
+    assert got == want
