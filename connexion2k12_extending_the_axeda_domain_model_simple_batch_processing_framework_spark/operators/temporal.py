@@ -821,3 +821,28 @@ def event_dedup_report(
         )
         .orderBy("event_type")
     )
+
+
+STICKINESS_WINDOW_DAYS = 28
+
+
+def stickiness(
+    events: DataFrame, window_days: int = STICKINESS_WINDOW_DAYS
+) -> DataFrame:
+    """DAU/MAU stickiness — the engagement KPI boards track (what share
+    of the monthly audience shows up on a given day; WhatsApp-class
+    products run ~0.7, casual tools ~0.1): rides
+    ``active_users_window`` at a 28-day trailing window (the SAME
+    bounded grid fan-out — no per-day rescan, no range join) and adds
+    the ratio. One exact double division per day, rounded at 6.
+    """
+    au = active_users_window(events, trailing_days=window_days)
+    return au.select(
+        "day",
+        "dau",
+        F.col("trailing_users").alias("mau"),
+        F.round(
+            F.col("dau").cast("double") / F.col("trailing_users").cast("double"),
+            6,
+        ).alias("stickiness"),
+    ).orderBy("day")

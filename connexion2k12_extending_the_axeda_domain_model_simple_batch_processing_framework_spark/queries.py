@@ -7719,6 +7719,33 @@ QUERIES["event_dedup_window"] = q_event_dedup_window
 ORACLE["event_dedup_window"] = SQL_EVENT_DEDUP_WINDOW
 
 
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (operators.temporal.stickiness): the 17k grid
+    fan-out at a 28-day window plus the engagement ratio."""
+    return temporal.stickiness(load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_STICKINESS = f"""
+WITH grid AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM grid),
+dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM grid GROUP BY 1),
+trail AS (
+  SELECT d.day, count(DISTINCT g.user_id)::BIGINT AS mau
+  FROM days d JOIN grid g
+    ON g.day <= d.day
+   AND g.day > d.day - INTERVAL {temporal.STICKINESS_WINDOW_DAYS} DAY
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, trail.mau,
+       round(dau.dau::DOUBLE / trail.mau::DOUBLE, 6) AS stickiness
+FROM dau JOIN trail ON dau.day = trail.day
+ORDER BY dau.day
+"""
+
+QUERIES["user_stickiness"] = q_user_stickiness
+ORACLE["user_stickiness"] = SQL_USER_STICKINESS
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7789,9 +7816,9 @@ _GATE_PRIORITY = [
     # user_entropy, referential_audit, price_bins, join_cardinality,
     # funnel_latency, lineitem_correlations, session_paths,
     # uniqueness_audit, category_association, order_value_lognormal,
-    # value_psi, domain_constraints, event_dedup_window — all green in
-    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
-    # re-verification block
+    # value_psi, domain_constraints, event_dedup_window,
+    # user_stickiness — all green in PARITY_r10.txt) rather than break
+    # the promised 21-key r6-stale re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its

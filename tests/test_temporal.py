@@ -404,3 +404,26 @@ def test_event_dedup_report_chain_collapse_and_window_edge(spark):
         for r in temporal.event_dedup_report(events).collect()
     }
     assert got == {"ping": (5, 2, 3), "pong": (3, 1, 2)}
+
+
+def test_stickiness_ratio_and_window(spark):
+    from datetime import timedelta
+
+    base = datetime(2026, 1, 1)
+    # users 1..4 active day 0; user 1 also active day 40 (outside any
+    # 28-day window that includes day 0)
+    events = spark.createDataFrame(
+        [
+            (1, base, 1, "a", 0.0),
+            (2, base, 2, "a", 0.0),
+            (3, base, 3, "a", 0.0),
+            (4, base, 4, "a", 0.0),
+            (5, base + timedelta(days=40), 1, "a", 0.0),
+        ],
+        SCHEMA,
+    )
+    got = {str(r.day)[:10]: (r.dau, r.mau, r.stickiness) for r in temporal.stickiness(events).collect()}
+    assert got == {
+        "2026-01-01": (4, 4, 1.0),
+        "2026-02-10": (1, 1, 1.0),  # day-0 actives aged out of the window
+    }
