@@ -474,6 +474,7 @@ def join_size_estimate(
     rkey: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    exact: bool = True,
 ) -> DataFrame:
     """Pre-join cardinality estimation — the planning question every
     100 TB join should answer BEFORE it runs ("will clickstream ⋈ orders
@@ -497,6 +498,12 @@ def join_size_estimate(
     single rounded double division. NULL keys join nothing and are
     excluded on both sides, counted separately upstream by
     `referential_audit`.
+
+    ``exact=False`` is the SCALE mode (registered as
+    ``join_cardinality_scaled`` — the source_overlap_kmv_scaled
+    registration lesson): the per-key count join is exactly the cost the
+    sketch exists to avoid, so the twin never materializes per-key
+    counts at all — grids only, n_left/n_right/cms_estimate out.
     """
     dec = "decimal(38,0)"
 
@@ -512,13 +519,17 @@ def join_size_estimate(
         sketch = cells.groupBy("r", "bucket").agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
-        counts = s.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        counts = (
+            s.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+            if exact
+            else None
+        )
         n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
         return sketch, counts, n
 
     ls, lc, ln = side(left, lkey)
     rs, rc, rn = side(right, rkey)
-    exact = (
+    exact_pairs = (
         lc.withColumnRenamed("c", "cl")
         .join(rc.withColumnRenamed("c", "cr"), "k")
         .agg(
@@ -527,6 +538,8 @@ def join_size_estimate(
                 F.lit(0).cast(dec),
             ).alias("exact_pairs")
         )
+        if exact
+        else None
     )
     per_r = (
         ls.withColumnRenamed("cnt", "cl")
@@ -546,10 +559,17 @@ def join_size_estimate(
             )
         )
     )
+    base = ln.select(F.col("n").alias("n_left")).crossJoin(
+        rn.select(F.col("n").alias("n_right"))
+    )
+    if not exact:
+        return base.crossJoin(est).select(
+            "n_left",
+            "n_right",
+            F.col("cms_estimate").cast("double").alias("cms_estimate"),
+        )
     return (
-        ln.select(F.col("n").alias("n_left"))
-        .crossJoin(rn.select(F.col("n").alias("n_right")))
-        .crossJoin(exact)
+        base.crossJoin(exact_pairs)
         .crossJoin(est)
         .select(
             "n_left",

@@ -7746,6 +7746,49 @@ QUERIES["user_stickiness"] = q_user_stickiness
 ORACLE["user_stickiness"] = SQL_USER_STICKINESS
 
 
+def q_join_cardinality_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only pre-join cardinality — the 100 TB path
+    (operators.sketches.join_size_estimate with exact=False): grids
+    only, never a per-key count relation; the exact-legged report stays
+    registered as the accuracy reference."""
+    return sketches.join_size_estimate(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        exact=False,
+    )
+
+
+def _join_cardinality_scaled_oracle() -> str:
+    d, w = sketches.CMS_DEPTH, sketches.CMS_WIDTH
+    bucket = _HEX64.format(
+        expr=f"k || '#' || (r + {sketches.CMS_SEED_BASE})::VARCHAR"
+    )
+    return f"""
+WITH l AS (SELECT user_id::VARCHAR AS k FROM events WHERE user_id IS NOT NULL),
+r2 AS (SELECT o_custkey::VARCHAR AS k FROM orders WHERE o_custkey IS NOT NULL),
+rs AS (SELECT unnest(range({d}))::INT AS r),
+lsk AS (SELECT r, ({bucket}) % {w} AS bucket, count(*)::BIGINT AS cnt
+        FROM l CROSS JOIN rs GROUP BY 1, 2),
+rsk AS (SELECT r, ({bucket}) % {w} AS bucket, count(*)::BIGINT AS cnt
+        FROM r2 CROSS JOIN rs GROUP BY 1, 2),
+cellp AS (SELECT a.r, a.cnt::HUGEINT * b.cnt::HUGEINT AS p
+          FROM lsk a JOIN rsk b ON a.r = b.r AND a.bucket = b.bucket),
+ipr AS (SELECT rs.r, coalesce(sum(cellp.p), 0::HUGEINT) AS ipr
+        FROM rs LEFT JOIN cellp ON rs.r = cellp.r GROUP BY 1),
+est AS (SELECT min(ipr) AS cms_estimate FROM ipr),
+nl AS (SELECT count(*)::BIGINT AS n_left FROM l),
+nr AS (SELECT count(*)::BIGINT AS n_right FROM r2)
+SELECT n_left, n_right, cms_estimate::DOUBLE AS cms_estimate
+FROM nl, nr, est
+"""
+
+
+QUERIES["join_cardinality_scaled"] = q_join_cardinality_scaled
+ORACLE["join_cardinality_scaled"] = _join_cardinality_scaled_oracle()
+
+
 # registry ordering — KEEP THIS BLOCK LAST: it rebuilds QUERIES, and a
 # priority key registered below it raises KeyError at import.
 # ---------------------------------------------------------------------------
@@ -7817,8 +7860,9 @@ _GATE_PRIORITY = [
     # funnel_latency, lineitem_correlations, session_paths,
     # uniqueness_audit, category_association, order_value_lognormal,
     # value_psi, domain_constraints, event_dedup_window,
-    # user_stickiness — all green in PARITY_r10.txt) rather than break
-    # the promised 21-key r6-stale re-verification block
+    # user_stickiness, join_cardinality_scaled — all green in
+    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
+    # re-verification block
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
