@@ -1717,22 +1717,26 @@ def basket_affinity(lineitem: DataFrame, top_k: int = BASKET_TOP_K) -> DataFrame
         F.count_distinct("ok").cast("long").alias("n_orders")
     )  # 1-row aggregate, broadcast below — no driver-side action
     # salted two-phase top-k: per-salt rank prunes to top_k rows per salt
-    # bucket before the single final rank over salt_buckets·top_k rows
+    # bucket; the final cut over the bounded salt_buckets·top_k survivors
+    # is a distributed TakeOrdered (orderBy + limit) — NOT a
+    # constant-partition row_number window, which instantiates a
+    # partition-less WindowExec at runtime (Spark warns "No Partition
+    # Defined"; harmless on the bounded set but indistinguishable in the
+    # logs from the 100 TB killer)
     order = [
         F.col("support").desc(),
         F.col("part_a").asc(),
         F.col("part_b").asc(),
     ]
     w1 = Window.partitionBy("_salt").orderBy(*order)
-    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
     top = (
         pairs.withColumn(
             "_salt", (F.col("part_a") + F.col("part_b")) % BASKET_SALT_BUCKETS
         )
         .withColumn("_rk1", F.row_number().over(w1))
         .filter(F.col("_rk1") <= top_k)
-        .withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= top_k)
+        .orderBy(*order)
+        .limit(top_k)
     )
     ca = counts.select(F.col("pk").alias("part_a"), F.col("c").alias("n_orders_a"))
     cb = counts.select(F.col("pk").alias("part_b"), F.col("c").alias("n_orders_b"))

@@ -263,14 +263,18 @@ def corpus_stats_scaled(documents: DataFrame) -> DataFrame:
         .select(hex_hash64(F.col("t")).alias("h"))
         .distinct()
     )
+    # the final cut over the bounded salt_buckets·k survivors is a
+    # distributed TakeOrdered (orderBy + limit), not a constant-partition
+    # row_number window (a runtime partition-less WindowExec — bounded
+    # here, but its "No Partition Defined" warning is indistinguishable
+    # in the logs from the 100 TB killer)
     w1 = Window.partitionBy("_salt").orderBy(F.col("h").asc())
-    w2 = Window.partitionBy(F.lit(1)).orderBy(F.col("h").asc())
     topk = (
         hs.withColumn("_salt", F.col("h") % KMV_SALT_BUCKETS)
         .withColumn("_rk1", F.row_number().over(w1))
         .filter(F.col("_rk1") <= k)
-        .withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") <= k)
+        .orderBy(F.col("h").asc())
+        .limit(k)
         .agg(F.max("h").alias("__kth"), F.count(F.lit(1)).alias("__k_actual"))
     )
     est = F.when(

@@ -76,6 +76,13 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     task sees k rows regardless of data scale. Everything else is a
     100 TB defect; tests/test_plans.py sweeps every registered query with
     this and fails on any hit (the abc_pareto r9 regression class).
+
+    A partitionSpec made ENTIRELY of foldable expressions
+    (``partitionBy(lit(1))``) counts as empty: it is the identical
+    runtime shape — one task, the same "No Partition Defined" warning —
+    merely disguised from a naive isEmpty check (two salted-top-k final
+    ranks hid this way until the r10 parity-log grep; both now finish
+    with orderBy+limit TakeOrdered instead).
     """
 
     def has_limit(node) -> bool:
@@ -86,10 +93,15 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
 
     bad: list[str] = []
 
+    def effectively_empty(spec) -> bool:
+        if spec.isEmpty():
+            return True
+        return all(spec.apply(i).foldable() for i in range(spec.size()))
+
     def walk(node) -> None:
         if (
             node.getClass().getSimpleName() == "Window"
-            and node.partitionSpec().isEmpty()
+            and effectively_empty(node.partitionSpec())
             and not has_limit(node)
         ):
             bad.append(node.simpleString(120))
