@@ -2203,8 +2203,15 @@ def referential_audit(
         per_key = child.groupBy(F.col(key).alias("__k")).agg(
             F.count(F.lit(1)).cast("long").alias("__c")
         )
+        # the parent side MUST be key-distinct before the join: a
+        # duplicated parent key (exactly the dirty-data scenario these
+        # audits screen for — uniqueness_audit registers one on purpose)
+        # would otherwise fan out matched per_key rows and silently
+        # inflate the n_rows / n_orphans sums
         marked = per_key.join(
-            parent.select(F.col(pkey).alias("__k"), F.lit(1).alias("__p")),
+            parent.select(F.col(pkey).alias("__k"))
+            .distinct()
+            .withColumn("__p", F.lit(1)),
             "__k",
             "left",
         )
@@ -2449,7 +2456,12 @@ def category_association(
         F.col("ka").alias("n_cat_a"),
         F.col("kb").alias("n_cat_b"),
         F.round(chi2, 6).alias("chi2"),
-        F.round(F.sqrt(chi2 / (n * dof)), 6).alias("cramers_v"),
+        # dof == 0 (a single distinct value on either side) makes the
+        # statistic undefined (0/0 → NaN); disclose as NULL the way
+        # value_psi discloses degenerate bins, never a silent NaN
+        F.when(dof > 0, F.round(F.sqrt(chi2 / (n * dof)), 6)).alias(
+            "cramers_v"
+        ),
     )
 
 

@@ -7547,7 +7547,8 @@ SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
        round(sqrt((n::DOUBLE * list_reduce(list_prepend(0.0, terms),
                                            (acc, x) -> acc + x)
                    - n::DOUBLE)
-                  / (n::DOUBLE * least(ka - 1, kb - 1)::DOUBLE)), 6)
+                  / (n::DOUBLE
+                     * nullif(least(ka - 1, kb - 1), 0)::DOUBLE)), 6)
          AS cramers_v
 FROM p
 """

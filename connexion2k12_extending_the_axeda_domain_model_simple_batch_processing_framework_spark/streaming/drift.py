@@ -58,6 +58,13 @@ def fit_psi_baseline(
             f" {PCTL_ACCURACY})"
         ).alias("e")
     ).collect()
+    if row.e is None:
+        # approx_percentile over zero rows returns NULL — surface the
+        # real problem instead of an opaque TypeError downstream
+        raise ValueError(
+            "fit_psi_baseline: empty baseline relation (no rows to fit"
+            " decile edges from)"
+        )
     edges = [float(x) for x in row.e]
     counts = (
         _bin_ids(events, edges)

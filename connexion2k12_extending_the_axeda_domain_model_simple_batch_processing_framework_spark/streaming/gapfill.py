@@ -20,7 +20,11 @@ that span a micro-batch boundary).
 Ordering contract: within a micro-batch the group sorts by
 (us, event_id) — the batch operator's total order; ACROSS batches events
 must arrive per type in event-time order (the CDC-ordered-ingest
-assumption the growth and transition twins document). Day arithmetic is
+assumption the growth and transition twins document). NULL values follow
+the batch twin exactly: counted in n_events (count(lit(1))), skipped by
+the day sum, and a day whose LAST event has a NULL value gets a NULL
+day-last, so the carried value falls back to the last non-NULL day-last
+(the batch LOCF window's ignorenulls rule). Day arithmetic is
 integer epoch-days (us // 86_400e6 — the UTC session timezone the batch
 ``to_date`` uses); the value sum rides as exact integer CENTS (the JVM
 pre-casts value to DECIMAL(18,2)·100 so no float folding happens in
@@ -58,7 +62,12 @@ GAPFILL_STATE_SCHEMA = T.StructType(
         T.StructField("open_day", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
         T.StructField("cents", T.LongType(), False),
-        T.StructField("last_value", T.DoubleType(), True),
+        # the open day's chronologically-last event value — NULL when that
+        # event's value is NULL (the batch max_by keeps NULL x)
+        T.StructField("open_last", T.DoubleType(), True),
+        # last non-NULL finalized day-last — what the batch LOCF window
+        # (last(..., ignorenulls=True)) falls back to across NULL days
+        T.StructField("prev_carried", T.DoubleType(), True),
     ]
 )
 
@@ -78,36 +87,46 @@ def _gapfill_group(
     pdf["day"] = pdf["us"] // US_PER_DAY
     (event_type,) = key
     if state.exists:
-        open_day, n, cents, last_value = state.get
+        open_day, n, cents, open_last, prev_carried = state.get
     else:
         open_day = n = cents = None
-        last_value = None
+        open_last = prev_carried = None
     out: list[tuple] = []
     for day, sub in pdf.groupby("day", sort=True):
         day = int(day)
         if open_day is not None and day > open_day:
             # the arrival PROVES the open day (and every gap day up to
-            # the new one) is over — finalize them in calendar order
+            # the new one) is over — finalize them in calendar order.
+            # carried = the day's own last value when non-NULL, else the
+            # last non-NULL day-last before it (the batch LOCF window's
+            # ignorenulls fallback)
+            carried = open_last if open_last is not None else prev_carried
             out.append(
                 (
                     event_type,
                     _epoch_date(open_day),
                     int(n),
                     cents / 100.0,
-                    last_value,
+                    carried,
                     0,
                 )
             )
             for gap_day in range(open_day + 1, day):
                 out.append(
-                    (event_type, _epoch_date(gap_day), 0, 0.0, last_value, 1)
+                    (event_type, _epoch_date(gap_day), 0, 0.0, carried, 1)
                 )
+            prev_carried = carried
         if open_day is None or day > open_day:
-            open_day, n, cents = day, 0, 0
+            open_day, n, cents, open_last = day, 0, 0, None
         n += len(sub)
-        cents += int(sub["cents"].sum())
-        last_value = float(sub["value"].iloc[-1])
-    state.update((int(open_day), int(n), int(cents), last_value))
+        # NULL values: counted in n (batch count(lit(1))), skipped in the
+        # sum (batch SUM skips NULL), and a NULL last event makes the
+        # day-last NULL (batch max_by keeps NULL x — verified)
+        valid = sub["cents"].dropna()
+        cents += int(valid.sum()) if len(valid) else 0
+        v = sub["value"].iloc[-1]
+        open_last = None if pd.isna(v) else float(v)
+    state.update((int(open_day), int(n), int(cents), open_last, prev_carried))
     if out:
         yield pd.DataFrame(
             out,

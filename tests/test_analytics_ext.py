@@ -478,3 +478,50 @@ def test_domain_constraints_audit_counts_violations(spark):
         ("orders", "o_orderstatus in (F,O,P)"): (3, 2),
         ("orders", "o_totalprice > 0"): (3, 2),
     }
+
+
+def test_referential_audit_duplicate_parent_keys_do_not_fan_out(spark):
+    """A duplicated parent key (the dirty-data case these audits screen
+    for) must NOT multiply matched child rows: counts are over the
+    key-distinct parent relation."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    lineitem = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 10, 100, 2.0), (2, 10, 100, 3.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+    )
+    # orderkey 1 appears TWICE in the parent
+    orders = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 6)], "o_orderkey long, o_custkey long"
+    )
+    customer = spark.createDataFrame([(5,), (6,)], "c_custkey long")
+    supplier = spark.createDataFrame([(100,)], "s_suppkey long")
+    part = spark.createDataFrame([(10,)], "p_partkey long")
+    got = {
+        r.relationship: (r.n_rows, r.n_null_keys, r.n_orphans)
+        for r in analytics.referential_audit(
+            lineitem, orders, customer, supplier, part
+        ).collect()
+    }
+    # without the distinct, lineitem->orders would report n_rows = 5
+    assert got["lineitem->orders"] == (3, 0, 0)
+    # the duplicated parent's own child leg is unaffected
+    assert got["orders->customer"] == (3, 0, 0)
+
+
+def test_category_association_degenerate_single_category_is_null(spark):
+    """dof = 0 (one distinct value on either side) discloses NULL, not a
+    NaN from 0/0."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    df = spark.createDataFrame(
+        [("only", "p"), ("only", "q"), ("only", "p")], "a string, b string"
+    )
+    [r] = analytics.category_association(df, "a", "b").collect()
+    assert (r.n, r.n_cat_a, r.n_cat_b) == (3, 1, 2)
+    assert r.chi2 == 0.0
+    assert r.cramers_v is None

@@ -122,3 +122,15 @@ def test_psi_stream_state_accumulates_across_batches(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
     got = _drain_bins(spark, src, tmp_path, edges, "psibins2")
     assert got == {0: 3, 1: 1}
+
+
+def test_fit_psi_baseline_empty_relation_raises_clear_error(spark):
+    import pytest
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.streaming import (
+        drift,
+    )
+
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError, match="empty baseline"):
+        drift.fit_psi_baseline(empty)

@@ -127,3 +127,35 @@ def test_gapfill_stream_state_survives_micro_batches(spark, tmp_path):
     got = _run(spark, src, tmp_path, "gf2")
     # day 1 closed by the day-2 arrival: 3 events, 1+2+3, last 3.0
     assert got == {("c", "2026-01-01"): (3, 6.0, 3.0, 0)}
+
+
+def test_gapfill_stream_null_values_match_batch(spark, tmp_path):
+    """NULL values follow the batch twin: counted in n_events, skipped by
+    the day sum, and a NULL day-last makes the carried value fall back to
+    the last non-NULL day-last (batch max_by keeps NULL x; the LOCF
+    window skips it). Includes a NULL-last day whose gap rows must carry
+    the PREVIOUS day's value, split across micro-batches."""
+    rows = [
+        _ev(1, "a", 1, 9, 10.0),
+        _ev(2, "a", 1, 18, None),   # day-1 last is NULL -> day_last NULL
+        _ev(3, "a", 3, 8, None),    # gap day 2 carries... nothing newer
+        _ev(4, "a", 3, 12, 4.0),    # but day-3 last is 4.0
+        _ev(5, "a", 5, 8, None),    # day-5 all-NULL, stays... no:
+        _ev(6, "a", 6, 8, 9.0),     # closes day 5; day 6 stays OPEN
+    ]
+    src = tmp_path / "gfnull"
+    src.mkdir()
+    _write(src / "f0.json", rows[:3])
+    _write(src / "f1.json", rows[3:])
+    got = _run(spark, src, tmp_path, "gfnull")
+    want = _batch_want(spark, rows)
+    assert got == want
+    # day 1: 2 events, sum skips the NULL, carried is NULL (no prior
+    # non-NULL day-last and the day's own last is NULL)
+    assert got[("a", "2026-01-01")] == (2, 10.0, None, 0)
+    # gap day 2 inherits day 1's NULL carried
+    assert got[("a", "2026-01-02")] == (0, 0.0, None, 1)
+    # day 3 last is 4.0; gap day 4 carries it
+    assert got[("a", "2026-01-04")] == (0, 0.0, 4.0, 1)
+    # day 5 is all-NULL: 1 event, 0.0 sum, carried falls BACK to 4.0
+    assert got[("a", "2026-01-05")] == (1, 0.0, 4.0, 0)
