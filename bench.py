@@ -89,6 +89,56 @@ def main() -> None:
     index_builds: dict[str, int] = {}
     times: dict[str, float] = {}
     wall0 = time.perf_counter()
+
+    # ---- index lane: build each session-shared index family ONCE, timed
+    # individually and published as index_build_sec. Production persists
+    # each index once and every consumer reads it; building them up front
+    # makes every per-query number below a steady-state (warm-index)
+    # figure — comparable across rounds regardless of registration order
+    # (r10's ann_pq_recall regression was ordering: it had become the
+    # FIRST consumer of the topf+pq families and paid both cold builds).
+    # The builds stay inside the suite wall — they are real suite work.
+    # index_builds (cache misses during the timed passes) is now a pure
+    # regression canary: any entry besides dedup_incremental's inherent
+    # per-slice index builds means a key-aliasing or eviction bug.
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (  # noqa: E402
+        dedup,
+        similarity,
+    )
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.queries import (  # noqa: E402
+        PQ_KSUB_WIDE,
+    )
+
+    index_build_sec: dict[str, float] = {}
+
+    def timed_build(tag: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        index_build_sec[tag] = round(time.perf_counter() - t0, 3)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    timed_build("shingles", lambda: dedup.shared_shingle_table(docs))
+    timed_build("minhash_band", lambda: dedup.shared_band_index(docs))
+    timed_build("ivf", lambda: similarity.ivf_build_cached(emb))
+    _centroids, _assignments = similarity.ivf_build_cached(emb)
+    timed_build(
+        "float_topk_reference",
+        lambda: similarity.float_topf_cached(emb, _centroids, _assignments),
+    )
+    timed_build("pq", lambda: similarity.pq_codes_cached(emb))
+    timed_build(
+        "pq_residual",
+        lambda: similarity.pq_residual_codes_cached(
+            emb, _centroids, _assignments
+        ),
+    )
+    timed_build(
+        "pq_residual_wide",
+        lambda: similarity.pq_residual_codes_cached(
+            emb, _centroids, _assignments, ksub=PQ_KSUB_WIDE
+        ),
+    )
     for name in HEADLINE:
         # count build() INVOCATIONS, not cache-size growth: an eviction
         # during the query would net the length delta back toward zero
@@ -185,10 +235,14 @@ def main() -> None:
             "unit": "sec",
             "queries": times,
             "sf": sf,
-            # queries whose FIRST-pass time includes building n shared
-            # index relations (band index / IVF / shingles); every other
-            # consumer of those families rode the warm session cache —
-            # their per-query times are warm figures, not cold-build ones
+            # per-family cold-build cost of the session-shared indexes
+            # (built once in the untimed-per-query index lane; inside the
+            # suite wall) — every query time is a warm steady-state figure
+            "index_build_sec": index_build_sec,
+            # regression canary: cache misses during the timed passes.
+            # Expected: only dedup_incremental's inherent per-slice
+            # incremental index builds; anything else is an aliasing or
+            # eviction bug
             "index_builds": index_builds,
             "diagnostics_sec": diag_sec,
             "n_diagnostics": len(diagnostics),
@@ -221,6 +275,7 @@ def main() -> None:
                 "operator_mean_sec": round(
                     sum(op_times) / max(1, len(op_times)), 3
                 ),
+                "index_build_sec": index_build_sec,
                 "full_results": "BENCH.json",
             }
         )
