@@ -2697,3 +2697,158 @@ def domain_constraints_audit(
         .unionByName(leg(orders, "orders", o_rules))
         .orderBy("table_name", "rule")
     )
+
+
+def dq_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Unified data-quality report — the audit trifecta (17ap existence,
+    17au identity, 17ay validity) reshaped into ONE long-format artifact
+    a pipeline persists per cut and diffs between cuts (``dq_report_diff``
+    — the PSI frozen-baseline pattern applied to data contracts): columns
+    (check_type, subject, detail, n_rows, n_violations, violation_rate).
+
+    - ``referential``: per child→parent relationship, one row for null
+      foreign keys and one for orphans (subject = relationship).
+    - ``uniqueness``: every declared primary key (subject = table,
+      detail = unique(cols)); violations = duplicate rows beyond the
+      first per key.
+    - ``domain``: every declarative value rule (subject = table,
+      detail = rule).
+
+    Scale shape: a pure reshape over the three audits — their bounded leg
+    outputs union into ≤ a few dozen rows; no new scans, no new shuffles
+    beyond what the audits already do (each table is scanned once per
+    audit family). violation_rate is one rounded double division per
+    bounded row, NULL on an empty relation.
+    """
+    rate = F.when(
+        F.col("n_rows") > 0,
+        F.round(
+            F.col("n_violations").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ),
+    )
+
+    ref = referential_audit(lineitem, orders, customer, supplier, part)
+    ref_nulls = ref.select(
+        F.lit("referential").alias("check_type"),
+        F.col("relationship").alias("subject"),
+        F.lit("null_keys").alias("detail"),
+        "n_rows",
+        F.col("n_null_keys").alias("n_violations"),
+    )
+    ref_orph = ref.select(
+        F.lit("referential").alias("check_type"),
+        F.col("relationship").alias("subject"),
+        F.lit("orphans").alias("detail"),
+        "n_rows",
+        F.col("n_orphans").alias("n_violations"),
+    )
+
+    uniq = uniqueness_audit(
+        [
+            ("customer", customer, ["c_custkey"]),
+            ("events", events, ["event_id"]),
+            ("lineitem", lineitem, ["l_orderkey", "l_linenumber"]),
+            ("orders", orders, ["o_orderkey"]),
+            ("part", part, ["p_partkey"]),
+            ("supplier", supplier, ["s_suppkey"]),
+        ]
+    ).select(
+        F.lit("uniqueness").alias("check_type"),
+        F.col("table_name").alias("subject"),
+        F.concat(F.lit("unique("), F.col("key_cols"), F.lit(")")).alias(
+            "detail"
+        ),
+        "n_rows",
+        F.col("n_duplicate_rows").alias("n_violations"),
+    )
+
+    dom = domain_constraints_audit(lineitem, orders).select(
+        F.lit("domain").alias("check_type"),
+        F.col("table_name").alias("subject"),
+        F.col("rule").alias("detail"),
+        "n_rows",
+        "n_violations",
+    )
+
+    return (
+        ref_nulls.unionByName(ref_orph)
+        .unionByName(uniq)
+        .unionByName(dom)
+        .withColumn("violation_rate", rate)
+        .orderBy("check_type", "subject", "detail")
+    )
+
+
+def dq_report_save(report: DataFrame, path: str) -> None:
+    """Persist a cut's DQ report (tiny bounded relation — one file)."""
+    report.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dq_report_load(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def dq_report_diff(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Cut-over-cut DQ drift: full outer join of two persisted reports on
+    the check identity (check_type, subject, detail) with per-check
+    violation deltas and a status verdict — the artifact a pipeline
+    gates promotion on (``worse``/``new_check`` rows page somebody; the
+    PSI monitor's frozen-baseline idea applied to contracts). Joining two
+    ≤-dozens-row relations — broadcast, no shuffle that matters.
+
+    status: ``worse`` (more violations), ``better`` (fewer), ``same``,
+    ``new_check`` (only in current), ``removed_check`` (only in
+    baseline).
+    """
+    key = ["check_type", "subject", "detail"]
+    cur = current.select(
+        *key,
+        F.col("n_rows").alias("n_rows_cur"),
+        F.col("n_violations").alias("n_violations_cur"),
+        F.col("violation_rate").alias("rate_cur"),
+    )
+    base = baseline.select(
+        *key,
+        F.col("n_rows").alias("n_rows_base"),
+        F.col("n_violations").alias("n_violations_base"),
+        F.col("violation_rate").alias("rate_base"),
+    )
+    j = cur.join(F.broadcast(base), key, "full_outer")
+    in_cur = F.col("n_violations_cur").isNotNull()
+    in_base = F.col("n_violations_base").isNotNull()
+    status = (
+        F.when(~in_base, F.lit("new_check"))
+        .when(~in_cur, F.lit("removed_check"))
+        .when(
+            F.col("n_violations_cur") > F.col("n_violations_base"),
+            F.lit("worse"),
+        )
+        .when(
+            F.col("n_violations_cur") < F.col("n_violations_base"),
+            F.lit("better"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        *key,
+        "n_violations_base",
+        "n_violations_cur",
+        (
+            F.coalesce(F.col("n_violations_cur"), F.lit(0))
+            - F.coalesce(F.col("n_violations_base"), F.lit(0))
+        )
+        .cast("long")
+        .alias("violation_delta"),
+        "rate_base",
+        "rate_cur",
+        status.alias("status"),
+    ).orderBy("check_type", "subject", "detail")

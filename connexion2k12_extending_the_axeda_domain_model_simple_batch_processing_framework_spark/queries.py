@@ -7800,6 +7800,129 @@ ORACLE["join_cardinality_scaled"] = _join_cardinality_scaled_oracle()
 # so every query earns a driver-verified row within a 2-3 round cycle.
 # Everything displaced is still verified every round by tools/parity.py
 # (committed as PARITY_r{N}.txt).
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified data-quality report (operators.analytics.dq_report): the
+    audit trifecta — existence (17ap), identity (17au), validity (17ay) —
+    in one long-format, cut-diffable artifact."""
+    return analytics.dq_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "events"),
+    )
+
+
+SQL_DQ_REPORT = """
+WITH ref AS (
+  SELECT 'lineitem->orders' AS subject,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+           AS n_nulls,
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_orderkey = l_orderkey))::BIGINT
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM lineitem
+          WHERE l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part
+                            WHERE p_partkey = l_partkey))::BIGINT
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM lineitem
+          WHERE l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier
+                            WHERE s_suppkey = l_suppkey))::BIGINT
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT,
+         (SELECT count(*) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey))::BIGINT
+),
+uniq AS (
+  SELECT 'customer' AS subject, 'unique(c_custkey)' AS detail,
+         sum(c)::BIGINT AS n_rows, sum(c - 1)::BIGINT AS n_violations
+  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+  UNION ALL
+  SELECT 'events', 'unique(event_id)', sum(c)::BIGINT, sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+  UNION ALL
+  SELECT 'lineitem', 'unique(l_orderkey,l_linenumber)', sum(c)::BIGINT,
+         sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'orders', 'unique(o_orderkey)', sum(c)::BIGINT, sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'part', 'unique(p_partkey)', sum(c)::BIGINT, sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+  UNION ALL
+  SELECT 'supplier', 'unique(s_suppkey)', sum(c)::BIGINT, sum(c - 1)::BIGINT
+  FROM (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey)
+),
+li AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                    OR l_discount > 1 THEN 1 ELSE 0 END)::BIGINT AS v0,
+         sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v1,
+         sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+                    OR l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS v2,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v3,
+         sum(CASE WHEN l_tax IS NULL OR l_tax < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v4
+  FROM lineitem
+),
+o AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P'))
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 ELSE 0 END)::BIGINT AS v1
+  FROM orders
+),
+long_form AS (
+  SELECT 'referential' AS check_type, subject, 'null_keys' AS detail,
+         n_rows, n_nulls AS n_violations FROM ref
+  UNION ALL
+  SELECT 'referential', subject, 'orphans', n_rows, n_orphans FROM ref
+  UNION ALL
+  SELECT 'uniqueness', subject, detail, n_rows, n_violations FROM uniq
+  UNION ALL
+  SELECT 'domain', 'lineitem', 'l_discount in [0,1]', n, v0 FROM li
+  UNION ALL SELECT 'domain', 'lineitem', 'l_quantity > 0', n, v1 FROM li
+  UNION ALL
+  SELECT 'domain', 'lineitem', 'l_returnflag in (A,N,R)', n, v2 FROM li
+  UNION ALL SELECT 'domain', 'lineitem', 'l_shipdate not null', n, v3 FROM li
+  UNION ALL SELECT 'domain', 'lineitem', 'l_tax >= 0', n, v4 FROM li
+  UNION ALL SELECT 'domain', 'orders', 'o_orderstatus in (F,O,P)', n, v0 FROM o
+  UNION ALL SELECT 'domain', 'orders', 'o_totalprice > 0', n, v1 FROM o
+)
+SELECT check_type, subject, detail, n_rows, n_violations,
+       CASE WHEN n_rows > 0
+            THEN round(n_violations::DOUBLE / n_rows::DOUBLE, 6)
+       END AS violation_rate
+FROM long_form
+ORDER BY check_type, subject, detail
+"""
+
+QUERIES["dq_report"] = q_dq_report
+ORACLE["dq_report"] = SQL_DQ_REPORT
+
+
 _GATE_PRIORITY = [
     # r10 new code: baseline JPEG decode, the sketch-only overlap twin,
     # customer revenue concentration bands, market-basket affinity, order

@@ -525,3 +525,69 @@ def test_category_association_degenerate_single_category_is_null(spark):
     assert (r.n, r.n_cat_a, r.n_cat_b) == (3, 1, 2)
     assert r.chi2 == 0.0
     assert r.cramers_v is None
+
+
+def test_dq_report_diff_between_cuts(spark, tmp_path):
+    """The unified DQ artifact diffs between cuts: a clean baseline vs a
+    dirtied current cut flags exactly the worsened checks, keeps clean
+    ones 'same', and labels checks present on one side only."""
+    from pyspark.sql import functions as F
+
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators import (
+        analytics,
+    )
+
+    def tables(dirty):
+        lineitem = spark.createDataFrame(
+            [(1, 10, 100, 1, 5.0, 0.1, 0.05, "A", "2024-01-01"),
+             (2, 10, 100, 1, 3.0, 0.2, 0.0, "N", "2024-01-02")],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_discount double,"
+            " l_tax double, l_returnflag string, l_shipdate_s string",
+        ).selectExpr("*", "cast(l_shipdate_s as timestamp) AS l_shipdate")
+        orders = spark.createDataFrame(
+            [(1, 5, "F", 10.0), (2, 5, "O", 20.0)]
+            + ([(2, 5, "X", -1.0)] if dirty else []),  # dup PK + 2 domain hits
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double",
+        )
+        customer = spark.createDataFrame([(5,)], "c_custkey long")
+        supplier = spark.createDataFrame([(100,)], "s_suppkey long")
+        part = spark.createDataFrame([(10,)], "p_partkey long")
+        events = spark.createDataFrame([(1,), (2,)], "event_id long")
+        return lineitem, orders, customer, supplier, part, events
+
+    base = analytics.dq_report(*tables(dirty=False))
+    cur = analytics.dq_report(*tables(dirty=True))
+    analytics.dq_report_save(base, str(tmp_path / "dq_base"))
+    analytics.dq_report_save(cur, str(tmp_path / "dq_cur"))
+    base_l = analytics.dq_report_load(spark, str(tmp_path / "dq_base"))
+    cur_l = analytics.dq_report_load(spark, str(tmp_path / "dq_cur"))
+    diff = {
+        (r.check_type, r.subject, r.detail): (r.violation_delta, r.status)
+        for r in analytics.dq_report_diff(cur_l, base_l).collect()
+    }
+    assert diff[("uniqueness", "orders", "unique(o_orderkey)")] == (1, "worse")
+    assert diff[("domain", "orders", "o_orderstatus in (F,O,P)")] == (1, "worse")
+    assert diff[("domain", "orders", "o_totalprice > 0")] == (1, "worse")
+    assert diff[("referential", "lineitem->orders", "orphans")] == (0, "same")
+    assert all(
+        s == "same" for (ct, _su, _d), (_delta, s) in diff.items()
+        if ct == "referential"
+    )
+    # one-sided checks
+    extra = cur_l.unionByName(
+        spark.createDataFrame(
+            [("custom", "t", "new rule", 1, 0, 0.0)], cur_l.schema
+        )
+    )
+    d2 = {
+        (r.check_type, r.subject, r.detail): r.status
+        for r in analytics.dq_report_diff(extra, base_l).collect()
+    }
+    assert d2[("custom", "t", "new rule")] == "new_check"
+    d3 = {
+        (r.check_type, r.subject, r.detail): r.status
+        for r in analytics.dq_report_diff(base_l, extra).collect()
+    }
+    assert d3[("custom", "t", "new rule")] == "removed_check"
