@@ -1316,14 +1316,17 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 dpos += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             sof = data
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 progressive — its own multi-scan walk
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             kind = {
-                0xC2: "progressive (SOF2)",
                 0xC9: "arithmetic-coded (SOF9)",
                 0xCA: "arithmetic progressive (SOF10)",
             }.get(marker, f"SOF{marker - 0xC0}")
-            raise UnsupportedCodecError(f"{kind} JPEG not supported (baseline only)")
+            raise UnsupportedCodecError(
+                f"{kind} JPEG not supported (baseline/progressive only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1503,7 +1506,11 @@ def decode_jpeg(media: DataFrame, on_error: str = "route") -> DataFrame:
     return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
 
 
-def with_jpeg_payload(documents: DataFrame, subsampling: str = "444") -> DataFrame:
+def with_jpeg_payload(
+    documents: DataFrame,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> DataFrame:
     """Deterministic JPEG test corpus: per doc a FLAT 16×16 RGB tile whose
     color is the first three bytes of md5(text), serialized by the real
     baseline encoder at flat quantization 1. A flat tile's DCT is DC-only
@@ -1531,11 +1538,14 @@ def with_jpeg_payload(documents: DataFrame, subsampling: str = "444") -> DataFra
             payloads = []
             for text in pdf["text"]:
                 d = hashlib.md5((text or "").encode("utf-8")).digest()
+                tile = bytes(d[:3]) * (PPM_TILE_W * PPM_TILE_H)
                 payloads.append(
-                    encode_jpeg(
+                    encode_jpeg_progressive(PPM_TILE_W, PPM_TILE_H, tile)
+                    if progressive
+                    else encode_jpeg(
                         PPM_TILE_W,
                         PPM_TILE_H,
-                        bytes(d[:3]) * (PPM_TILE_W * PPM_TILE_H),
+                        tile,
                         subsampling=subsampling,
                     )
                 )
@@ -1544,6 +1554,609 @@ def with_jpeg_payload(documents: DataFrame, subsampling: str = "444") -> DataFra
     return spread(documents.select("doc_id", "text")).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
+
+
+# --- progressive JPEG (SOF2) -------------------------------------------------
+#
+# The route the baseline decoder's reject-routing reserved: spectral
+# selection (per-band scans), successive approximation (high-bits-first
+# with refinement scans), EOBn end-of-band runs, restart intervals.
+# Implements ITU-T T.81 Annex G (G.1 encode / G.2 decode) from the public
+# spec — the same scan discipline libjpeg's phuff codecs follow.
+
+
+def _progressive_ac_huff() -> tuple[list[int], list[int]]:
+    """AC Huffman table for the progressive ENCODER: Annex K's baseline AC
+    tables define no EOBn symbols (n ≥ 1), so progressive scans need their
+    own table (libjpeg generates optimal ones). One flat canonical table —
+    every symbol this encoder can emit at 8 bits (176 < 255, so the
+    all-ones code stays unassigned per C.2): EOB0..EOB14, ZRL, and every
+    (run, size) with size 1..10."""
+    syms = [r << 4 for r in range(15)]  # EOBn
+    syms.append(0xF0)  # ZRL
+    syms += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(syms)  # all codes 8 bits long
+    return bits, syms
+
+
+def _quantized_blocks(
+    width: int, height: int, raster: bytes, channels: int, quant: int
+) -> tuple[list[list["np.ndarray"]], int, int]:
+    """Per-component zigzag-quantized coefficient blocks in raster order
+    (4:4:4 — every component shares the 8×8 block grid), replicate-padded
+    like the baseline encoder. Returns (blocks[c][bi], nbx, nby)."""
+    import numpy as np
+
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    comps = _rgb_to_ycbcr(px) if channels == 3 else px.astype(np.float64)
+    A = _dct_matrix()
+    zz = _zigzag_order()
+    pad_w = (width + 7) // 8 * 8
+    pad_h = (height + 7) // 8 * 8
+    padded = np.empty((pad_h, pad_w, channels), dtype=np.float64)
+    padded[:height, :width] = comps
+    padded[height:, :width] = comps[-1:, :, :]
+    padded[:, width:] = padded[:, width - 1 : width, :]
+    nbx, nby = pad_w // 8, pad_h // 8
+    blocks: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    for c in range(channels):
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                F2 = A @ (blk - 128.0) @ A.T
+                q = np.floor(F2.flatten() / quant + 0.5).astype(np.int64)
+                blocks[c].append(q[zz])
+    return blocks, nbx, nby
+
+
+class _ProgressiveACWriter:
+    """Per-scan AC emission state: EOBRUN accumulation plus the buffered
+    correction bits that must follow a deferred EOBn (T.81 G.1.2.3)."""
+
+    def __init__(self, w: "_BitWriter", table: dict[int, tuple[int, int]]):
+        self.w = w
+        self.table = table
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, ln = self.table[s]
+        self.w.put(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            return
+        r = self.eobrun.bit_length() - 1
+        self.sym(r << 4)
+        if r:
+            self.w.put(self.eobrun - (1 << r), r)
+        self.eobrun = 0
+        for b in self.pending:
+            self.w.put(b, 1)
+        self.pending = []
+
+    def end_block(self, extra_bits: list[int]) -> None:
+        """The band ended with trailing zero-history positions (or pending
+        corrections): defer one EOB, buffering this block's remaining
+        correction bits behind it."""
+        self.eobrun += 1
+        self.pending.extend(extra_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 3,
+    quant: int = 1,
+) -> bytes:
+    """Serialize a progressive JFIF JPEG (SOF2, 4:4:4) with the canonical
+    libjpeg-shaped scan script — the test-vector generator for the real
+    progressive decode, exercising every Annex G feature:
+
+    1. DC, interleaved, successive approximation Al=1
+    2. DC refinement (raw bits, Ah=1 → Al=0)
+    3. per component: AC band 1–5, first pass Al=1 (EOBn runs)
+    4. per component: AC band 6–63, first pass Al=1
+    5. per component: AC band 1–5 refinement (correction bits)
+    6. per component: AC band 6–63 refinement
+
+    The quantized coefficients transmitted are IDENTICAL to what
+    ``encode_jpeg`` sends for the same input (the scans only reorder the
+    bits), so progressive decode ≡ baseline decode bit-for-bit — the
+    round-trip pin the tests use. Flat tiles at quant=1 stay exact."""
+    import numpy as np  # noqa: F401  (blocks come back as numpy arrays)
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(raster) != width * height * channels:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, need {width}x{height}x{channels}"
+        )
+    blocks, nbx, nby = _quantized_blocks(width, height, raster, channels, quant)
+    dc_tabs = [_huff_codes(*_JPEG_DC_LUM)] + [_huff_codes(*_JPEG_DC_CHR)] * 2
+    ac_bits, ac_vals = _progressive_ac_huff()
+    ac_tab = _huff_codes(ac_bits, ac_vals)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def sos(comp_ids: list[int], tsels: list[int], ss: int, se: int,
+            ah: int, al: int, entropy: bytes) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for cid, t in zip(comp_ids, tsels):
+            hdr += bytes([cid, t])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + entropy
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qz = bytes([quant]) * 64
+    out += seg(0xDB, b"\x00" + qz)
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + qz)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    for tclass, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUM),
+        (1, 0, (ac_bits, ac_vals)),
+        (0, 1, _JPEG_DC_CHR),
+        (1, 1, (ac_bits, ac_vals)),
+    )[: 2 if channels == 1 else 4]:
+        out += seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    all_ids = [c + 1 for c in range(channels)]
+    nblocks = nbx * nby
+
+    # scan 1: DC first pass, interleaved, Al=1
+    w = _BitWriter()
+    pred = [0] * channels
+    for bi in range(nblocks):
+        for c in range(channels):
+            v = int(blocks[c][bi][0]) >> 1  # arithmetic shift (G.1.2.1)
+            diff = v - pred[c]
+            pred[c] = v
+            size, bits_ = _jpeg_magnitude(diff)
+            code, ln = dc_tabs[c][size]
+            w.put(code, ln)
+            if size:
+                w.put(bits_, size)
+    out += sos(all_ids, [0x00 if c == 0 else 0x10 for c in range(channels)],
+               0, 0, 0, 1, w.flush())
+
+    # scan 2: DC refinement, one raw bit per block (Ah=1 → Al=0)
+    w = _BitWriter()
+    for bi in range(nblocks):
+        for c in range(channels):
+            w.put((int(blocks[c][bi][0]) >> 0) & 1, 1)
+    out += sos(all_ids, [0x00] * channels, 0, 0, 1, 0, w.flush())
+
+    def ac_first(c: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        aw = _ProgressiveACWriter(w, ac_tab)
+        for bi in range(nblocks):
+            zq = blocks[c][bi]
+            vt = [
+                (abs(int(zq[k])) >> al) * (1 if zq[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            last_nz = max((i for i, v in enumerate(vt) if v), default=-1)
+            if last_nz < 0:
+                aw.end_block([])
+                continue
+            aw.flush_eob()
+            run = 0
+            for v in vt[: last_nz + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    aw.sym(0xF0)
+                    run -= 16
+                size, bits_ = _jpeg_magnitude(v)
+                aw.sym((run << 4) | size)
+                w.put(bits_, size)
+                run = 0
+            if last_nz < se - ss:
+                aw.end_block([])
+        aw.flush_eob()
+        return w.flush()
+
+    def ac_refine(c: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / the jcphuff discipline: newly-significant coeffs
+        # (|v|>>Al == 1) get (run-of-zero-history, size 1) codes + a sign
+        # bit; already-nonzero coeffs crossed on the way contribute one
+        # buffered correction bit each, emitted right after the symbol
+        # (or behind the deferred EOBn)
+        w = _BitWriter()
+        aw = _ProgressiveACWriter(w, ac_tab)
+        for bi in range(nblocks):
+            zq = blocks[c][bi]
+            tvals = [abs(int(zq[k])) >> al for k in range(ss, se + 1)]
+            # last newly-significant position: ZRLs are only legal inside
+            # this span (beyond it the deferred EOB covers the zeros)
+            eob_idx = max((i for i, t in enumerate(tvals) if t == 1), default=-1)
+            run = 0
+            corr: list[int] = []
+            for i, t in enumerate(tvals):
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL must interleave POSITIONALLY with the correction-bit
+                # buffer: the decoder consumes a history coefficient's bit
+                # while sweeping the 16-zero stretch it lies in, so flush
+                # before buffering any bit that lies past the stretch
+                while run > 15 and i <= eob_idx:
+                    aw.flush_eob()
+                    aw.sym(0xF0)
+                    for b in corr:
+                        w.put(b, 1)
+                    corr = []
+                    run -= 16
+                if t > 1:  # history-nonzero → correction bit
+                    corr.append(t & 1)
+                    continue
+                # newly significant
+                aw.flush_eob()
+                aw.sym((run << 4) | 1)
+                w.put(1 if zq[ss + i] >= 0 else 0, 1)
+                for b in corr:
+                    w.put(b, 1)
+                corr = []
+                run = 0
+            if run > 0 or corr:
+                aw.end_block(corr)
+        aw.flush_eob()
+        return w.flush()
+
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:
+        for c in range(channels):
+            out += sos([c + 1], [0x00 if c == 0 else 0x01], ss, se, 0, 1,
+                       ac_first(c, ss, se, 1))
+    for ss, se in bands:
+        for c in range(channels):
+            out += sos([c + 1], [0x00 if c == 0 else 0x01], ss, se, 1, 0,
+                       ac_refine(c, ss, se, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _scan_entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the first real marker (not stuffing, not RSTn) at/after
+    ``pos`` — the end of a scan's entropy segment."""
+    p = pos
+    while True:
+        p = payload.find(b"\xff", p)
+        if p < 0 or p + 1 >= len(payload):
+            raise ValueError("entropy segment runs past end of stream")
+        nxt = payload[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL progressive JPEG (SOF2) decoder — T.81 Annex G.2: multi-scan
+    marker walk (DHT/DQT may be redefined between scans), spectral
+    selection, successive approximation (DC raw-bit refinement, AC
+    correction-bit refinement with EOBn end-of-band runs), restart
+    intervals, then one dequantize + IDCT + upsample + color convert over
+    the accumulated coefficient arrays. Grayscale and 4:4:4/4:2:2/4:2:0
+    color, 8-bit; arithmetic coding and 12-bit reject upstream."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedCodecError(
+            f"unsupported codec magic {payload[:4]!r} (JPEG SOI expected)"
+        )
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, hs, vs)
+    coefs: list["np.ndarray"] = []  # per comp: (blocks_y, blocks_x, 64)
+    eobrun = 0
+    hmax = vmax = 1
+    nmx = nmy = 0
+    width = height = ncomp = 0
+
+    def comp_grid(ci: int, interleaved: bool) -> tuple[int, int]:
+        _cid, _q, hs, vs = comps[ci]
+        if interleaved:
+            return nmy * vs, nmx * hs
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + size]
+        if len(data) != size - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        if marker == 0xDB:
+            dpos = 0
+            while dpos < len(data):
+                prec, tid = data[dpos] >> 4, data[dpos] & 0xF
+                if prec:
+                    raise UnsupportedCodecError("16-bit quant tables not supported")
+                qtabs[tid] = np.frombuffer(
+                    data[dpos + 1 : dpos + 65], dtype=np.uint8
+                ).astype(np.int64)
+                dpos += 65
+        elif marker == 0xC4:
+            dpos = 0
+            while dpos < len(data):
+                tclass, tid = data[dpos] >> 4, data[dpos] & 0xF
+                bits = list(data[dpos + 1 : dpos + 17])
+                n = sum(bits)
+                vals = list(data[dpos + 17 : dpos + 17 + n])
+                htabs[(tclass, tid)] = _huff_decoder(bits, vals)
+                dpos += 17 + n
+        elif marker == 0xC2:
+            sof = data
+            depth, height, width, ncomp = struct.unpack(">BHHB", sof[:6])
+            if depth != 8:
+                raise UnsupportedCodecError(f"{depth}-bit JPEG not supported")
+            if ncomp not in (1, 3):
+                raise UnsupportedCodecError(
+                    f"{ncomp}-component JPEG not supported"
+                )
+            if width <= 0 or height <= 0:
+                raise ValueError(f"non-positive dimensions {width}x{height}")
+            for c in range(ncomp):
+                cid, samp, qid = sof[6 + 3 * c : 9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise UnsupportedCodecError(
+                        f"sampling factors {hs}x{vs} not supported"
+                    )
+                comps.append((cid, qid, hs, vs))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            nmx = (width + 8 * hmax - 1) // (8 * hmax)
+            nmy = (height + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((nmy * vs, nmx * hs, 64), dtype=np.int64)
+                for _cid, _q, hs, vs in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/duplicate SOF in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("SOS before SOF2")
+            ns = data[0]
+            scomps = []
+            for c in range(ns):
+                cid, tsel = data[1 + 2 * c : 3 + 2 * c]
+                ci = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if ci is None:
+                    raise ValueError(f"scan references unknown component {cid}")
+                scomps.append((ci, tsel >> 4, tsel & 0xF))
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss == 0 and se != 0:
+                raise ValueError("progressive scan with Ss=0 must have Se=0")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if se > 63 or ss > se:
+                raise ValueError(f"bad spectral band {ss}..{se}")
+            entropy_start = pos + 2 + size
+            entropy_end = _scan_entropy_end(payload, entropy_start)
+            # split on restart markers: each sub-segment resets predictors
+            segs = []
+            p0 = entropy_start
+            p = p0
+            while p < entropy_end:
+                p = payload.find(b"\xff", p, entropy_end)
+                if p < 0:
+                    break
+                if 0xD0 <= payload[p + 1] <= 0xD7:
+                    segs.append(payload[p0:p])
+                    p0 = p = p + 2
+                else:
+                    p += 2
+            segs.append(payload[p0:entropy_end])
+            _decode_progressive_scan(
+                scomps, ss, se, ah, al, segs, restart_interval,
+                htabs, coefs, comps, nmx, nmy, comp_grid,
+            )
+            pos = entropy_end
+            continue
+        pos += 2 + size
+
+    if sof is None:
+        raise ValueError("missing SOF2 segment")
+
+    A = _dct_matrix()
+    zz = np.array(_zigzag_order(), dtype=np.int64)
+    planes = []
+    for ci, (cid, qid, hs, vs) in enumerate(comps):
+        if qid not in qtabs:
+            raise ValueError(f"component {cid} references missing quant table {qid}")
+        grid = coefs[ci]
+        by, bx = grid.shape[0], grid.shape[1]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+        q = qtabs[qid]
+        for yy in range(by):
+            for xx in range(bx):
+                deq = (grid[yy, xx] * q).astype(np.float64)
+                block = np.zeros(64)
+                block[zz] = deq
+                pix = A.T @ block.reshape(8, 8) @ A + 128.0
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = np.clip(
+                    np.floor(pix + 0.5), 0, 255
+                ).astype(np.uint8)
+        if (hs, vs) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        planes.append(plane[:height, :width])
+    full = np.stack(planes, axis=2)
+    img = _ycbcr_to_rgb(full) if ncomp == 3 else full
+    return width, height, ncomp, img.tobytes()
+
+
+def _decode_progressive_scan(
+    scomps, ss, se, ah, al, segs, restart_interval,
+    htabs, coefs, comps, nmx, nmy, comp_grid,
+) -> None:
+    """One SOS worth of entropy decode into the coefficient arrays —
+    dispatches DC-first / DC-refine / AC-first / AC-refine per T.81 G.2,
+    resetting predictors and EOB runs at each restart sub-segment."""
+    interleaved = len(scomps) > 1
+    if ss == 0:
+        # DC scan: iterate the MCU grid (interleaved) or the single
+        # component's block grid
+        units: list[tuple[int, int, int]] = []  # (ci, by, bx)
+        if interleaved:
+            for my in range(nmy):
+                for mx in range(nmx):
+                    for ci, _td, _ta in scomps:
+                        _cid, _q, hs, vs = comps[ci]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                units.append((ci, my * vs + v, mx * hs + hh))
+            per_mcu = sum(comps[ci][2] * comps[ci][3] for ci, _t, _a in scomps)
+        else:
+            ci = scomps[0][0]
+            gy, gx = comp_grid(ci, False)
+            units = [(ci, yy, xx) for yy in range(gy) for xx in range(gx)]
+            per_mcu = 1
+        if ah == 0:
+            tabs = {}
+            for ci, td, _ta in scomps:
+                t = htabs.get((0, td))
+                if t is None:
+                    raise ValueError(f"DC scan references missing DHT {td}")
+                tabs[ci] = t
+        ui = 0
+        for si, seg_bytes in enumerate(segs):
+            r = _BitReader(seg_bytes)
+            pred = {ci: 0 for ci, _t, _a in scomps}
+            n_units = (
+                restart_interval * per_mcu
+                if restart_interval and si < len(segs) - 1
+                else len(units) - ui
+            )
+            for _ in range(n_units):
+                ci, by, bx = units[ui]
+                ui += 1
+                if ah == 0:
+                    size = _huff_read(r, tabs[ci])
+                    diff = _extend(r.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    coefs[ci][by, bx, 0] = pred[ci] << al
+                else:
+                    if r.bit():
+                        coefs[ci][by, bx, 0] |= 1 << al
+        return
+
+    # AC scan: one component, its own block grid
+    ci, _td, ta = scomps[0]
+    act = htabs.get((1, ta))
+    if act is None:
+        raise ValueError(f"AC scan references missing DHT {ta}")
+    gy, gx = comp_grid(ci, False)
+    blocks = [(yy, xx) for yy in range(gy) for xx in range(gx)]
+    p1, m1 = 1 << al, -(1 << al)
+    bi = 0
+    for si, seg_bytes in enumerate(segs):
+        r = _BitReader(seg_bytes)
+        eobrun = 0
+        n_units = (
+            restart_interval
+            if restart_interval and si < len(segs) - 1
+            else len(blocks) - bi
+        )
+        for _ in range(n_units):
+            yy, xx = blocks[bi]
+            bi += 1
+            cf = coefs[ci][yy, xx]
+            if ah == 0:  # AC first pass (G.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(r, act)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        cf[k] = _extend(r.bits(s), s) << al
+                        k += 1
+                    else:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16
+            else:  # AC refinement (G.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_read(r, act)
+                        rr, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break  # sweep the rest of the band below
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement scan with size > 1"
+                                )
+                            newval = p1 if r.bit() else m1
+                        while k <= se:
+                            if cf[k] != 0:
+                                if r.bit() and (int(cf[k]) & p1) == 0:
+                                    cf[k] += p1 if cf[k] >= 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("refine run past band end")
+                            cf[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if cf[k] != 0:
+                            if r.bit() and (int(cf[k]) & p1) == 0:
+                                cf[k] += p1 if cf[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 # --- perceptual image hashing (aHash) + near-dup pairs ----------------------

@@ -5591,6 +5591,28 @@ QUERIES["jpeg_decode_420"] = q_jpeg_decode_420
 ORACLE["jpeg_decode_420"] = _sql_jpeg_decode()
 
 
+def q_jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode — the multi-scan web-JPEG
+    variant the baseline decoder's reject-routing reserved
+    (operators.multimodal: spectral-selection bands, successive
+    approximation with DC raw-bit and AC correction-bit refinement
+    scans, EOBn end-of-band runs — T.81 Annex G). Same flat md5-colored
+    tile corpus: the scans transmit the same quantized coefficients, so
+    the 4:4:4 oracle formula applies verbatim; the lossy multi-scan
+    paths (EOBn, ZRL-in-refinement, gradients) are pinned by pytest
+    equivalence to the baseline decode."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_jpeg(
+        multimodal.with_jpeg_payload(docs, progressive=True)
+    )
+
+
+QUERIES["jpeg_decode_progressive"] = q_jpeg_decode_progressive
+ORACLE["jpeg_decode_progressive"] = _sql_jpeg_decode()
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous sessions (operators.temporal.peak_concurrency):
     the classic +1/−1 interval sweep with its running sum on the

@@ -401,9 +401,11 @@ def test_jpeg_decoder_rejects_malformed_and_unsupported():
     # wrong magic routes as unsupported codec
     with pytest.raises(mm.UnsupportedCodecError):
         mm._decode_jpeg(b"\x89PNG\r\n\x1a\n" + good)
-    # progressive (SOF2) routes as unsupported, not malformed
+    # a baseline stream RELABELED SOF2 is malformed progressive (a
+    # progressive scan with Ss=0 must have Se=0), not unsupported —
+    # real SOF2 streams are a supported decode path now
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(mm.UnsupportedCodecError, match="progressive"):
+    with pytest.raises(ValueError, match="Ss=0"):
         mm._decode_jpeg(prog)
     # arithmetic-coded (SOF9)
     arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
@@ -618,3 +620,83 @@ def test_jpeg_420_decode_query_shape(spark):
         assert (
             a[k].mean_r, a[k].mean_g, a[k].mean_b, a[k].err
         ) == (b[k].mean_r, b[k].mean_g, b[k].mean_b, b[k].err), k
+
+
+# --- progressive JPEG (SOF2) -------------------------------------------------
+
+
+def test_jpeg_progressive_flat_tile_exact():
+    rgb = bytes([120, 33, 200]) * 256
+    w, h, ch, out = mm._decode_jpeg(mm.encode_jpeg_progressive(16, 16, rgb))
+    assert (w, h, ch) == (16, 16, 3)
+    assert out == mm._decode_jpeg(mm.encode_jpeg(16, 16, rgb))[3]
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive scans transmit the SAME quantized coefficients the
+    baseline encoder sends — decode must be bit-identical, across odd
+    dimensions, grayscale, and quant levels that exercise EOBn runs, ZRL
+    in refinement, and the correction-bit buffer."""
+    import numpy as np
+
+    r = np.random.RandomState(7)
+    for (w, h, c, q) in [
+        (16, 16, 3, 1),
+        (24, 17, 3, 1),
+        (8, 8, 1, 1),
+        (19, 23, 1, 2),
+        (40, 33, 3, 8),
+    ]:
+        img = r.randint(0, 256, (h, w, c), dtype=np.uint8).tobytes()
+        base = mm._decode_jpeg(mm.encode_jpeg(w, h, img, channels=c, quant=q))
+        prog = mm._decode_jpeg(
+            mm.encode_jpeg_progressive(w, h, img, channels=c, quant=q)
+        )
+        assert prog == base
+
+
+def test_jpeg_progressive_smooth_gradient_long_eob_runs():
+    """A smooth gradient quantized hard leaves long all-zero AC bands —
+    the EOBn accumulation path (runs > 1, category bits) on both sides."""
+    import numpy as np
+
+    w, h = 64, 48
+    x = np.linspace(0, 255, w)
+    img = np.repeat(x[None, :], h, axis=0).astype(np.uint8)
+    img3 = np.stack([img, img // 2, 255 - img], axis=2).tobytes()
+    base = mm._decode_jpeg(mm.encode_jpeg(w, h, img3, quant=16))
+    prog = mm._decode_jpeg(mm.encode_jpeg_progressive(w, h, img3, quant=16))
+    assert prog == base
+
+
+def test_jpeg_progressive_sparse_spikes_zrl_refinement():
+    """Flat background with isolated pixel spikes → sparse large
+    coefficients with >16-zero gaps: the ZRL-inside-refinement path and
+    its positional correction-bit interleave."""
+    import numpy as np
+
+    a = np.full((24, 24), 128, dtype=np.uint8)
+    a[3, 5] = 255
+    a[12, 19] = 0
+    a[20, 2] = 200
+    img = np.stack([a, a, a], axis=2).tobytes()
+    for q in (1, 3):
+        base = mm._decode_jpeg(mm.encode_jpeg(24, 24, img, quant=q))
+        prog = mm._decode_jpeg(mm.encode_jpeg_progressive(24, 24, img, quant=q))
+        assert prog == base
+
+
+def test_jpeg_progressive_malformed_scans_raise():
+    rgb = bytes([9, 9, 9]) * 256
+    good = mm.encode_jpeg_progressive(16, 16, rgb)
+    # truncated entropy
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(good[: len(good) // 2] + b"\xff\xd9")
+    # an AC scan widened to two components is malformed
+    # (find an SOS with Ss>0: header ns=1)
+    i = good.find(b"\xff\xda", good.find(b"\xff\xda") + 2)
+    assert i > 0
+    bad = bytearray(good)
+    bad[i + 4] = 2  # ns=2 on an AC scan
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(bytes(bad))
