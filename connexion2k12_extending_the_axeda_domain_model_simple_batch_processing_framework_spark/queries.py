@@ -7946,69 +7946,55 @@ ORACLE["dq_report"] = SQL_DQ_REPORT
 
 
 _GATE_PRIORITY = [
-    # r10 new code: baseline JPEG decode, the sketch-only overlap twin,
-    # customer revenue concentration bands, market-basket affinity, order
-    # seasonality with YoY growth, the session rollup, and category brand
-    # leaders
-    "jpeg_decode",
-    "source_overlap_kmv_scaled",
-    "customer_revenue_bands",
-    "basket_affinity",
-    "orders_seasonality",
-    "session_stats",
-    "brand_leaders",
-    "embedding_quality",
-    "events_distinct_hll",
-    "event_transitions",
-    "revenue_trend",
-    "weighted_sample",
-    "embedding_cluster_quality",
-    "token_zipf",
-    "shipping_delay",
-    # materially changed this round, so the driver re-proves them even
-    # though their last gates were recent: abc_pareto's cumulative sum
-    # went two-phase, sequence_pack's bucket offsets moved to the
-    # triangle join, user_value_corr's syy accumulates at (18,2)²
-    "parts_abc_pareto",
-    "sequence_pack",
-    "user_value_corr",
-    # re-verification rotation — ALL 21 keys last gated r6 (incl. the
-    # three explicitly promised to this window by the r9 comment), in
-    # registry order; after this round nothing is staler than r7
-    "ann_ivf_topk",
-    "ann_pq_recall",
-    "ann_pq_adc_recall",
-    "ann_pq_residual_recall",
-    "ann_pq_residual_adc_recall",
-    "audio_decode",
-    "bpe_subword_stats",
-    "corpus_stats_scaled",
-    "dedup_incremental",
-    "events_key_skew_scaled",
-    "events_profile_scaled",
-    "events_props_metric",
-    "events_sessionize",
-    "hard_negatives",
-    "image_resize",
-    "price_quantile_sketch_scaled",
-    "price_quantiles",
-    "price_quantiles_scaled",
-    "purchase_attribution",
-    "quality_bands_scaled",
-    "scd2_point_in_time_deletes",
-    # no r7 fillers remain: all seven gave way to this round's later
-    # additions (every displaced key is still verified every round by
-    # tools/parity.py — PARITY_r{N}.txt); the 39 r7-gated keys rotate
-    # to r11, as do the twelve r10 additions that arrived after the
-    # window filled (cohort_ltv, supplier_returns, image_phash_pairs,
-    # jpeg_decode_420, events_daily_gapfill, part_frontier,
-    # user_entropy, referential_audit, price_bins, join_cardinality,
-    # funnel_latency, lineitem_correlations, session_paths,
-    # uniqueness_audit, category_association, order_value_lognormal,
-    # value_psi, domain_constraints, event_dedup_window,
-    # user_stickiness, join_cardinality_scaled — all green in
-    # PARITY_r10.txt) rather than break the promised 21-key r6-stale
-    # re-verification block
+    # the 26 keys the driver gate has NEVER verified (verdict r10 "next
+    # #2": the 24 judge-parity-only keys, all green in PARITY_r10.txt and
+    # the judge's own session runs) plus this round's two new queries
+    # (dq_report, jpeg_decode_progressive) and the two operators whose
+    # semantics changed this round (referential_audit's key-distinct
+    # parent join, category_association's dof==0 NULL — both inside the
+    # 24 anyway)
+    "dq_report",
+    "jpeg_decode_progressive",
+    "jpeg_decode_420",
+    "peak_concurrency",
+    "dup_cluster_sizes",
+    "image_ahash",
+    "image_phash_pairs",
+    "cohort_ltv",
+    "supplier_returns",
+    "events_daily_gapfill",
+    "part_frontier",
+    "user_entropy",
+    "referential_audit",
+    "uniqueness_audit",
+    "domain_constraints",
+    "price_bins",
+    "join_cardinality",
+    "join_cardinality_scaled",
+    "funnel_latency",
+    "lineitem_correlations",
+    "session_paths",
+    "category_association",
+    "order_value_lognormal",
+    "value_psi",
+    "event_dedup_window",
+    "user_stickiness",
+    # re-verification rotation: 13 of the 25 keys last gated r7 (registry
+    # order; the remaining 12 r7-stale keys rotate to r12 — all are
+    # re-verified every round by tools/parity.py, PARITY_r{N}.txt)
+    "ann_pq_ksub_recall",
+    "ann_pq_refine_recall",
+    "ann_recall",
+    "ann_recall_sweep",
+    "boilerplate_scrub",
+    "bpe_token_count",
+    "cms_counts",
+    "cohort_retention",
+    "contamination_bloom",
+    "corpus_drift",
+    "corpus_pipeline",
+    "dedup_canonical",
+    "distinct_kmv",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
