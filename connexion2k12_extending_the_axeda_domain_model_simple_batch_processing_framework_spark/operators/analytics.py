@@ -225,14 +225,27 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
 
 
 #: Greenwald-Khanna sketch accuracy for the approx-percentile scale
-#: variants: the sketch is fixed-size (O(accuracy) per group, partial-
-#: aggregated map-side and MERGED across partitions — no reducer ever
-#: buffers raw values), and below `accuracy` rows it stores every sample,
-#: so its answer is EXACTLY the discrete percentile (value at rank
-#: ceil(p·n)) — which is what lets the DuckDB oracle (quantile_disc)
+#: variants: the sketch is fixed-size (O(accuracy·log(εn)) per group,
+#: partial-aggregated map-side and MERGED across partitions — no reducer
+#: ever buffers raw values), and below `accuracy` rows it stores every
+#: sample, so its answer is EXACTLY the discrete percentile (value at
+#: rank ceil(p·n)) — which is what lets the DuckDB oracle (quantile_disc)
 #: hash-match the scale variants at gate SF while the same plan degrades
 #: gracefully (rank error ≤ n/accuracy) at 100 TB.
-PCTL_ACCURACY = 1_000_000
+#:
+#: Sizing: the sketch's heap cost GROWS with this constant, so it is a
+#: memory knob, not a free accuracy knob. 1e6 looked harmless at sf0.1
+#: but OOMed an 8 GiB local[32] heap at sf10 (measured, r11 scale probe:
+#: GK worst case ~(1/ε)·log(2εn)/2 entries × ~50 B object × 32
+#: concurrent tasks × |groups| ≈ heap). Exactness is NOT "below
+#: accuracy rows": GK may drop a sample once its insert delta
+#: floor(2n/accuracy) reaches 1, so bit-exactness holds for
+#: n < accuracy/2. The largest gate relation (sf0.01 lineitem,
+#: ungrouped in `price_bins`) is 60k rows ⇒ accuracy > 120k required;
+#: 150k gives margin while bounding the per-task sketch to ~10-20 MB
+#: at sf10 — the size that survives a 1000-executor cluster where each
+#: core still only gets ~1 GiB (growth above that is log(n) only).
+PCTL_ACCURACY = 150_000
 
 
 def price_quantiles(lineitem: DataFrame, exact: bool = False) -> DataFrame:

@@ -470,7 +470,9 @@ def session_stats(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("dur_s"),
     )
-    pct = "approx_percentile(dur_s, {p}, 1000000)"
+    from .analytics import PCTL_ACCURACY
+
+    pct = f"approx_percentile(dur_s, {{p}}, {PCTL_ACCURACY})"
     return s.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))

@@ -111,6 +111,9 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[str, float]] = {}
+    if os.path.exists(out_path):  # resume: keep already-probed sf dirs
+        with open(out_path) as f:
+            results = json.load(f)
     for sf_dir in dirs:
         from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.domain import (
             TABLES,
@@ -132,6 +135,10 @@ def main() -> None:
                 force(q.QUERIES[name](spark, sf_dir))
                 secs.append(round(time.perf_counter() - t0, 3))
             times[name] = min(secs)
+            print(f"[probe] {sf_dir} {name}: {times[name]}s", file=sys.stderr)
+            results[sf_dir] = times
+            with open(out_path, "w") as f:  # flush partials: an OOM at
+                json.dump(results, f, indent=1)  # sfN keeps sfN-1's curve
         # the experiment: banned global-window cumsum vs the shipped
         # range-partitioned prefix sum (parts_abc_pareto above)
         secs = []
