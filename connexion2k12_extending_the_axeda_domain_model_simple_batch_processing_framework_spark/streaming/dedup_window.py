@@ -26,6 +26,19 @@ Ordering contract: within a micro-batch the group sorts by
 identity's events must arrive in event-time order (the CDC-ordered-ingest
 assumption the growth/transition/gapfill twins document). The gap compare
 is integer microseconds — no double rounding at the window edge.
+
+State eviction (the 100 TB part): the identity key space grows with
+distinct (user, type, value) payloads ever seen, so state must NOT live
+forever. An identity's single long is provably dead once the event-time
+watermark passes ``last_us + window_us`` — any event admitted after that
+has ``us ≥ watermark > last_us + window_us`` ⇒ non-duplicate whether or
+not the state row exists — so the twin runs under ``EventTimeTimeout``
+with the timeout set exactly there, and the watermark delay set to
+``horizon_us`` (the cross-identity event-time skew bound: ordering is
+only per identity, so a slow identity's fresh event may trail the global
+max by up to the horizon). Eviction therefore NEVER changes output; it
+bounds live state to identities active within the last
+``horizon_us + window_us`` of event time instead of all history.
 """
 
 from __future__ import annotations
@@ -40,6 +53,10 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.temporal import DUP_WINDOW_US
+
+#: how far behind the global max event time a (per-identity-ordered)
+#: identity's next event may arrive; state survives horizon + window
+DEDUP_STATE_HORIZON_US = 24 * 3600 * 1_000_000
 
 DEDUP_OUT_SCHEMA = T.StructType(
     [
@@ -58,6 +75,11 @@ def _make_dedup_group(window_us: int):
     def _dedup_group(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed last_us + window_us: any future event
+            # in this identity is non-dup with or without the state row
+            state.remove()
+            return
         rows = [pdf for pdf in pdfs if len(pdf)]
         if not rows:
             return
@@ -72,6 +94,10 @@ def _make_dedup_group(window_us: int):
                 n_dup += 1
             last_us = us  # chain-collapse: the predecessor moves forward
         state.update((int(last_us),))
+        # dead once watermark > last + window (ms-ceil keeps the proof
+        # at ms granularity: an admitted event has us_ms >= wm_ms >
+        # ceil((last+window)/1000) => us - last > window => non-dup)
+        state.setTimeoutTimestamp(-(-(last_us + window_us) // 1000) + 1)
         yield pd.DataFrame(
             {
                 "event_type": [event_type],
@@ -84,22 +110,28 @@ def _make_dedup_group(window_us: int):
 
 
 def dedup_window_stream(
-    events: DataFrame, window_us: int = DUP_WINDOW_US
+    events: DataFrame,
+    window_us: int = DUP_WINDOW_US,
+    horizon_us: int = DEDUP_STATE_HORIZON_US,
 ) -> DataFrame:
     """Per-payload-identity last-timestamp state flagging in-window
-    repeats as they arrive; see module docstring for the contract.
+    repeats as they arrive; see module docstring for the contract
+    (incl. the watermark-driven state eviction ``horizon_us`` bounds).
     ``events`` needs (user_id, event_type, value, event_time, event_id)."""
-    keyed = events.select(
+    keyed = events.withWatermark(
+        "event_time", f"{horizon_us} microseconds"
+    ).select(
         "user_id",
         "event_type",
         F.col("value").cast("double").alias("value"),
         F.unix_micros(F.col("event_time")).alias("us"),
         "event_id",
+        "event_time",  # carries the watermark into the stateful op
     )
     return keyed.groupBy("user_id", "event_type", "value").applyInPandasWithState(
         _make_dedup_group(window_us),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -26,7 +26,7 @@ def _ev(eid, user, et, sec, value):
         "event_id": eid,
         "user_id": user,
         "event_type": et,
-        "event_time": f"2026-01-01T00:00:{sec:02d}",
+        "event_time": f"2026-01-01T00:{sec // 60:02d}:{sec % 60:02d}",
         "value": value,
     }
 
@@ -118,6 +118,60 @@ def test_dedup_window_stream_drained_equals_batch(spark, tmp_path):
     assert got["click"] == (7, 3, 4)
     assert got["view"] == (2, 1, 1)
     assert got["buy"] == (2, 1, 1)
+
+
+def test_dedup_window_stream_state_eviction(spark, tmp_path):
+    """Watermark-driven TTL: an identity idle past horizon + window is
+    EVICTED from state (numRowsTotal drops), and output still equals the
+    batch report — eviction is provably invisible (any event admitted
+    after the timeout has gap > window, hence non-dup either way)."""
+    rows = [
+        _ev(1, 1, "click", 0, 1.0),   # identity A — will go idle
+        _ev(2, 2, "click", 0, 1.0),   # identity B — stays active
+    ]
+    late = [
+        # jumps event time 100s ahead; with horizon 1s the watermark
+        # passes A's last(0s) + window(5s) and A's state times out
+        _ev(3, 2, "click", 100, 1.0),
+    ]
+    final = [_ev(4, 2, "click", 101, 1.0)]  # timeout fires this batch
+    src = tmp_path / "dwsrc3"
+    src.mkdir()
+    _write(src / "f0.json", rows)
+    _write(src / "f1.json", late)
+    _write(src / "f2.json", final)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dedup_window.dedup_window_stream(stream, horizon_us=1_000_000)
+        .writeStream.format("memory")
+        .queryName("dw3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dw3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert max(state_rows) == 2          # both identities were live
+    assert state_rows[-1] == 1           # A evicted, only B remains
+    got = {
+        r.event_type: (r.n_events, r.n_duplicates)
+        for r in spark.sql(
+            "SELECT event_type, sum(n_events) AS n_events,"
+            " sum(n_duplicates) AS n_duplicates FROM dw3 GROUP BY event_type"
+        ).collect()
+    }
+    bw = _batch_want(spark, rows + late + final)
+    assert got == {k: (v[0], v[1]) for k, v in bw.items()}
 
 
 def test_dedup_window_stream_exact_window_edge(spark, tmp_path):
