@@ -2865,3 +2865,250 @@ def dq_report_diff(current: DataFrame, baseline: DataFrame) -> DataFrame:
         "rate_cur",
         status.alias("status"),
     ).orderBy("check_type", "subject", "detail")
+
+
+def benford_audit(orders: DataFrame, col: str = "o_totalprice") -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive money
+    column — the classic fabricated-data / unit-mixing screen (genuine
+    multi-decade amounts follow P(d) = log10(1 + 1/d); a flat or spiky
+    digit histogram flags synthetic, truncated, or re-scaled data). The
+    audit REPORTS the deviation per digit; judging it is the caller's
+    policy (TPC-H-shaped uniform prices deviate by construction — that
+    is the correct output, not an error).
+
+    Scale shape: one scan → 9-key groupBy (map-side combined) → bounded
+    9-row relation; share math happens after the reduction.
+
+    Determinism: the first digit is taken from the CANONICAL BIGINT
+    rendering of exact cents (string of an integer — no log10/floor
+    near power-of-ten boundaries where engines' doubles could disagree);
+    observed_share is one exact-int division; expected_share is a Python
+    literal (math.log10 folded at build time, the supplier_returns z²
+    trick) shared verbatim with the oracle, so no engine evaluates a
+    transcendental.
+    """
+    import math
+
+    cents = (F.col(col).cast(D) * 100).cast("long")
+    digits = orders.filter(F.col(col) > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    total = counts.agg(F.sum("n_values").cast("long").alias("__tot"))
+    expected = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(round(math.log10(1 + 1 / d), 6)))
+        ]
+    )
+    obs = F.col("n_values").cast("double") / F.col("__tot").cast("double")
+    exp = expected[F.col("digit")]
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_values",
+            F.round(obs, 6).alias("observed_share"),
+            exp.alias("expected_share"),
+            F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the single
+    inequality number next to 17y's HHI (supplier side) and 17ab's
+    discrete bands: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over per-customer
+    revenues x₁ ≤ … ≤ xₙ. 0 = perfectly even, →1 = one customer is the
+    whole book.
+
+    Scale shape: one custkey-keyed reduction of orders (map-side
+    combined), then the ascending rank i comes from the range-partitioned
+    two-phase prefix sum (functions/prefixsum.py:ordered_cumsum of ones in
+    (revenue, custkey) order) — NOT a partition-less row_number window —
+    and the three Σ terms reduce to one row. Rank·revenue products stay in
+    DECIMAL(38,0) (rank ≤ 10⁸ × cents ≤ 10¹⁰ per term at 100 TB keeps the
+    global sum < 10³⁸).
+
+    Determinism: revenue is exact cents; ranks are exact (ties ordered by
+    custkey, and Σ i·xᵢ is invariant under permutations of equal xᵢ);
+    the final value is one fixed double DAG (two casts, mul/sub/div),
+    rounded at 6.
+    """
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(D) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    ranked = ordered_cumsum(
+        rev.withColumn("__one", F.lit(1).cast("decimal(38,0)")),
+        "__one",
+        "cents",
+        ["o_custkey"],
+        out_col="rank",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").alias("__sx"),
+        F.sum(F.col("rank") * F.col("cents")).alias("__six"),
+    )
+    n = F.col("n_customers").cast("double")
+    sx = F.col("__sx").cast("double")
+    six = F.col("__six").cast("double")
+    return s.select(
+        "n_customers",
+        F.round((F.col("__sx") / 100).cast("double"), 2).alias("total_revenue"),
+        F.round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6).alias("gini"),
+    )
+
+
+def events_changepoint(events: DataFrame) -> DataFrame:
+    """Single most-likely level-shift day per event type — retrospective
+    changepoint detection by maximizing the between-segment variance
+    reduction over every candidate split t: score(t) = (S₁n₂ − S₂n₁)² /
+    (n₁·n₂·n) in daily-total units (the CUSUM/least-squares single-break
+    statistic), where S₁/n₁ are the daily-value sum/day-count before and
+    including t and S₂/n₂ after. Reports the argmax split with both
+    segment means — the "did the metric step on deploy day" primitive.
+
+    Scale shape: the fact scan reduces to a (type × day) grid of exact
+    cents FIRST — the grid is calendar-bounded (|types|·|days|, thousands
+    of rows at ANY corpus size), so the per-type cumulative window and
+    argmax rank that follow operate on a bounded relation (the
+    17am/17ad gapfill-grid argument), never on raw events.
+
+    Determinism: S, n are exact BIGINT cents/counts; the score numerator
+    d = S₁n₂ − S₂n₁ stays in DECIMAL(38,0); the score is a fixed double
+    DAG (two casts, mul/div) from identical integers in both engines, so
+    the argmax needs no tolerance; ties break on the earlier day. Means
+    round at 4 decimals IN INTEGER ARITHMETIC — q = (2·S·100 + n) div
+    (2·n) then q/10⁴ — because S/(100·n) is a small-denominator rational
+    that DOES land on exact half-boundaries, where Spark's HALF_UP
+    BigDecimal round and DuckDB's C-double round disagree (measured:
+    3031.93875 → 3031.9388 vs 3031.9387). Positive-domain trick; the
+    value column is a money-like strictly-positive measure.
+    """
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        events.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.sum(F.col("value").cast(D) * 100)
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(wcum).alias("s1"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("n1"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("st"), F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    c = cum.join(F.broadcast(tot), "event_type").filter(F.col("n1") < F.col("nt"))
+    n1 = F.col("n1").cast("decimal(38,0)")
+    n2 = (F.col("nt") - F.col("n1")).cast("decimal(38,0)")
+    d = F.col("s1") * n2 - (F.col("st") - F.col("s1")) * n1
+    den = (F.col("n1") * (F.col("nt") - F.col("n1"))).cast("double") * F.col(
+        "nt"
+    ).cast("double")
+    scored = c.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        "n1",
+        "nt",
+        "s1",
+        "st",
+        (d.cast("double") * d.cast("double") / den).alias("score"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("split_day").asc()
+    )
+    best = scored.withColumn("__r", F.row_number().over(wbest)).filter(
+        F.col("__r") == 1
+    )
+    mean1 = (
+        F.expr("(2 * s1 * 100 + n1) div (2 * n1)").cast("double") / 10000.0
+    )
+    mean2 = (
+        F.expr(
+            "(2 * (st - s1) * 100 + (nt - n1)) div (2 * (nt - n1))"
+        ).cast("double")
+        / 10000.0
+    )
+    return best.select(
+        "event_type",
+        "split_day",
+        F.col("nt").alias("n_days"),
+        mean1.alias("before_mean_daily"),
+        mean2.alias("after_mean_daily"),
+        F.round(F.col("score") / 10000.0, 4).alias("shift_score"),
+    ).orderBy("event_type")
+
+
+EWMA_HORIZON_DAYS = 40  # 2^-40 ≈ 9e-13: below round-6 visibility
+
+
+def events_value_ewma(events: DataFrame) -> DataFrame:
+    """Trailing exponentially-weighted daily value level per event type —
+    the adjusted EWMA (pandas ``adjust=True``) with a half-life of one
+    day over the trailing ``EWMA_HORIZON_DAYS`` observed days:
+    ewma = Σ_d w_d·x_d / Σ_d w_d, w_d = 2^-(age days). The "current
+    level" primitive under 10c/10m's anomaly and drift monitors.
+
+    Weights are EXACT powers of two, so both the numerator and the weight
+    mass accumulate as exact integers (cents · 2^(H−age) in
+    DECIMAL(38,0) — shiftleft stays ≤ 2⁴⁰, and 10¹⁰ cents · 2⁴⁰ ≈ 10²²
+    per day keeps the sum far inside 38 digits at 100 TB daily totals);
+    the horizon truncation is part of the operator's definition, applied
+    identically by the oracle. The published value rounds at 6 decimals
+    in INTEGER arithmetic (the events_changepoint div-trick): num/den has
+    a power-of-two-heavy denominator whose decimal expansion terminates,
+    so exact round-half boundaries occur and engine round() calls would
+    disagree; (2·num·10⁶ + den) div (2·den) then /10⁶ is engine-exact.
+
+    Scale shape: fact scan → (type × day) exact-cents grid
+    (calendar-bounded, the 17am argument) → per-type anchor (max day) →
+    one bounded reduction. No windows at all.
+    """
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.sum(F.col("value").cast(D) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    anchor = daily.groupBy("event_type").agg(F.max("day").alias("last_day"))
+    aged = (
+        daily.join(F.broadcast(anchor), "event_type")
+        .withColumn("age", F.datediff(F.col("last_day"), F.col("day")))
+        .filter(F.col("age") <= EWMA_HORIZON_DAYS)
+    )
+    w = F.expr(
+        f"cast(shiftleft(1L, {EWMA_HORIZON_DAYS} - age) as decimal(38,0))"
+    )
+    s = aged.groupBy("event_type", "last_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("cents") * w).alias("__num"),
+        F.sum(w).alias("__den"),
+    )
+    return s.select(
+        "event_type",
+        "last_day",
+        "n_days",
+        (
+            F.expr(
+                "(2 * __num * 1000000 + __den * 100) div (2 * __den * 100)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("ewma_value"),
+    ).orderBy("event_type")

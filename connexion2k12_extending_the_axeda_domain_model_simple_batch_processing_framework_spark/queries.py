@@ -7945,6 +7945,166 @@ QUERIES["dq_report"] = q_dq_report
 ORACLE["dq_report"] = SQL_DQ_REPORT
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators.analytics.benford_audit): canonical integer-string digit,
+    Python-literal expected shares shared with the oracle."""
+    return analytics.benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+SQL_BENFORD_AUDIT = """
+WITH d AS (
+  SELECT substring(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::VARCHAR,
+                   1, 1)::INT AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, count(*)::BIGINT AS n_values FROM d GROUP BY 1),
+t AS (SELECT sum(n_values)::BIGINT AS tot FROM c)
+SELECT digit, n_values,
+       round(n_values::DOUBLE / tot::DOUBLE, 6) AS observed_share,
+       CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                  WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                  WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                  WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                  WHEN 9 THEN 0.045757 END AS expected_share,
+       round(abs(n_values::DOUBLE / tot::DOUBLE
+                 - CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                              WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                              WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                              WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                              WHEN 9 THEN 0.045757 END), 6) AS abs_dev
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLE["benford_audit"] = SQL_BENFORD_AUDIT
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration
+    (operators.analytics.revenue_gini): prefix-sum ranks, exact decimal
+    moments, one double DAG."""
+    return analytics.revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
+SQL_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::HUGEINT AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey)::HUGEINT AS rank
+  FROM rev
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_customers,
+         sum(cents)::HUGEINT AS sx,
+         sum(rank * cents)::HUGEINT AS six
+  FROM ranked
+)
+SELECT n_customers,
+       round((sx / 100)::DOUBLE, 2) AS total_revenue,
+       round((2.0 * six::DOUBLE
+              - (n_customers::DOUBLE + 1.0) * sx::DOUBLE)
+             / (n_customers::DOUBLE * sx::DOUBLE), 6) AS gini
+FROM s
+"""
+
+QUERIES["revenue_gini"] = q_revenue_gini
+ORACLE["revenue_gini"] = SQL_REVENUE_GINI
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type level-shift day (operators.analytics.events_changepoint):
+    calendar-bounded daily grid, exact-integer split statistic, fixed
+    double score DAG."""
+    return analytics.events_changepoint(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         sum((value::DECIMAL(18,2) * 100)::BIGINT)::HUGEINT AS cents
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         sum(cents) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)::HUGEINT AS s1,
+         row_number() OVER (PARTITION BY event_type ORDER BY day)
+           ::BIGINT AS n1
+  FROM daily
+),
+tot AS (
+  SELECT event_type, sum(cents)::HUGEINT AS st, count(*)::BIGINT AS nt
+  FROM daily GROUP BY 1
+),
+scored AS (
+  SELECT c.event_type, c.day AS split_day, c.n1, t.nt, c.s1, t.st,
+         ((c.s1 * (t.nt - c.n1)::HUGEINT
+           - (t.st - c.s1) * c.n1::HUGEINT)::DOUBLE
+          * (c.s1 * (t.nt - c.n1)::HUGEINT
+             - (t.st - c.s1) * c.n1::HUGEINT)::DOUBLE)
+         / ((c.n1 * (t.nt - c.n1))::DOUBLE * t.nt::DOUBLE) AS score
+  FROM cum c JOIN tot t USING (event_type)
+  WHERE c.n1 < t.nt
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, split_day) AS r
+  FROM scored
+)
+SELECT event_type, split_day, nt AS n_days,
+       ((2 * s1 * 100 + n1::HUGEINT) // (2 * n1::HUGEINT))::DOUBLE
+         / 10000.0 AS before_mean_daily,
+       ((2 * (st - s1) * 100 + (nt - n1)::HUGEINT)
+        // (2 * (nt - n1)::HUGEINT))::DOUBLE / 10000.0
+         AS after_mean_daily,
+       round(score / 10000.0, 4) AS shift_score
+FROM best WHERE r = 1
+ORDER BY event_type
+"""
+
+QUERIES["events_changepoint"] = q_events_changepoint
+ORACLE["events_changepoint"] = SQL_EVENTS_CHANGEPOINT
+
+
+def q_events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing half-life-weighted daily value level per event type
+    (operators.analytics.events_value_ewma): exact power-of-two weights,
+    integer accumulation, one double division."""
+    return analytics.events_value_ewma(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_VALUE_EWMA = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         sum((value::DECIMAL(18,2) * 100)::BIGINT)::HUGEINT AS cents
+  FROM events GROUP BY 1, 2
+),
+anchor AS (SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1),
+aged AS (
+  SELECT d.event_type, a.last_day, d.cents,
+         date_diff('day', d.day, a.last_day) AS age
+  FROM daily d JOIN anchor a USING (event_type)
+  WHERE date_diff('day', d.day, a.last_day) <= 40
+)
+SELECT event_type, last_day, count(*)::BIGINT AS n_days,
+       ((2 * sum(cents * (1::BIGINT << (40 - age))::HUGEINT) * 1000000
+         + sum((1::BIGINT << (40 - age))::HUGEINT) * 100)
+        // (2 * sum((1::BIGINT << (40 - age))::HUGEINT) * 100))::DOUBLE
+         / 1000000.0 AS ewma_value
+FROM aged GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+QUERIES["events_value_ewma"] = q_events_value_ewma
+ORACLE["events_value_ewma"] = SQL_EVENTS_VALUE_EWMA
+
+
 _GATE_PRIORITY = [
     # the 26 keys the driver gate has NEVER verified (verdict r10 "next
     # #2": the 24 judge-parity-only keys, all green in PARITY_r10.txt and
@@ -7952,7 +8112,13 @@ _GATE_PRIORITY = [
     # (dq_report, jpeg_decode_progressive) and the two operators whose
     # semantics changed this round (referential_audit's key-distinct
     # parent join, category_association's dof==0 NULL — both inside the
-    # 24 anyway)
+    # 24 anyway). The four r11 mid-round additions (benford_audit,
+    # revenue_gini, events_changepoint, events_value_ewma) lead — new
+    # code is exactly what the gate should see first.
+    "benford_audit",
+    "revenue_gini",
+    "events_changepoint",
+    "events_value_ewma",
     "dq_report",
     "jpeg_decode_progressive",
     "jpeg_decode_420",
@@ -7979,8 +8145,8 @@ _GATE_PRIORITY = [
     "value_psi",
     "event_dedup_window",
     "user_stickiness",
-    # re-verification rotation: 13 of the 25 keys last gated r7 (registry
-    # order; the remaining 12 r7-stale keys rotate to r12 — all are
+    # re-verification rotation: 9 of the 25 keys last gated r7 (registry
+    # order; the remaining 16 r7-stale keys rotate to r12 — all are
     # re-verified every round by tools/parity.py, PARITY_r{N}.txt)
     "ann_pq_ksub_recall",
     "ann_pq_refine_recall",
@@ -7991,10 +8157,6 @@ _GATE_PRIORITY = [
     "cms_counts",
     "cohort_retention",
     "contamination_bloom",
-    "corpus_drift",
-    "corpus_pipeline",
-    "dedup_canonical",
-    "distinct_kmv",
 ]
 _order = [k for k in QUERIES if k not in _GATE_PRIORITY]
 # insert right after the 11-entry reference-parity core (anchored on its
