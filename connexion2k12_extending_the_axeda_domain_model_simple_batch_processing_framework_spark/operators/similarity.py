@@ -345,11 +345,65 @@ IVF_NPROBE = 4
 #: vectors even for billion-vector indexes) — Lloyd on the full corpus
 #: buys nothing but cluster time.
 IVF_TRAIN_CAP = 16384
+#: auto-nlist ceiling: the driver-side Lloyd trains on IVF_TRAIN_CAP
+#: samples, and fewer than ~4 sample vectors per centroid degenerates
+#: the quantizer to its seeds.
+IVF_NLIST_CAP = 4096
+
+#: (session, corpus semanticHash) → row count, so the auto-nlist probe
+#: costs one metadata-cheap count per corpus per session, not per call.
+_CORPUS_COUNT_CACHE: dict = {}
+
+
+def ivf_auto_nlist(n_vectors: int) -> int:
+    """Corpus-proportional coarse-quantizer size: the largest power of two
+    ≤ √n, floored at ``IVF_NLIST`` and capped at ``IVF_NLIST_CAP``.
+
+    A FIXED nlist is the textbook IVF scale-killer: probe cost per query
+    is nprobe·(n/nlist), so holding nlist constant makes any
+    queries-proportional workload (k-NN graph builds, all-corpus dedup)
+    QUADRATIC — measured 433× wall at 100× corpus on the r11 scale curve
+    (SCALE_CURVE.json, ann_ivf_topk 1.86 s → 808 s). nlist ≈ √n (the
+    faiss sizing rule) makes the same probe nprobe·√n — subquadratic —
+    while the sample-trained Lloyd stays driver-cheap. Powers of two keep
+    the derived value stable under small count drift, and the IVF_NLIST
+    floor means every corpus below ~65k vectors (the driver gate and the
+    unit-test fixtures) trains the EXACT index it always did, so trained
+    oracle literals and pinned recalls are unchanged there.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return IVF_NLIST
+    return max(
+        IVF_NLIST,
+        min(IVF_NLIST_CAP, 2 ** int(math.log2(max(1.0, math.sqrt(n_vectors))))),
+    )
+
+
+def _resolve_nlist(
+    corpus: DataFrame, nlist: int | None, id_col: str, vec_col: str
+) -> int:
+    """``nlist=None`` (the default across the IVF family) derives
+    ``ivf_auto_nlist(count)``; an explicit integer passes through. The
+    count is memoized per (session, canonical plan) so every consumer of
+    the same corpus derives the same value and shares one index build."""
+    if nlist is not None:
+        return nlist
+    try:
+        key = (corpus.sparkSession, corpus.select(id_col, vec_col).semanticHash())
+    except Exception:
+        return ivf_auto_nlist(corpus.count())
+    if key not in _CORPUS_COUNT_CACHE:
+        if len(_CORPUS_COUNT_CACHE) > 64:
+            _CORPUS_COUNT_CACHE.clear()
+        _CORPUS_COUNT_CACHE[key] = corpus.count()
+    return ivf_auto_nlist(_CORPUS_COUNT_CACHE[key])
 
 
 def ivf_centroids(
     corpus: DataFrame,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -375,6 +429,7 @@ def ivf_centroids(
     would shuffle the corpus 3 extra times for a quantizer a sample trains
     equally well.
     """
+    nlist = _resolve_nlist(corpus, nlist, id_col, vec_col)
     rows = (
         corpus.select(
             F.col(id_col).alias("vid"),
@@ -480,7 +535,7 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def ivf_build(
     corpus: DataFrame,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -495,6 +550,7 @@ def ivf_build(
     (e.g. parquet partitioned by centroid_id) and probe many times; here
     they're lineage-cut in memory.
     """
+    nlist = _resolve_nlist(corpus, nlist, id_col, vec_col)
     corpus = spread(corpus)
     centroids = ivf_centroids(corpus, nlist, iters, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
@@ -506,7 +562,7 @@ def ivf_build(
 
 def ivf_build_cached(
     corpus: DataFrame,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -522,6 +578,7 @@ def ivf_build_cached(
     degrades to a rebuild, never a failure)."""
     from ..functions.dfcache import memo, persist_df
 
+    nlist = _resolve_nlist(corpus, nlist, id_col, vec_col)
     norm = corpus.select(id_col, vec_col)
 
     def build() -> tuple[DataFrame, DataFrame]:
@@ -618,7 +675,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     iters: int = 3,
     id_col: str = "vec_id",
@@ -715,7 +772,7 @@ SEMANTIC_THRESHOLD = 0.35
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_THRESHOLD,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1078,7 +1135,7 @@ def ivf_pq_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -1260,7 +1317,7 @@ def ivf_pq_residual_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -1346,7 +1403,7 @@ def hard_negatives(
     candidate_pad: int = 5,
     query_mod: int = 50,
     near_threshold: float = 0.35,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,
@@ -1777,7 +1834,7 @@ def ivf_pq_residual_adc_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -1826,7 +1883,7 @@ def ivf_pq_adc_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -1931,7 +1988,7 @@ def ivf_pq_refine_recall(
     query_mod: int = 50,
     k: int = 5,
     refine: int = 4,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -1994,7 +2051,7 @@ def ann_recall_sweep(
     nprobes: tuple[int, ...] = (2, 4, 8),
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
 ) -> DataFrame:
@@ -2023,6 +2080,7 @@ def ann_recall_sweep(
     from ..functions.dfcache import persist_df
 
     np_max = max(nprobes)
+    nlist = _resolve_nlist(embeddings, nlist, "vec_id", "embedding")
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     books, codes = pq_residual_codes_cached(
@@ -2080,7 +2138,7 @@ def ann_refine_sweep(
     refines: tuple[int, ...] = (1, 2, 4, 8),
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     ksub: int = 256,
@@ -2181,7 +2239,7 @@ def rag_retrieve(
     embeddings: DataFrame,
     query_vectors: DataFrame,
     k: int = 3,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """End-to-end retrieval (the RAG read path): IVF-probe the embedding
@@ -2259,7 +2317,7 @@ def ivf_sq8_recall(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """Probe quality of the COMPRESSED inverted file — the faiss

@@ -1160,6 +1160,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 
 
+def _oracle_auto_nlist(sf_dir: str) -> int:
+    """The oracle-side twin of ``similarity._resolve_nlist``: derive the
+    corpus-proportional nlist from the parquet row count, so trained
+    centroid literals and scan_frac constants replay the index the
+    cluster actually built at THIS sf (at the gate sf the formula floors
+    to IVF_NLIST — bit-identical to the pre-r11 fixed constant)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    return similarity.ivf_auto_nlist(int(n))
+
+
 def _ivf_centroid_values(sf_dir: str) -> str | None:
     """Train the IVF coarse quantizer for ``sf_dir`` and render the
     centroids as a SQL VALUES body (None for an empty corpus).
@@ -1188,7 +1206,7 @@ def _ivf_centroid_values(sf_dir: str) -> str | None:
     if not rows:
         return None
     V = np.array([r[0] for r in rows], dtype=np.float64)
-    ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
+    ids, C = similarity._lloyd(V, _oracle_auto_nlist(sf_dir), iters=3)
     return ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(
             int(i), ", ".join(repr(float(x)) for x in c)
@@ -1853,7 +1871,7 @@ def _pq_residual_book_values(sf_dir: str, ksub: int | None = None) -> str | None
     if not rows:
         return None
     V = np.array([r[0] for r in rows], dtype=np.float64)
-    _ids, C = similarity._lloyd(V, similarity.IVF_NLIST, iters=3)
+    _ids, C = similarity._lloyd(V, _oracle_auto_nlist(sf_dir), iters=3)
     cos = similarity._seq_dot(V, C) / np.outer(
         similarity._seq_norms(V), similarity._seq_norms(C)
     )
@@ -2356,9 +2374,11 @@ def q_ann_pq_refine_ksub_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 bytes/vector — still 32× smaller than the float64 vector) and
     `scan_frac` (nprobe/nlist — the fraction of buckets the code scan
     touches; the exact pass touches only k·refine rows per query)."""
-    nl, np_ = similarity.IVF_NLIST, similarity.IVF_NPROBE
+    emb = load_table(spark, sf_dir, "embeddings")
+    nl = similarity._resolve_nlist(emb, None, "vec_id", "embedding")
+    np_ = similarity.IVF_NPROBE
     return similarity.ivf_pq_refine_recall(
-        load_table(spark, sf_dir, "embeddings"), ksub=PQ_KSUB_WIDE
+        emb, ksub=PQ_KSUB_WIDE
     ).select(
         F.lit(PQ_KSUB_WIDE).cast("long").alias("ksub"),
         F.lit(_code_bytes(PQ_KSUB_WIDE)).cast("long").alias("code_bytes"),
@@ -2368,7 +2388,7 @@ def q_ann_pq_refine_ksub_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_refine_ksub_oracle_sql(sf_dir: str) -> str:
-    nl, np_ = similarity.IVF_NLIST, similarity.IVF_NPROBE
+    nl, np_ = _oracle_auto_nlist(sf_dir), similarity.IVF_NPROBE
     inner = _pq_refine_oracle_sql(sf_dir, ksub=PQ_KSUB_WIDE)
     return (
         f"SELECT {PQ_KSUB_WIDE}::BIGINT AS ksub, "
@@ -2465,8 +2485,9 @@ def _ann_recall_sweep_oracle_sql(sf_dir: str) -> str:
 ov_{np_} AS (SELECT count(*)::BIGINT AS n_overlap FROM topf_{np_} JOIN topa_{np_} USING (query_id, neighbor_id))"""
         for np_ in nprobes
     )
+    _nl = _oracle_auto_nlist(sf_dir)
     selects = "\nUNION ALL\n".join(
-        f"""SELECT {np_}::BIGINT AS nprobe, {round(np_ / similarity.IVF_NLIST, 6)!r}::DOUBLE AS scan_frac,
+        f"""SELECT {np_}::BIGINT AS nprobe, {round(np_ / _nl, 6)!r}::DOUBLE AS scan_frac,
        n_queries, 5::BIGINT AS k, n_float, n_overlap,
        round(n_overlap / n_float, 6) AS recall
 FROM base_{np_} CROSS JOIN ov_{np_}"""
