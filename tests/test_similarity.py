@@ -488,3 +488,24 @@ def test_pq_code_bytes_rounds_up(monkeypatch):
     monkeypatch.setattr(similarity, "PQ_M", 3)
     assert q._code_bytes(16) == 2   # 12 bits -> 2 bytes, not 1
     assert q._code_bytes(2) == 1    # 3 bits -> 1 byte, not 0
+
+
+def test_ivf_auto_nlist_formula():
+    """Gate/test corpora floor to IVF_NLIST (pre-r11 behavior there is
+    bit-identical); big corpora follow the pow2-of-sqrt faiss rule."""
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.similarity import (
+        IVF_NLIST,
+        IVF_NLIST_CAP,
+        ivf_auto_nlist,
+    )
+
+    assert ivf_auto_nlist(0) == IVF_NLIST
+    assert ivf_auto_nlist(20) == IVF_NLIST
+    assert ivf_auto_nlist(200) == IVF_NLIST      # driver gate sf0.01
+    assert ivf_auto_nlist(2_000) == 32           # bench sf0.1
+    assert ivf_auto_nlist(20_000) == 128         # sf1
+    assert ivf_auto_nlist(200_000) == 256        # sf10
+    assert ivf_auto_nlist(10**12) == IVF_NLIST_CAP  # capped
+    # monotone non-decreasing over six decades
+    vals = [ivf_auto_nlist(10**k) for k in range(1, 13)]
+    assert vals == sorted(vals)
