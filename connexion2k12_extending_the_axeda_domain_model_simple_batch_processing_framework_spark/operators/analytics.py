@@ -1955,7 +1955,15 @@ def shipping_delay_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         d.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum("dd") / F.count(F.lit(1)), 6).alias("mean_delay_days"),
+            # exact-integer ratio => midpoint-exposed; round 6 via the
+            # integer div-trick (sum(dd) >= 0, so HALF_UP == half-away)
+            (
+                F.expr(
+                    "(2 * cast(sum(dd) as decimal(38,0)) * 1000000"
+                    " + count(1)) div (2 * count(1))"
+                ).cast("double")
+                / 1e6
+            ).alias("mean_delay_days"),
             F.expr(pct.format(p=0.5)).alias("p50_delay_days"),
             F.expr(pct.format(p=0.9)).alias("p90_delay_days"),
             F.expr(pct.format(p=0.99)).alias("p99_delay_days"),
@@ -1982,8 +1990,14 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
 
     Determinism: offsets are exact integer month arithmetic; revenue
     stays DECIMAL through the cumulative sum (associative, so the
-    partitioned window equals any evaluation order); ONE double division
-    per output row, rounded at 4.
+    partitioned window equals any evaluation order). ``ltv_per_customer``
+    rounds at 4 decimals IN INTEGER ARITHMETIC (the events_changepoint
+    div-trick): cum_cents/n is a small-denominator rational that DOES
+    land on exact 4th-decimal midpoints (measured at sf0.01: 4/1845 rows,
+    e.g. 972341.96625), where Spark's HALF_UP BigDecimal round and
+    DuckDB's C-double round disagree by 1 ulp of the 4th decimal; the
+    positive-domain q = (2·cents·100 + n) div (2·n) then q/10⁴ is
+    engine-exact (2·cents·100 ≤ 10²⁰ at 100 TB — far inside 38 digits).
     """
     w = Window.partitionBy("o_custkey")
     mx = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
@@ -2014,9 +2028,12 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
             F.col("month_offset").cast("long").alias("month_offset"),
             "n_customers",
             F.col("cum_rev").cast("double").alias("cum_revenue"),
-            F.round(
-                F.col("cum_rev").cast("double") / F.col("n_customers").cast("double"),
-                4,
+            (
+                F.expr(
+                    "(2 * cast(cum_rev * 100 as decimal(38,0)) * 100"
+                    " + n_customers) div (2 * n_customers)"
+                ).cast("double")
+                / 10000.0
             ).alias("ltv_per_customer"),
         )
         .orderBy("cohort_year", "cohort_month", "month_offset")
@@ -2071,7 +2088,19 @@ def supplier_return_rates(
             "s_name",
             "n_items",
             "n_returned",
-            F.round(p, 6).alias("return_rate"),
+            # exact-integer ratio => midpoint-exposed; integer div-round
+            (
+                F.expr(
+                    "(2 * cast(n_returned as decimal(38,0)) * 1000000"
+                    " + n_items) div (2 * n_items)"
+                ).cast("double")
+                / 1e6
+            ).alias("return_rate"),
+            # round-ok: wilson_lb passes through a correctly-rounded sqrt
+            # of a non-square rational (z^2 = 1.96^2 is not exactly
+            # representable), so the quotient is never an exact decimal
+            # midpoint; residual risk is the ~1-ulp neighborhood of a
+            # midpoint, measure ~1e-12 per row
             F.round(wilson_lb, 6).alias("wilson_lb"),
         )
         .orderBy(F.col("wilson_lb").desc(), F.col("s_suppkey").asc())
@@ -2890,8 +2919,16 @@ def benford_audit(orders: DataFrame, col: str = "o_totalprice") -> DataFrame:
     import math
 
     cents = (F.col(col).cast(D) * 100).cast("long")
-    digits = orders.filter(F.col(col) > 0).select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    # filter on cents, not the raw column: a positive value below 0.005
+    # rounds to 0 cents and would otherwise emit a spurious digit-0 row
+    digits = (
+        orders.select(cents.alias("__cents"))
+        .filter(F.col("__cents") >= 1)
+        .select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
     )
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_values")
@@ -2904,16 +2941,44 @@ def benford_audit(orders: DataFrame, col: str = "o_totalprice") -> DataFrame:
             for x in (F.lit(d), F.lit(round(math.log10(1 + 1 / d), 6)))
         ]
     )
-    obs = F.col("n_values").cast("double") / F.col("__tot").cast("double")
+    # integer micro-share twin of the literal map: e6/10^6 == literal
+    expected6 = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (
+                F.lit(d),
+                F.lit(int(round(math.log10(1 + 1 / d), 6) * 1_000_000)),
+            )
+        ]
+    )
     exp = expected[F.col("digit")]
+    # both shares are exact-integer rationals => midpoint-exposed;
+    # round 6 in integer arithmetic. For abs_dev the 10^6 scale factors
+    # cancel: round(|n·10^6 − e6·tot| / (tot·10^6), 6)
+    #       = (2·|n·10^6 − e6·tot| + tot) div (2·tot) micro-units.
     return (
         counts.crossJoin(F.broadcast(total))
+        .withColumn("__e6", expected6[F.col("digit")])
         .select(
             "digit",
             "n_values",
-            F.round(obs, 6).alias("observed_share"),
+            (
+                F.expr(
+                    "(2 * cast(n_values as decimal(38,0)) * 1000000"
+                    " + __tot) div (2 * __tot)"
+                ).cast("double")
+                / 1e6
+            ).alias("observed_share"),
             exp.alias("expected_share"),
-            F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+            (
+                F.expr(
+                    "(2 * abs(cast(n_values as decimal(38,0)) * 1000000"
+                    " - cast(__e6 as decimal(38,0)) * __tot) + __tot)"
+                    " div (2 * __tot)"
+                ).cast("double")
+                / 1e6
+            ).alias("abs_dev"),
         )
         .orderBy("digit")
     )
@@ -2956,13 +3021,27 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
         F.sum("cents").alias("__sx"),
         F.sum(F.col("rank") * F.col("cents")).alias("__six"),
     )
-    n = F.col("n_customers").cast("double")
-    sx = F.col("__sx").cast("double")
-    six = F.col("__six").cast("double")
+    # total_revenue: dollars = cents div 100 + (cents mod 100)/100 as an
+    # IDENTICAL double DAG in both engines (a float division of the raw
+    # HUGEINT, as DuckDB's / would do, diverges by an ulp past 2^53).
+    # gini: the numerator 2·Σi·xᵢ − (n+1)·Σx is a non-negative exact
+    # integer (ranks ascend over sorted revenues), the denominator n·Σx
+    # exact => midpoint-exposed rational; round 6 via the integer
+    # div-trick (4·10^29 at 100 TB stays far inside DECIMAL(38,0)).
     return s.select(
         "n_customers",
-        F.round((F.col("__sx") / 100).cast("double"), 2).alias("total_revenue"),
-        F.round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6).alias("gini"),
+        (
+            F.expr("cast(__sx div 100 as double)")
+            + F.expr("cast(__sx % 100 as double)") / 100.0
+        ).alias("total_revenue"),
+        (
+            F.expr(
+                "(2 * (2 * __six - (n_customers + 1) * __sx) * 1000000"
+                " + cast(n_customers as decimal(38,0)) * __sx)"
+                " div (2 * cast(n_customers as decimal(38,0)) * __sx)"
+            ).cast("double")
+            / 1e6
+        ).alias("gini"),
     )
 
 
@@ -3052,7 +3131,22 @@ def events_changepoint(events: DataFrame) -> DataFrame:
         F.col("nt").alias("n_days"),
         mean1.alias("before_mean_daily"),
         mean2.alias("after_mean_daily"),
-        F.round(F.col("score") / 10000.0, 4).alias("shift_score"),
+        # the displayed score is ALSO a rational of exact integers
+        # (d²/(n1·n2·nt·10⁴) in cents² units) => midpoint-exposed; round
+        # 4 in integer arithmetic like the means. The 10⁴ factors cancel:
+        # round(d²/(N·10⁴), 4) = (2·d² + N) div (2·N), N = n1·n2·nt.
+        # d² ≤ 10³⁴ at sf10 (cents·days ≤ 10¹⁷) stays inside
+        # DECIMAL(38,0); the argmax itself still ranks by the double
+        # score, an identical fixed DAG in both engines.
+        (
+            F.expr(
+                "(2 * (s1 * (nt - n1) - (st - s1) * n1)"
+                " * (s1 * (nt - n1) - (st - s1) * n1)"
+                " + cast(n1 as decimal(38,0)) * (nt - n1) * nt)"
+                " div (2 * cast(n1 as decimal(38,0)) * (nt - n1) * nt)"
+            ).cast("double")
+            / 10000.0
+        ).alias("shift_score"),
     ).orderBy("event_type")
 
 

@@ -350,8 +350,17 @@ IVF_TRAIN_CAP = 16384
 #: the quantizer to its seeds.
 IVF_NLIST_CAP = 4096
 
-#: (session, corpus semanticHash) → row count, so the auto-nlist probe
-#: costs one metadata-cheap count per corpus per session, not per call.
+#: (weakref(session), corpus semanticHash) → row count, so the
+#: auto-nlist probe costs one metadata-cheap count per corpus per
+#: session, not per call. STALENESS CONTRACT: a corpus that grows
+#: in-session under the SAME canonical plan (e.g. re-read of an appended
+#: parquet path) keeps its first-seen count — and therefore its
+#: first-derived nlist — until the session restarts or the cache turns
+#: over (>64 entries clears it). That is deliberate: a stable nlist
+#: keeps every consumer of the corpus sharing one trained index; pass an
+#: explicit ``nlist=`` to the IVF entry points to override. The session
+#: key is a weakref, so a stopped/collected SparkSession is not pinned
+#: alive by the cache.
 _CORPUS_COUNT_CACHE: dict = {}
 
 
@@ -367,9 +376,12 @@ def ivf_auto_nlist(n_vectors: int) -> int:
     faiss sizing rule) makes the same probe nprobe·√n — subquadratic —
     while the sample-trained Lloyd stays driver-cheap. Powers of two keep
     the derived value stable under small count drift, and the IVF_NLIST
-    floor means every corpus below ~65k vectors (the driver gate and the
-    unit-test fixtures) trains the EXACT index it always did, so trained
-    oracle literals and pinned recalls are unchanged there.
+    floor means every corpus below 4·IVF_NLIST² = 1024 vectors — which
+    covers the driver-gate and unit-test corpora (a few hundred vectors)
+    — trains the EXACT index it always did, so trained oracle literals
+    and pinned recalls are unchanged there; between ~1k and 65k vectors
+    the auto nlist exceeds the old fixed 16 (e.g. n=2000 → 32) and the
+    trained index legitimately differs from pre-r11.
     """
     import math
 
@@ -387,11 +399,17 @@ def _resolve_nlist(
     """``nlist=None`` (the default across the IVF family) derives
     ``ivf_auto_nlist(count)``; an explicit integer passes through. The
     count is memoized per (session, canonical plan) so every consumer of
-    the same corpus derives the same value and shares one index build."""
+    the same corpus derives the same value and shares one index build —
+    see the ``_CORPUS_COUNT_CACHE`` staleness contract above."""
     if nlist is not None:
         return nlist
+    import weakref
+
     try:
-        key = (corpus.sparkSession, corpus.select(id_col, vec_col).semanticHash())
+        key = (
+            weakref.ref(corpus.sparkSession),
+            corpus.select(id_col, vec_col).semanticHash(),
+        )
     except Exception:
         return ivf_auto_nlist(corpus.count())
     if key not in _CORPUS_COUNT_CACHE:

@@ -6954,7 +6954,8 @@ WITH d AS (
 )
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_items,
-       round(sum(dd)::DOUBLE / count(*), 6) AS mean_delay_days,
+       ((2 * sum(dd)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS mean_delay_days,
        quantile_disc(dd, 0.5)::DOUBLE AS p50_delay_days,
        quantile_disc(dd, 0.9)::DOUBLE AS p90_delay_days,
        quantile_disc(dd, 0.99)::DOUBLE AS p99_delay_days
@@ -7001,7 +7002,8 @@ SELECT (run.cohort_mx // 12)::BIGINT AS cohort_year,
        run.month_offset::BIGINT AS month_offset,
        sizes.n_customers,
        run.cum_rev::DOUBLE AS cum_revenue,
-       round(run.cum_rev::DOUBLE / sizes.n_customers::DOUBLE, 4) AS ltv_per_customer
+       ((2 * (run.cum_rev * 100)::HUGEINT * 100 + sizes.n_customers)
+        // (2 * sizes.n_customers))::DOUBLE / 10000.0 AS ltv_per_customer
 FROM run JOIN sizes USING (cohort_mx)
 ORDER BY 1, 2, 3
 """
@@ -7037,7 +7039,8 @@ w AS (
   FROM f
 )
 SELECT w.l_suppkey AS s_suppkey, s.s_name, w.n_items, w.n_returned,
-       round(p, 6) AS return_rate,
+       ((2 * w.n_returned::HUGEINT * 1000000 + w.n_items)
+        // (2 * w.n_items::HUGEINT))::DOUBLE / 1000000.0 AS return_rate,
        round(((p + {_Z2} / (2.0 * n))
               - 1.96 * sqrt((p * (1.0 - p) + {_Z2} / (4.0 * n)) / n))
              / (1.0 + {_Z2} / n), 6) AS wilson_lb
@@ -7975,26 +7978,28 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BENFORD_AUDIT = """
 WITH d AS (
-  SELECT substring(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::VARCHAR,
-                   1, 1)::INT AS digit
-  FROM orders WHERE o_totalprice > 0
+  SELECT substring(cents::VARCHAR, 1, 1)::INT AS digit
+  FROM (SELECT (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+        FROM orders) WHERE cents >= 1
 ),
 c AS (SELECT digit, count(*)::BIGINT AS n_values FROM d GROUP BY 1),
-t AS (SELECT sum(n_values)::BIGINT AS tot FROM c)
+t AS (SELECT sum(n_values)::BIGINT AS tot FROM c),
+e AS (
+  SELECT c.digit, c.n_values, t.tot,
+         CASE c.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      WHEN 9 THEN 45757 END::HUGEINT AS e6
+  FROM c CROSS JOIN t
+)
 SELECT digit, n_values,
-       round(n_values::DOUBLE / tot::DOUBLE, 6) AS observed_share,
-       CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
-                  WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
-                  WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
-                  WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
-                  WHEN 9 THEN 0.045757 END AS expected_share,
-       round(abs(n_values::DOUBLE / tot::DOUBLE
-                 - CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
-                              WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
-                              WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
-                              WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
-                              WHEN 9 THEN 0.045757 END), 6) AS abs_dev
-FROM c CROSS JOIN t
+       ((2 * n_values::HUGEINT * 1000000 + tot)
+        // (2 * tot::HUGEINT))::DOUBLE / 1000000.0 AS observed_share,
+       (e6::DOUBLE / 1000000.0) AS expected_share,
+       ((2 * abs(n_values::HUGEINT * 1000000 - e6 * tot) + tot)
+        // (2 * tot::HUGEINT))::DOUBLE / 1000000.0 AS abs_dev
+FROM e
 ORDER BY digit
 """
 
@@ -8027,10 +8032,10 @@ s AS (
   FROM ranked
 )
 SELECT n_customers,
-       round((sx / 100)::DOUBLE, 2) AS total_revenue,
-       round((2.0 * six::DOUBLE
-              - (n_customers::DOUBLE + 1.0) * sx::DOUBLE)
-             / (n_customers::DOUBLE * sx::DOUBLE), 6) AS gini
+       ((sx // 100)::DOUBLE + (sx % 100)::DOUBLE / 100.0) AS total_revenue,
+       ((2 * (2 * six - (n_customers::HUGEINT + 1) * sx) * 1000000
+         + n_customers::HUGEINT * sx)
+        // (2 * n_customers::HUGEINT * sx))::DOUBLE / 1000000.0 AS gini
 FROM s
 """
 
@@ -8084,7 +8089,11 @@ SELECT event_type, split_day, nt AS n_days,
        ((2 * (st - s1) * 100 + (nt - n1)::HUGEINT)
         // (2 * (nt - n1)::HUGEINT))::DOUBLE / 10000.0
          AS after_mean_daily,
-       round(score / 10000.0, 4) AS shift_score
+       ((2 * (s1 * (nt - n1)::HUGEINT - (st - s1) * n1::HUGEINT)
+           * (s1 * (nt - n1)::HUGEINT - (st - s1) * n1::HUGEINT)
+         + n1::HUGEINT * (nt - n1) * nt)
+        // (2 * n1::HUGEINT * (nt - n1) * nt))::DOUBLE / 10000.0
+         AS shift_score
 FROM best WHERE r = 1
 ORDER BY event_type
 """

@@ -102,6 +102,13 @@ def _ewma_group(
             buckets = {
                 d: c for d, c in buckets.items() if anchor - d <= EWMA_HORIZON_DAYS
             }
+    if not buckets:
+        # brand-new key whose first batch(es) carried only NULL
+        # event_time rows: no day bucket exists, so there is nothing to
+        # report — mirror the batch twin (which omits the type) instead
+        # of dividing by an empty weight mass; keep the fold count.
+        state.update(([], [], int(n_folded)))
+        return
     state.update(
         (list(buckets.keys()), list(buckets.values()), int(n_folded))
     )

@@ -127,3 +127,22 @@ def test_ewma_stream_late_event_inside_horizon_merges(spark, tmp_path):
     want = _batch_want(spark, b1 + b2)
     assert got == want
     assert got["click"][1] == 2
+
+
+def test_ewma_null_only_first_batch_does_not_crash(spark, tmp_path):
+    """A brand-new key whose FIRST micro-batch contains only NULL
+    event_time rows must not crash the query (r11 ADVICE: empty buckets
+    => ZeroDivisionError); the type stays silent until a real day
+    arrives, then reports as if the NULL rows never existed — matching
+    the batch twin, which drops NULL-ts rows at the daily grid."""
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "event_type": "ghost", "event_time": None, "value": 5.0},
+        {"event_id": 2, "event_type": "ghost", "event_time": None, "value": 7.0},
+    ]
+    b2 = [_ev(3, "ghost", 4, 10, 12.5)]
+    _write(src / "b1.json", b1)
+    _write(src / "b2.json", b2)
+    got = _run(spark, src, tmp_path, "ewma_nullfirst")
+    assert got == {"ghost": ("2026-01-04", 1, 12.5)}
