@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.checkpoint import cut_lineage
 from ..functions.prefixsum import ordered_cummax_excl, ordered_cumsum
+from ..functions.rounding import iround_ratio, iround_ratio_signed
 
 D = "decimal(18,2)"
 
@@ -37,8 +38,10 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
             F.sum(disc_price).alias("sum_disc_price"),
             F.sum(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
-            F.round(
-                (F.sum(qty) / F.count(F.lit(1))).cast("double"), 4
+            # exact decimal/int ratio => midpoint-exposed; integer round
+            # (cents-scale the numerator AND denominator: S/n = 100S/100n)
+            iround_ratio(
+                F.sum(qty) * F.lit(100), F.count(F.lit(1)) * F.lit(100), 4
             ).alias("avg_qty"),
         )
     )
@@ -204,7 +207,10 @@ def events_props_metric(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            # avg(k) = sum(k)/count(k) (NULL-skipping) is an exact-int
+            # ratio => midpoint-exposed; signed integer round (JSON
+            # metric is not guaranteed non-negative)
+            iround_ratio_signed(F.sum("k"), F.count("k"), 6).alias("avg_k"),
         )
     )
 
@@ -296,7 +302,12 @@ def events_moving_avg(events: DataFrame, window_rows: int = 3) -> DataFrame:
         "user_id",
         "ts",
         F.col("value").cast("double").alias("value"),
-        F.round(F.avg(F.col("value").cast("double")).over(w), 6).alias("moving_avg"),
+        # windowed mean of exact cents => midpoint-exposed; integer round
+        iround_ratio(
+            F.sum((F.col("value").cast(D) * 100).cast("decimal(38,0)")).over(w),
+            F.count(F.col("value")).over(w) * F.lit(100),
+            6,
+        ).alias("moving_avg"),
     )
 
 
@@ -310,6 +321,8 @@ def value_histogram(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
         events.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # round-ok: min/max of a 2-decimal money column — no 7th
+            # decimal digit exists for round(.., 6) to split on
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
         )
@@ -352,7 +365,12 @@ def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFr
             "event_id",
             "user_id",
             "value",
-            F.round(mean, 6).alias("user_mean"),
+            # exact cents/int ratio => midpoint-exposed; integer round
+            iround_ratio(
+                F.col("__s") * F.lit(100), F.col("__n") * F.lit(100), 6
+            ).alias("user_mean"),
+            # round-ok: zscore passes through a correctly-rounded sqrt
+            # of a non-square rational — never an exact decimal midpoint
             F.round(z, 6).alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) > z_threshold)
@@ -473,6 +491,10 @@ def table_profile_scaled(
     est = F.when(
         F.col("__k_actual") < k, F.col("__k_actual").cast("double")
     ).otherwise(
+        # round-ok: KMV estimator — the denominator is a ~2^63 pseudo-random
+        # hash, so the quotient's distance to any 5th-decimal midpoint is
+        # uniform at ~2^-63 granularity (P[ulp-coincidence] ~ 1e-12); both
+        # engines evaluate the identical double DAG
         F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth"), 4)
     )
     return base.join(topk, "column", "left").select(
@@ -802,8 +824,9 @@ def q8_market_share(
     return (
         li.groupBy("o_year")
         .agg(
-            F.round(
-                (nation_vol.cast("double") / F.sum("vol").cast("double")), 6
+            # decimal scale-4 ratio => midpoint-exposed; integer round
+            iround_ratio(
+                nation_vol * F.lit(10_000), F.sum("vol") * F.lit(10_000), 6
             ).alias("mkt_share"),
             F.sum("vol").cast("double").alias("total_vol"),
         )
@@ -904,8 +927,11 @@ def q14_promo_revenue(
         .join(part.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0 * F.sum(promo).cast("double") / F.sum(total).cast("double"), 6
+            # 100*(scale-4 ratio) => midpoint-exposed; integer round
+            iround_ratio(
+                F.sum(promo) * F.lit(1_000_000),
+                F.sum(total) * F.lit(10_000),
+                6,
             ).alias("promo_revenue_pct"),
             F.sum(total).cast("double").alias("total_revenue"),
         )
@@ -1008,6 +1034,8 @@ def q17_small_quantity_revenue(
         < F.col("qty_sum")
     )
     return small.agg(
+        # round-ok: cents/7 can never be a half-integer (2·cents ≡ 7·odd
+        # is unsolvable mod 2), so Σprice/7 has no 3rd-decimal midpoint
         F.round(
             F.sum(F.col("l_extendedprice").cast(D)).cast("double") / 7.0, 2
         ).alias("avg_yearly"),
@@ -1260,11 +1288,27 @@ def key_skew_report(
     ).select(
         "n_rows",
         "n_keys",
-        F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_rows_per_key"),
+        # exact-integer rationals => midpoint-exposed; integer div-round
+        (
+            F.expr(
+                "(2 * cast(n_rows as decimal(38,0)) * 1000000 + n_keys)"
+                " div (2 * n_keys)"
+            ).cast("double")
+            / 1e6
+        ).alias("mean_rows_per_key"),
         "max_key_rows",
-        F.round(
-            F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6
+        (
+            F.expr(
+                "(2 * cast(max_key_rows as decimal(38,0)) * n_keys"
+                " * 1000000 + n_rows) div (2 * n_rows)"
+            ).cast("double")
+            / 1e6
         ).alias("skew_factor"),
+        # round-ok: both percentile paths yield values whose exact form
+        # terminates well before the 5th decimal — approx_percentile is
+        # value-at-rank (an integer count), and interpolated percentile
+        # is (1-g)a + g·b with g a 1-2-decimal rank fraction — so no
+        # 5th-decimal midpoint exists for round(.., 4) to split on
         F.round(F.col("__p")[0], 4).alias("p50"),
         F.round(F.col("__p")[1], 4).alias("p90"),
         F.round(F.col("__p")[2], 4).alias("p99"),
@@ -1326,9 +1370,10 @@ def mad_anomalies(events: DataFrame, k: float = MAD_K) -> DataFrame:
             "med_value",
             "mad_value",
             "n_outliers",
-            F.round(
-                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
-            ).alias("outlier_frac"),
+            # exact-int ratio => midpoint-exposed; integer round
+            iround_ratio(F.col("n_outliers"), F.col("n"), 6).alias(
+                "outlier_frac"
+            ),
         )
     )
 
@@ -1397,9 +1442,9 @@ def abc_pareto(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.sum("revenue").cast("double").alias("class_revenue"),
-            F.round(
-                F.sum("revenue").cast("double") / F.min("total").cast("double"),
-                6,
+            # exact cents ratio => midpoint-exposed; integer round
+            iround_ratio(
+                F.sum("revenue") * F.lit(100), F.min("total") * F.lit(100), 6
             ).alias("revenue_share"),
         )
         .orderBy("abc_class")
@@ -1463,10 +1508,13 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     )
     return seg.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
+        # round-ok: sum_monetary is an exact scale-2 decimal cast to
+        # double — it has no 5th decimal digit for round(.., 4) to split
         F.round(F.sum("mon").cast("double"), 4).alias("sum_monetary"),
-        F.round(
-            F.sum("rec").cast("double") / F.count(F.lit(1)).cast("double"), 4
-        ).alias("mean_recency_days"),
+        # exact-int ratio => midpoint-exposed; integer round
+        iround_ratio(F.sum("rec"), F.count(F.lit(1)), 4).alias(
+            "mean_recency_days"
+        ),
     )
 
 
@@ -1508,20 +1556,33 @@ def supplier_concentration(
             "s_nationkey",
         )
     )
+    # integer 10^-4-dollar units: the share ratios are scale-invariant
+    # (the 10^8 factors cancel in sum_sq/tot^2), and integer operands let
+    # both ratios round at 6 via the engine-exact div-trick instead of a
+    # midpoint-exposed double round. Exact regime: per-nation revenue
+    # below ~$10^12 keeps 2*sum_sq*10^6 inside DECIMAL(38,0)/HUGEINT;
+    # beyond that the column comes back NULL rather than wrong (the
+    # user_value_correlation range-assumption contract).
+    rev4 = F.expr("cast(rev * 10000 as decimal(38,0))")
     agg = rev.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.sum("rev").alias("tot"),
-        F.sum(F.col("rev") * F.col("rev")).alias("sum_sq"),
-        F.max("rev").alias("top"),
+        F.sum(rev4).alias("tot"),
+        F.sum(rev4 * rev4).alias("sum_sq"),
+        F.max(rev4).alias("top"),
     )
-    tot_d = F.col("tot").cast("double")
     return agg.select(
         "n_name",
         "n_suppliers",
-        F.round(F.col("sum_sq").cast("double") / (tot_d * tot_d), 6).alias(
-            "hhi"
-        ),
-        F.round(F.col("top").cast("double") / tot_d, 6).alias("top_share"),
+        (
+            F.expr(
+                "(2 * sum_sq * 1000000 + tot * tot) div (2 * tot * tot)"
+            ).cast("double")
+            / 1e6
+        ).alias("hhi"),
+        (
+            F.expr("(2 * top * 1000000 + tot) div (2 * tot)").cast("double")
+            / 1e6
+        ).alias("top_share"),
     )
 
 
@@ -1567,8 +1628,24 @@ def user_value_correlation(events: DataFrame) -> DataFrame:
     vy = n * F.col("syy").cast("double") - sy * sy
     return stats.select(
         "n",
-        F.round(sx / n, 6).alias("mean_events"),
-        F.round(sy / n, 6).alias("mean_value"),
+        # exact-integer rationals => midpoint-exposed; integer div-round
+        # (for mean_value the cents scale cancels one 10^2 of the 10^6)
+        (
+            F.expr(
+                "(2 * cast(sx as decimal(38,0)) * 1000000 + n) div (2 * n)"
+            ).cast("double")
+            / 1e6
+        ).alias("mean_events"),
+        (
+            F.expr(
+                "(2 * cast(sy * 100 as decimal(38,0)) * 10000 + n)"
+                " div (2 * n)"
+            ).cast("double")
+            / 1e6
+        ).alias("mean_value"),
+        # round-ok: corr passes through a correctly-rounded sqrt of a
+        # non-square integer, so the quotient is never an exact decimal
+        # midpoint; residual risk is the ~1-ulp midpoint neighborhood
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
     ).withColumnRenamed("n", "n_users")
 
@@ -1603,9 +1680,10 @@ def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
     )
     stats = gaps.agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.round(
-            F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("mean_gap_days"),
+        # exact-int ratio => midpoint-exposed; integer round
+        iround_ratio(F.sum("gap"), F.count(F.lit(1)), 6).alias(
+            "mean_gap_days"
+        ),
         F.expr(
             "cast(approx_percentile(cast(gap as double), 0.5, 1000000) as double)"
         ).alias("p50_gap_days"),
@@ -1677,12 +1755,13 @@ def customer_revenue_bands(orders: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("rev").cast("double").alias("band_revenue"),
-            F.round(
-                F.sum("rev").cast("double") / F.min("rev_total").cast("double"),
-                6,
+            # exact cents ratios => midpoint-exposed; integer round
+            iround_ratio(
+                F.sum("rev") * F.lit(100), F.min("rev_total") * F.lit(100), 6
             ).alias("revenue_share"),
-            F.round(
-                F.max("cum_rev").cast("double") / F.min("rev_total").cast("double"),
+            iround_ratio(
+                F.max("cum_rev") * F.lit(100),
+                F.min("rev_total") * F.lit(100),
                 6,
             ).alias("cum_share"),
         )
@@ -1763,10 +1842,10 @@ def basket_affinity(lineitem: DataFrame, top_k: int = BASKET_TOP_K) -> DataFrame
             "support",
             "n_orders_a",
             "n_orders_b",
-            F.round(
-                F.col("support").cast("double")
-                * F.col("n_orders").cast("double")
-                / (F.col("n_orders_a") * F.col("n_orders_b")).cast("double"),
+            # exact-int ratio => midpoint-exposed; integer round
+            iround_ratio(
+                F.col("support") * F.col("n_orders"),
+                F.col("n_orders_a") * F.col("n_orders_b"),
                 6,
             ).alias("lift"),
         )
@@ -1805,9 +1884,11 @@ def orders_seasonality(orders: DataFrame) -> DataFrame:
             F.col("o_month").cast("long").alias("o_month"),
             "n_orders",
             F.col("rev").cast("double").alias("revenue"),
-            F.round(
-                (F.col("rev") - F.col("prev_rev")).cast("double")
-                / F.col("prev_rev").cast("double"),
+            # signed exact cents ratio => midpoint-exposed; integer
+            # round half-away-from-zero (both engines' convention)
+            iround_ratio_signed(
+                (F.col("rev") - F.col("prev_rev")) * F.lit(100),
+                F.col("prev_rev") * F.lit(100),
                 6,
             ).alias("yoy_growth"),
         )
@@ -1851,9 +1932,10 @@ def brand_leaders(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "n_brands",
             F.col("type_rev").cast("double").alias("type_revenue"),
             F.col("__top.p_brand").alias("top_brand"),
-            F.round(
-                F.col("__top.brand_rev").cast("double")
-                / F.col("type_rev").cast("double"),
+            # exact cents ratio => midpoint-exposed; integer round
+            iround_ratio(
+                F.col("__top.brand_rev") * F.lit(100),
+                F.col("type_rev") * F.lit(100),
                 6,
             ).alias("top_brand_share"),
         )
@@ -1913,13 +1995,16 @@ def segment_revenue_trend(orders: DataFrame, customer: DataFrame) -> DataFrame:
         "c_mktsegment",
         "n_months",
         F.col("sy").cast("double").alias("total_revenue"),
-        F.round(slope, 6).alias("slope_per_month"),
-        # fitted level at the first month: ȳ − slope·x̄, one more
-        # deterministic double expression off the same exact sums
-        F.round(
-            F.col("sy").cast("double") / F.col("n_months").cast("double")
-            - slope
-            * (F.col("sx").cast("double") / F.col("n_months").cast("double")),
+        # slope and fitted level are signed exact rationals off the same
+        # integer/decimal sums (fit = ȳ − slope·x̄ =
+        # (sy·den − num·sx)/(n·den)) => midpoint-exposed; integer round
+        # half-away-from-zero, cents-scaled to integral operands
+        iround_ratio_signed(
+            num * F.lit(100), den * F.lit(100), 6
+        ).alias("slope_per_month"),
+        iround_ratio_signed(
+            (F.col("sy") * den - num * F.col("sx")) * F.lit(100),
+            F.col("n_months") * den * F.lit(100),
             6,
         ).alias("fit_at_first_month"),
     ).orderBy("c_mktsegment")
@@ -2202,12 +2287,23 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         F.sum(F.col("c") * mln(F.col("c"))).cast("long").alias("s_clnc"),
     )
     n = F.col("n_events")
-    num = (n * mln(n) - F.col("s_clnc")).cast("double")
-    return per_user.select(
+    # H >= 0 mathematically; the micro-nat quantization can push the
+    # integer numerator a hair below 0 only when per-user counts reach
+    # ~10^9 (error <= n micro-nats vs a margin of ~10^6·ln n), so clamp
+    # at 0 — identically in the oracle — and round 6 via the integer
+    # div-trick (the 10^6 scale factors cancel: (2·num + n) div (2·n))
+    num = F.greatest(n * mln(n) - F.col("s_clnc"), F.lit(0).cast("long"))
+    return per_user.withColumn("__num", num).select(
         "user_id",
         "n_events",
         "n_types",
-        F.round(num / (n.cast("double") * 1_000_000.0), 6).alias("entropy_nats"),
+        (
+            F.expr(
+                "(2 * cast(__num as decimal(38,0)) + n_events)"
+                " div (2 * n_events)"
+            ).cast("double")
+            / 1e6
+        ).alias("entropy_nats"),
     ).orderBy("user_id")
 
 
@@ -2329,9 +2425,10 @@ def equal_frequency_bins(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("__v").alias("min_value"),
             F.max("__v").alias("max_value"),
-            F.round(
-                F.sum("__vd").cast("double")
-                / F.count(F.lit(1)).cast("double"),
+            # exact cents/int ratio => midpoint-exposed; integer round
+            iround_ratio(
+                F.sum("__vd") * F.lit(100),
+                F.count(F.lit(1)) * F.lit(100),
                 6,
             ).alias("mean_value"),
         )
@@ -2387,6 +2484,9 @@ def column_correlation_matrix(
         cov = n * F.col(f"p{i}_{j}").cast("double") - si * sj
         vi = n * F.col(f"p{i}_{i}").cast("double") - si * si
         vj = n * F.col(f"p{j}_{j}").cast("double") - sj * sj
+        # round-ok: passes through a correctly-rounded sqrt of a non-square
+        # rational — never an exact decimal midpoint; residual risk is the
+        # ~1-ulp midpoint neighborhood
         return F.round(cov / F.sqrt(vi * vj), 6)
 
     pairs = F.array(
@@ -2501,6 +2601,9 @@ def category_association(
         # dof == 0 (a single distinct value on either side) makes the
         # statistic undefined (0/0 → NaN); disclose as NULL the way
         # value_psi discloses degenerate bins, never a silent NaN
+        # round-ok: passes through a correctly-rounded sqrt of a non-square
+        # rational — never an exact decimal midpoint; residual risk is the
+        # ~1-ulp midpoint neighborhood
         F.when(dof > 0, F.round(F.sqrt(chi2 / (n * dof)), 6)).alias(
             "cramers_v"
         ),
@@ -2539,7 +2642,13 @@ def value_lognormal_fit(
     )
     return s.select(
         "n",
-        F.round(mu_micro / 1_000_000.0, 6).alias("mu_nats"),
+        # mu is an exact-int ratio (micro-nat sum / n) => integer round
+        # (signed: a sub-$1 total would put its quantized log below 0)
+        iround_ratio_signed(
+            F.col("sx"), F.col("n") * F.lit(1_000_000), 6
+        ).alias("mu_nats"),
+        # round-ok: sigma passes through a correctly-rounded sqrt of a
+        # non-square rational — never an exact decimal midpoint
         F.round(F.sqrt(var_micro2) / 1_000_000.0, 6).alias("sigma_nats"),
     )
 
@@ -2769,13 +2878,10 @@ def dq_report(
     audit family). violation_rate is one rounded double division per
     bounded row, NULL on an empty relation.
     """
+    # exact-int ratio => midpoint-exposed; integer round
     rate = F.when(
         F.col("n_rows") > 0,
-        F.round(
-            F.col("n_violations").cast("double")
-            / F.col("n_rows").cast("double"),
-            6,
-        ),
+        iround_ratio(F.col("n_violations"), F.col("n_rows"), 6),
     )
 
     ref = referential_audit(lineitem, orders, customer, supplier, part)

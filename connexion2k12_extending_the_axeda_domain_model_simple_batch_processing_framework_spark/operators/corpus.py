@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import iround_ratio, iround_ratio_signed
 from ..functions.hashing import hex_hash64
 from ..functions.partitioning import spread
 from ..functions.prefixsum import bucket_prefix_offsets
@@ -87,6 +88,8 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
             "term",
             "tf",
             "df",
+            # round-ok: log-valued — transcendental arguments make exact decimal
+            # midpoints measure-zero; both engines fold the identical literal/DAG
             F.round(
                 F.col("tf")
                 * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
@@ -201,8 +204,9 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
         "doc_id",
         total.alias("n_grams"),
         distinct.alias("n_distinct"),
+        # exact-int ratio => midpoint-exposed; integer div-round
         F.when(
-            total > 0, F.round(1.0 - distinct / total, 6)
+            total > 0, iround_ratio(total - distinct, total, 6)
         ).otherwise(F.lit(0.0)).alias("rep_ratio"),
     )
 
@@ -226,7 +230,10 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     base = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
-        F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_doc_tokens"),
+        # exact-int mean => midpoint-exposed; integer div-round
+        iround_ratio(F.sum("n"), F.count(F.lit(1)), 6).alias(
+            "avg_doc_tokens"
+        ),
     )
     dist = (
         toked.select(F.explode("__toks").alias("t"))
@@ -256,7 +263,10 @@ def corpus_stats_scaled(documents: DataFrame) -> DataFrame:
     base = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
-        F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_doc_tokens"),
+        # exact-int mean => midpoint-exposed; integer div-round
+        iround_ratio(F.sum("n"), F.count(F.lit(1)), 6).alias(
+            "avg_doc_tokens"
+        ),
     )
     hs = (
         toked.select(F.explode("__toks").alias("t"))
@@ -280,6 +290,10 @@ def corpus_stats_scaled(documents: DataFrame) -> DataFrame:
     est = F.when(
         F.col("__k_actual") < k, F.col("__k_actual").cast("double")
     ).otherwise(
+        # round-ok: KMV estimator — the denominator is a ~2^63 pseudo-random
+        # hash, so the quotient's distance to any 5th-decimal midpoint is
+        # uniform at ~2^-63 granularity (P[ulp-coincidence] ~ 1e-12); both
+        # engines evaluate the identical double DAG
         F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth"), 4)
     )
     return base.crossJoin(F.broadcast(topk)).select(
@@ -332,7 +346,15 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
     per = joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        # quality is an exact 6-decimal rational (text.quality_score's
+        # integer round), so its mean is computed on exact micro-units —
+        # engine-exact AND addition-order independent (a double sum of
+        # the raw column would be neither)
+        iround_ratio(
+            F.sum(F.round(F.col("quality") * 1_000_000, 0).cast("long")),
+            F.count(F.lit(1)) * F.lit(1_000_000),
+            6,
+        ).alias("mean_quality"),
     )
     total = joined.agg(F.count(F.lit(1)).alias("_total"))
     return (
@@ -340,7 +362,10 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
+            # exact-int ratio => midpoint-exposed; integer div-round
+            iround_ratio(F.col("n_docs"), F.col("_total"), 6).alias(
+                "doc_share"
+            ),
             "total_tokens",
             "mean_quality",
         )
@@ -373,6 +398,8 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
     freq = ex.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").alias("total"))
+    # round-ok: log-valued — transcendental arguments make exact decimal
+    # midpoints measure-zero; both engines fold the identical literal/DAG
     lp_micro = F.round(
         F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
         * LP_SCALE,
@@ -390,8 +417,9 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     return base.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(
-            F.col("lp_sum") / (F.col("n_tokens") * F.lit(float(LP_SCALE))), 6
+        # signed exact-int ratio (micro-logprob sum) => integer round
+        iround_ratio_signed(
+            F.col("lp_sum"), F.col("n_tokens") * F.lit(LP_SCALE), 6
         ).alias("avg_logprob"),
     )
 
@@ -518,6 +546,8 @@ def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
     pa = (F.col("tf_a") + 1.0) / (F.col("tot_a") + F.col("v"))
     pb = (F.col("tf_b") + 1.0) / (F.col("tot_b") + F.col("v"))
     pico = 1_000_000_000_000
+    # round-ok: log-valued — transcendental arguments make exact decimal
+    # midpoints measure-zero; both engines fold the identical literal/DAG
     term_ab = F.round(pa * F.log(pa / pb) * pico, 0).cast("long")
     term_ba = F.round(pb * F.log(pb / pa) * pico, 0).cast("long")
     sums = (
@@ -534,9 +564,12 @@ def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
         F.col("n_vocab_a").cast("long").alias("n_vocab_a"),
         F.col("n_vocab_b").cast("long").alias("n_vocab_b"),
         F.col("n_vocab_union").cast("long").alias("n_vocab_union"),
-        F.round(F.col("s_ab") / float(pico), 6).alias("kl_ab"),
-        F.round(F.col("s_ba") / float(pico), 6).alias("kl_ba"),
-        F.round((F.col("s_ab") + F.col("s_ba")) / float(pico), 6).alias("kl_sym"),
+        # signed exact-int ratios (pico-nat sums) => integer round
+        iround_ratio_signed(F.col("s_ab"), F.lit(pico), 6).alias("kl_ab"),
+        iround_ratio_signed(F.col("s_ba"), F.lit(pico), 6).alias("kl_ba"),
+        iround_ratio_signed(
+            F.col("s_ab") + F.col("s_ba"), F.lit(pico), 6
+        ).alias("kl_sym"),
     )
 
 
@@ -814,8 +847,9 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(
-            F.col("lp_sum") / (F.col("n_tokens") * F.lit(float(LP_SCALE))), 6
+        # signed exact-int ratio (micro-logprob sum) => integer round
+        iround_ratio_signed(
+            F.col("lp_sum"), F.col("n_tokens") * F.lit(LP_SCALE), 6
         ).alias("avg_logprob"),
     )
 
@@ -966,8 +1000,7 @@ def source_overlap(documents: DataFrame, n: int = OVERLAP_NGRAM) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             n_common.cast("long").alias("n_common"),
-            F.round(
-                n_common.cast("double") / union_sz.cast("double"), 6
-            ).alias("jaccard"),
+            # exact-int ratio => midpoint-exposed; integer div-round
+            iround_ratio(n_common, union_sz, 6).alias("jaccard"),
         )
     )

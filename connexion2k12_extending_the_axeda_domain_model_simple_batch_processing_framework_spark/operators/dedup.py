@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
 from ..functions.partitioning import spread
+from ..functions.rounding import iround_ratio
 from ..functions.textfns import tokens, word_shingles
 
 NUM_MINHASHES = 12
@@ -126,11 +127,16 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard")
+    # exact-integer ratio => midpoint-exposed; engine-exact integer round
+    jac = iround_ratio(
+        F.col("n_inter"),
+        F.col("n_a") + F.col("n_b") - F.col("n_inter"),
+        6,
+    )
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -282,7 +288,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round((inter.cast("double") / union.cast("double")), 6).alias("jaccard"),
+            iround_ratio(inter, union, 6).alias("jaccard"),
         )
     )
 
@@ -336,7 +342,7 @@ def incremental_near_dup(
         .select(
             "new_doc_id",
             "corpus_doc_id",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            iround_ratio(inter, union, 6).alias("jaccard"),
         )
     )
 
@@ -887,9 +893,11 @@ def minhash_recall_report(
             "n_candidates",
             "n_verified",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias("recall"),
-            F.round(
-                F.col("n_verified") / F.col("n_candidates"), 6
+            iround_ratio(F.col("n_overlap"), F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+            iround_ratio(
+                F.col("n_verified"), F.col("n_candidates"), 6
             ).alias("candidate_precision"),
         )
     )
@@ -979,9 +987,7 @@ def minhash_recall_sweep(
             "doc_a",
             "doc_b",
             "min_band",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias(
-                "jaccard"
-            ),
+            iround_ratio(inter, union, 6).alias("jaccard"),
         )
     )
     exact = persist_df(
@@ -1015,11 +1021,11 @@ def minhash_recall_sweep(
                 "n_candidates",
                 "n_verified",
                 "n_overlap",
-                F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias(
+                iround_ratio(F.col("n_overlap"), F.col("n_exact"), 6).alias(
                     "recall"
                 ),
-                F.round(
-                    F.col("n_verified") / F.col("n_candidates"), 6
+                iround_ratio(
+                    F.col("n_verified"), F.col("n_candidates"), 6
                 ).alias("candidate_precision"),
             )
         )
@@ -1059,8 +1065,8 @@ def containment_pairs(
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("long")
     na = F.size("sh_a").cast("long")
     nb = F.size("sh_b").cast("long")
     return (
@@ -1071,10 +1077,8 @@ def containment_pairs(
             "doc_b",
             na.alias("n_a"),
             nb.alias("n_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-            F.round(
-                inter / F.least(na, nb).cast("double"), 6
-            ).alias("containment"),
+            iround_ratio(inter, union, 6).alias("jaccard"),
+            iround_ratio(inter, F.least(na, nb), 6).alias("containment"),
         )
     )
 

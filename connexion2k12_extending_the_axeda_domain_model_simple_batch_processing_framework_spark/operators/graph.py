@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import iround_ratio
 from ..functions.checkpoint import cut_lineage
 
 SCALE = 1_000_000_000_000  # pico-units
@@ -81,7 +82,8 @@ def pagerank(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return ranks.select(
         "doc_id",
         "rank_q",
-        F.round(F.col("rank_q") / F.lit(float(SCALE)), 9).alias("rank"),
+        # exact-int ratio (quantized rank / SCALE) => integer div-round
+        iround_ratio(F.col("rank_q"), F.lit(SCALE), 9).alias("rank"),
     )
 
 

@@ -815,11 +815,15 @@ def frame_byte_stats(frames: DataFrame) -> DataFrame:
             for buf in pdf["frame_bytes"]:
                 a = np.frombuffer(bytes(buf), dtype=np.uint8)
                 lens.append(len(a))
-                # round half away from zero (like F.round/DuckDB round);
-                # python round() is half-to-even and diverges on exact
-                # dyadic midpoints such as k/128
-                mean = int(a.sum()) / len(a) if len(a) else 0.0
-                means.append(np.floor(mean * 1e6 + 0.5) / 1e6)
+                # exact integer HALF_UP round (the r12 div-trick): the
+                # double path floor(mean*1e6 + 0.5) is midpoint-exposed
+                # on dyadic sums (k/128); (2·s·10⁶ + n) // (2·n) is not.
+                # Python ints are arbitrary-precision, so no overflow.
+                if len(a):
+                    s_, n_ = int(a.sum()), len(a)
+                    means.append(((2 * s_ * 1_000_000 + n_) // (2 * n_)) / 1e6)
+                else:
+                    means.append(0.0)
                 maxes.append(int(a.max()) if len(a) else 0)
             yield pd.DataFrame(
                 {

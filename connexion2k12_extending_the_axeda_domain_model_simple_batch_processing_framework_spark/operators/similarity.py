@@ -26,6 +26,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.checkpoint import cut_lineage
 from ..functions.hashing import hex_hash64
+from ..functions.rounding import iround_ratio
 from ..functions.partitioning import spread
 from ..functions.vectors import dot_expr, l2_norm_expr
 
@@ -56,6 +57,8 @@ def brute_force_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("c_norm", l2_norm_expr("c_vec", EMBEDDING_DIM))
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
     cos = F.round(
         dot_expr("q_vec", "c_vec", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
     )
@@ -190,6 +193,8 @@ def lsh_topk(
     ).withColumnRenamed("bucket", "q_bucket").withColumn(
         "q_norm", l2_norm_expr("q_vec", EMBEDDING_DIM)
     )
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
     cos = F.round(
         dot_expr("q_vec", "c_vec", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
     )
@@ -227,6 +232,8 @@ def embedding_near_dup_pairs(
     embeddings = spread(embeddings)
     if exact:
         return _exact_pairs_arrow(embeddings, threshold, id_col, vec_col)
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
     cos = F.round(dot_expr("va", "vb", EMBEDDING_DIM) / (F.col("na") * F.col("nb")), 6)
     a = signature_table(embeddings, "vec_a", "va", id_col, vec_col).withColumn(
         "na", l2_norm_expr("va", EMBEDDING_DIM)
@@ -667,6 +674,8 @@ def ivf_probe(
 
     # corpus-side norm once per inverted-file row, before the probe join
     inv = assignments.withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
     cos = F.round(
         dot_expr("q_vec", "cv", EMBEDDING_DIM) / (F.col("q_norm") * F.col("c_norm")), 6
     )
@@ -904,6 +913,9 @@ def embedding_quantize(
     qvec = F.transform(
         F.col(vec_col),
         lambda x: F.when(
+            # round-ok: quantizer-grid rounding at scale 0 — a half-integer x/sc is
+            # the quantizer's own bucket boundary; both engines evaluate the
+            # identical double DAG, and the scale constant is itself double-derived
             F.col("__sc") > 0, F.round(x.cast(d) / F.col("__sc"), 0)
         )
         .otherwise(F.lit(0.0))
@@ -1222,7 +1234,7 @@ def ivf_pq_recall(
             F.lit(k).cast("long").alias("k"),
             "n_float",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
             F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
         )
     )
@@ -1409,7 +1421,7 @@ def ivf_pq_residual_recall(
             F.lit(k).cast("long").alias("k"),
             "n_float",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
             F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
         )
     )
@@ -1739,6 +1751,8 @@ def _score_float_candidates(
     rank) through the join: (query_id, neighbor_id, cosine, *carry),
     UNRANKED. Cosine is the identical JVM fold-chain expression."""
     inv = assignments.withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
     cos = F.round(
         dot_expr("q_vec", "cv", EMBEDDING_DIM)
         / (F.col("q_norm") * F.col("c_norm")),
@@ -1893,7 +1907,7 @@ def ivf_pq_residual_adc_recall(
         F.lit(k).cast("long").alias("k"),
         "n_float",
         "n_overlap",
-        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+        iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
     )
 
 
@@ -1939,7 +1953,7 @@ def ivf_pq_adc_recall(
         F.lit(k).cast("long").alias("k"),
         "n_float",
         "n_overlap",
-        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+        iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
     )
 
 
@@ -1990,6 +2004,8 @@ def ivf_pq_refine_probe(
         .select(
             "query_id",
             "neighbor_id",
+            # round-ok: cosine — the norm product passes through
+            # correctly-rounded sqrt, so no exact decimal midpoint exists
             F.round(
                 dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
                 / (F.col("q_norm") * F.col("n_norm")),
@@ -2060,7 +2076,7 @@ def ivf_pq_refine_recall(
         F.lit(refine).cast("long").alias("refine"),
         "n_float",
         "n_overlap",
-        F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+        iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
     )
 
 
@@ -2140,12 +2156,14 @@ def ann_recall_sweep(
         hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
         row = base.crossJoin(hits).select(
             F.lit(np_).cast("long").alias("nprobe"),
+            # round-ok: Python-constant ratio folded at build time — identical
+            # literal in both engines
             F.round(F.lit(np_ / nlist), 6).alias("scan_frac"),
             "n_queries",
             F.lit(k).cast("long").alias("k"),
             "n_float",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -2212,6 +2230,8 @@ def ann_refine_sweep(
             "query_id",
             "neighbor_id",
             "adc_rk",
+            # round-ok: cosine — the norm product passes through
+            # correctly-rounded sqrt, so no exact decimal midpoint exists
             F.round(
                 dot_expr("q_vec", "n_vec", EMBEDDING_DIM)
                 / (F.col("q_norm") * F.col("n_norm")),
@@ -2246,7 +2266,7 @@ def ann_refine_sweep(
             F.lit(k).cast("long").alias("k"),
             "n_float",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -2399,7 +2419,7 @@ def ivf_sq8_recall(
             F.lit(k).cast("long").alias("k"),
             "n_float",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_float"), 6).alias("recall"),
+            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
             F.round(F.col("mean_mse").cast(d), 9).alias("mean_mse"),
         )
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import iround_ratio
 from ..functions.hashing import hex_hash64
 from ..functions.partitioning import spread
 from ..functions.textfns import tokens
@@ -85,6 +86,10 @@ def kmv_distinct_tokens(
     est = F.when(
         F.col("k_actual") < k, F.col("k_actual").cast("double")
     ).otherwise(
+        # round-ok: KMV estimator — the denominator is a ~2^63 pseudo-random
+        # hash, so the quotient's distance to any 5th-decimal midpoint is
+        # uniform at ~2^-63 granularity (P[ulp-coincidence] ~ 1e-12); both
+        # engines evaluate the identical double DAG
         F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth_hash"), 4)
     )
     return exact.join(topk, "source").select(
@@ -313,6 +318,10 @@ def kmv_source_overlap(
     union_est = F.when(
         F.col("cnt") < k, F.col("cnt").cast("double")
     ).otherwise(
+        # round-ok: KMV estimator — the denominator is a ~2^63 pseudo-random
+        # hash, so the quotient's distance to any 5th-decimal midpoint is
+        # uniform at ~2^-63 granularity (P[ulp-coincidence] ~ 1e-12); both
+        # engines evaluate the identical double DAG
         F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth"), 4)
     )
     if not exact:
@@ -325,9 +334,10 @@ def kmv_source_overlap(
             F.col("cnt").cast("long").alias("k_union"),
             F.col("n_both").cast("long").alias("n_both"),
             union_est.alias("union_est"),
-            F.round(
-                F.col("n_both").cast("double") / F.col("cnt").cast("double"), 6
-            ).alias("jaccard_est"),
+            # exact-int ratio => midpoint-exposed; integer div-round
+            iround_ratio(F.col("n_both"), F.col("cnt"), 6).alias(
+                "jaccard_est"
+            ),
         )
     # exact reference legs (what the sketch replaces at scale)
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -356,14 +366,13 @@ def kmv_source_overlap(
             F.col("cnt").cast("long").alias("k_union"),
             F.col("n_both").cast("long").alias("n_both"),
             union_est.alias("union_est"),
-            F.round(
-                F.col("n_both").cast("double") / F.col("cnt").cast("double"), 6
-            ).alias("jaccard_est"),
-            F.round(
-                F.coalesce(F.col("c"), z).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("c"), z)).cast(
-                    "double"
-                ),
+            # exact-int ratios => midpoint-exposed; integer div-round
+            iround_ratio(F.col("n_both"), F.col("cnt"), 6).alias(
+                "jaccard_est"
+            ),
+            iround_ratio(
+                F.coalesce(F.col("c"), z),
+                F.col("n_a") + F.col("n_b") - F.coalesce(F.col("c"), z),
                 6,
             ).alias("jaccard_exact"),
         )
@@ -452,10 +461,16 @@ def hll_distinct_users(events: DataFrame, m: int = HLL_M) -> DataFrame:
         .select(
             "event_type",
             "n_exact",
+# round-ok: HLL estimator — the alpha constant is an irrational-valued
+# double literal shared verbatim with the oracle; exact decimal
+# midpoints are measure-zero
             F.round(
                 F.lit(const) / F.col("s_int").cast("double"), 4
             ).alias("hll_estimate"),
             "empty_buckets",
+# round-ok: HLL estimator — the alpha constant is an irrational-valued
+# double literal shared verbatim with the oracle; exact decimal
+# midpoints are measure-zero
             F.round(
                 (F.lit(const) / F.col("s_int").cast("double"))
                 / F.col("n_exact").cast("double")
@@ -579,13 +594,10 @@ def join_size_estimate(
             # size estimate needs magnitude, not the last digit)
             F.col("exact_pairs").cast("double").alias("exact_pairs"),
             F.col("cms_estimate").cast("double").alias("cms_estimate"),
+            # exact-int ratio => midpoint-exposed; integer div-round
             F.when(
                 F.col("exact_pairs") > 0,
-                F.round(
-                    F.col("cms_estimate").cast("double")
-                    / F.col("exact_pairs").cast("double"),
-                    6,
-                ),
+                iround_ratio(F.col("cms_estimate"), F.col("exact_pairs"), 6),
             ).alias("overestimate"),
         )
     )

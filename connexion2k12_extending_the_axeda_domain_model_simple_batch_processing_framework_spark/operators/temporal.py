@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import iround_ratio
+
 D = "decimal(18,2)"
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -478,14 +480,15 @@ def session_stats(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_bounce"),
-        F.round(
-            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
+        # exact-int ratios => midpoint-exposed; integer div-round
+        iround_ratio(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)),
+            F.count(F.lit(1)),
             6,
         ).alias("bounce_frac"),
-        F.round(
-            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("mean_events"),
+        iround_ratio(F.sum("n_events"), F.count(F.lit(1)), 6).alias(
+            "mean_events"
+        ),
         F.expr(pct.format(p=0.5)).alias("p50_duration_s"),
         F.expr(pct.format(p=0.9)).alias("p90_duration_s"),
     )
@@ -529,11 +532,10 @@ def event_transitions(events: DataFrame) -> DataFrame:
             "prev_type",
             "next_type",
             "n_transitions",
-            F.round(
-                F.col("n_transitions").cast("double")
-                / F.col("n_from").cast("double"),
-                6,
-            ).alias("prob"),
+            # exact-int ratio => midpoint-exposed; integer div-round
+            iround_ratio(F.col("n_transitions"), F.col("n_from"), 6).alias(
+                "prob"
+            ),
         )
         .orderBy("prev_type", "next_type")
     )
@@ -714,12 +716,10 @@ def funnel_latency(
                 F.lit(steps[i - 1]).alias("from_type"),
                 F.lit(steps[i]).alias("to_type"),
                 "n_converted",
-                F.round(
-                    (
-                        F.col("__sum_us").cast("double")
-                        / F.col("n_converted").cast("double")
-                    )
-                    / 1_000_000.0,
+                # exact-int ratio (µs sum / n·10⁶) => integer round
+                iround_ratio(
+                    F.col("__sum_us"),
+                    F.col("n_converted") * F.lit(1_000_000),
                     6,
                 ).alias("mean_seconds"),
                 (F.col("__q")[0] / 1_000_000.0).alias("p50_seconds"),
@@ -843,8 +843,8 @@ def stickiness(
         "day",
         "dau",
         F.col("trailing_users").alias("mau"),
-        F.round(
-            F.col("dau").cast("double") / F.col("trailing_users").cast("double"),
-            6,
-        ).alias("stickiness"),
+        # exact-int ratio => midpoint-exposed; integer div-round
+        iround_ratio(F.col("dau"), F.col("trailing_users"), 6).alias(
+            "stickiness"
+        ),
     ).orderBy("day")

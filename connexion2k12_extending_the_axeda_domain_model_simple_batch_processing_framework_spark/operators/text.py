@@ -15,6 +15,7 @@ from ..functions.hashing import POLY_MOD, hex_hash64
 from ..functions.partitioning import spread
 from ..functions.prefixsum import ordered_cumsum
 from ..functions.textfns import punct_count, token_count_col, tokens
+from ..functions.rounding import iround_ratio, iround_ratio_signed
 
 # Stopword profiles for the n-gram/stopword language heuristic. Order fixes
 # argmax tie-breaking (first wins).
@@ -81,14 +82,27 @@ def quality_score(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
     )
     # empty/degenerate docs (no chars, no tokens) score 0 on a ratio rather
     # than dividing by zero (ANSI mode raises; a 100 TB corpus has them)
-    punct_ratio = F.when(
-        F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(
-        F.col("n_tokens") > 0, F.col("n_stopwords") / F.col("n_tokens")
-    ).otherwise(F.lit(0.0))
-    min_tok = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-    score = 0.4 * min_tok + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+    # every output is an exact-integer rational => midpoint-exposed;
+    # round 6 via the engine-exact integer div-trick. The composite
+    # score folds its degenerate-doc guards into max(.,1) denominators:
+    # with C = max(c,1), T = max(t,1), P = (p if c>0 else 0),
+    # S = (s if t>0 else 0), M = least(t,100),
+    #   score = [4·M·C·T + 300·(C−P)·T + 300·S·C] / (1000·C·T)
+    # reproduces 0.4·min(t/100,1) + 0.3·(1−p/c) + 0.3·s/t exactly,
+    # including c=0 (punct term → 0.3) and t=0 (stop term → 0) cases.
+    c = F.col("n_chars")
+    t = F.col("n_tokens")
+    C = F.greatest(c, F.lit(1))
+    T = F.greatest(t, F.lit(1))
+    P = F.when(c > 0, F.col("n_punct")).otherwise(F.lit(0))
+    S = F.when(t > 0, F.col("n_stopwords")).otherwise(F.lit(0))
+    M = F.least(t, F.lit(100))
+    q_num = (
+        F.lit(4) * M * C * T
+        + F.lit(300) * (C - P) * T
+        + F.lit(300) * S * C
+    )
+    q_den = F.lit(1000) * C * T
     return df.select(
         "doc_id",
         *keep,
@@ -96,9 +110,13 @@ def quality_score(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
         "n_chars",
         "n_punct",
         "n_stopwords",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.when(c > 0, iround_ratio(F.col("n_punct"), c, 6))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(t > 0, iround_ratio(F.col("n_stopwords"), t, 6))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        iround_ratio(q_num, q_den, 6).alias("quality"),
     )
 
 
@@ -134,7 +152,8 @@ def bpe_token_count(documents: DataFrame) -> DataFrame:
         "doc_id",
         n_bpe.alias("n_bpe_tokens"),
         n_ws.alias("n_ws_tokens"),
-        F.when(n_ws > 0, F.round(n_bpe / n_ws, 6))
+        # exact-int ratio => midpoint-exposed; integer div-round
+        F.when(n_ws > 0, iround_ratio(n_bpe, n_ws, 6))
         .otherwise(F.lit(0.0))
         .alias("tokens_per_word"),
     )
@@ -264,8 +283,9 @@ def lang_fertility(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             sum_bpe.cast("long").alias("sum_bpe_tokens"),
             sum_ws.cast("long").alias("sum_ws_tokens"),
+            # exact-int ratio => midpoint-exposed; integer div-round
             F.when(
-                sum_ws > 0, F.round(sum_bpe / sum_ws, 6)
+                sum_ws > 0, iround_ratio(sum_bpe, sum_ws, 6)
             ).alias("fertility"),
         )
     )
@@ -459,9 +479,10 @@ def bpe_subword_stats(documents: DataFrame, merges: DataFrame) -> DataFrame:
             "doc_id",
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
             F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            # exact-int ratio => midpoint-exposed; integer div-round
             F.when(
                 F.col("n_words") > 0,
-                F.round(F.col("n_subwords") / F.col("n_words"), 6),
+                iround_ratio(F.col("n_subwords"), F.col("n_words"), 6),
             ).otherwise(F.lit(0.0)).alias("fertility"),
         )
     )
@@ -531,10 +552,7 @@ def token_zipf(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
         "n_distinct_tokens",
         "n_tokens_total",
         F.col("n").alias("top_n_used"),
-        F.round(num.cast("double") / den_x.cast("double"), 6).alias("zipf_slope"),
-        F.round(
-            (num.cast("double") * num.cast("double"))
-            / (den_x.cast("double") * den_y.cast("double")),
-            6,
-        ).alias("zipf_r2"),
+        # signed / squared exact-int rationals => integer div-round
+        iround_ratio_signed(num, den_x, 6).alias("zipf_slope"),
+        iround_ratio(num * num, den_x * den_y, 6).alias("zipf_r2"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .domain import STATE_IN_PROCESS, STATE_NOT_STARTED, STATE_SUCCESS
+from .functions.rounding import iround_ratio
 from .operators import analytics, dedup, lifecycle, process, similarity, text
 from .operators.analyze import validate_tasks
 from .operators.multimodal import decode_stub, with_binary_payload
@@ -405,7 +406,9 @@ SELECT l_returnflag, l_linestatus,
        sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
        sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)) * (1 + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
        count(*)::BIGINT AS count_order,
-       round((sum(l_quantity::DECIMAL(18,2)) / count(*))::DOUBLE, 4) AS avg_qty
+       ((2 * (sum(l_quantity::DECIMAL(18,2)) * 100)::HUGEINT * 10000
+         + count(*) * 100)
+        // (2 * (count(*) * 100)::HUGEINT))::DOUBLE / 10000.0 AS avg_qty
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
@@ -570,11 +573,11 @@ inter AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
-       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       ((2 * n_inter::HUGEINT * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)::HUGEINT))::DOUBLE / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+WHERE ((2 * n_inter::HUGEINT * 1000000 + (sa.n_sh + sb.n_sh - n_inter)) // (2 * (sa.n_sh + sb.n_sh - n_inter)::HUGEINT))::DOUBLE / 1000000.0 >= 0.5
 """
 
 
@@ -613,8 +616,7 @@ cand AS (
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-             len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+       ((2 * len(list_intersect(sa.shingles, sb.shingles))::HUGEINT * 1000000 + len(list_distinct(sa.shingles || sb.shingles))) // (2 * len(list_distinct(sa.shingles || sb.shingles))::HUGEINT))::DOUBLE / 1000000.0 AS jaccard
 FROM cand c
 JOIN shn sa ON sa.doc_id = c.doc_a
 JOIN shn sb ON sb.doc_id = c.doc_b
@@ -840,13 +842,28 @@ r AS (
          CASE WHEN n_tokens > 0 THEN n_stopwords::DOUBLE / n_tokens ELSE 0.0 END AS sr
   FROM m
 )
+, iq AS (
+  SELECT *,
+         greatest(n_chars, 1)::HUGEINT AS qc,
+         greatest(n_tokens, 1)::HUGEINT AS qt,
+         (CASE WHEN n_chars > 0 THEN n_punct ELSE 0 END)::HUGEINT AS qp,
+         (CASE WHEN n_tokens > 0 THEN n_stopwords ELSE 0 END)::HUGEINT AS qs,
+         least(n_tokens, 100)::HUGEINT AS qm
+  FROM r
+)
 SELECT doc_id::BIGINT AS doc_id, n_tokens, n_chars, n_punct, n_stopwords,
-       round(pr, 6) AS punct_ratio,
-       round(sr, 6) AS stopword_ratio,
-       round(0.4 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - pr)
-             + 0.3 * sr, 6) AS quality
-FROM r
+       CASE WHEN n_chars > 0
+            THEN ((2 * n_punct::HUGEINT * 1000000 + n_chars)
+                  // (2 * n_chars::HUGEINT))::DOUBLE / 1000000.0
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN ((2 * n_stopwords::HUGEINT * 1000000 + n_tokens)
+                  // (2 * n_tokens::HUGEINT))::DOUBLE / 1000000.0
+            ELSE 0.0 END AS stopword_ratio,
+       ((2 * (4 * qm * qc * qt + 300 * (qc - qp) * qt + 300 * qs * qc)
+         * 1000000 + 1000 * qc * qt)
+        // (2 * 1000 * qc * qt))::DOUBLE / 1000000.0 AS quality
+FROM iq
 """
 
 
@@ -1465,7 +1482,7 @@ base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT 
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
 ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM recon)
 SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall,
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall,
        round(mean_mse::DOUBLE, 9) AS mean_mse
 FROM base CROSS JOIN ov CROSS JOIN ms
 """
@@ -1621,7 +1638,7 @@ base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT 
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
 ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM mses)
 SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall,
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall,
        round(mean_mse::DOUBLE, 9) AS mean_mse
 FROM base CROSS JOIN ov CROSS JOIN ms
 """
@@ -1749,7 +1766,7 @@ topa AS (
 base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topa USING (query_id, neighbor_id))
 SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM base CROSS JOIN ov
 """
 
@@ -1999,7 +2016,7 @@ base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT 
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topq USING (query_id, neighbor_id)),
 ms AS (SELECT sum(round(mse, 6)::DECIMAL(18,6)) / count(*) AS mean_mse FROM mses)
 SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall,
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall,
        round(mean_mse::DOUBLE, 9) AS mean_mse
 FROM base CROSS JOIN ov CROSS JOIN ms
 """
@@ -2170,7 +2187,7 @@ topa AS (
 base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topa USING (query_id, neighbor_id))
 SELECT n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM base CROSS JOIN ov
 """
 
@@ -2345,7 +2362,7 @@ topr AS (
 base AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries, count(*)::BIGINT AS n_float FROM topf),
 ov AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topr USING (query_id, neighbor_id))
 SELECT n_queries, 5::BIGINT AS k, 4::BIGINT AS refine, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM base CROSS JOIN ov
 """
 
@@ -2489,7 +2506,7 @@ ov_{np_} AS (SELECT count(*)::BIGINT AS n_overlap FROM topf_{np_} JOIN topa_{np_
     selects = "\nUNION ALL\n".join(
         f"""SELECT {np_}::BIGINT AS nprobe, {round(np_ / _nl, 6)!r}::DOUBLE AS scan_frac,
        n_queries, 5::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM base_{np_} CROSS JOIN ov_{np_}"""
         for np_ in nprobes
     )
@@ -2553,7 +2570,7 @@ ov_{r} AS (SELECT count(*)::BIGINT AS n_overlap FROM topf JOIN topr_{r} USING (q
     selects = "\nUNION ALL\n".join(
         f"""SELECT {r}::BIGINT AS refine, {PQ_KSUB_WIDE}::BIGINT AS ksub, {k * r}::BIGINT AS shortlist,
        n_queries, {k}::BIGINT AS k, n_float, n_overlap,
-       round(n_overlap / n_float, 6) AS recall
+       ((2 * n_overlap::HUGEINT * 1000000 + n_float) // (2 * n_float::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM base CROSS JOIN ov_{r}"""
         for r in ANN_REFINE_SWEEP
     )
@@ -2629,7 +2646,9 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(a.n_words, 0)::BIGINT AS n_words,
        coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
        CASE WHEN coalesce(a.n_words, 0) > 0
-            THEN round(a.n_subwords / a.n_words, 6) ELSE 0.0 END AS fertility
+            THEN ((2 * a.n_subwords::HUGEINT * 1000000 + a.n_words)
+                  // (2 * a.n_words::HUGEINT))::DOUBLE / 1000000.0
+            ELSE 0.0 END AS fertility
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -2682,7 +2701,12 @@ SQL_EVENTS_PROPS_METRIC = """
 SELECT event_type,
        count(*)::BIGINT AS n_events,
        sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k
+       (CASE WHEN sum(json_extract(props, '$.k')::BIGINT) < 0
+             THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(sum(json_extract(props, '$.k')::BIGINT))::HUGEINT
+          * 1000000 + count(json_extract(props, '$.k')::BIGINT))
+         // (2 * count(json_extract(props, '$.k')::BIGINT)::HUGEINT))
+          ::DOUBLE / 1000000.0) AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -2833,7 +2857,9 @@ SELECT doc_id::BIGINT AS doc_id,
        len(grams)::BIGINT AS n_grams,
        len(list_distinct(grams))::BIGINT AS n_distinct,
        CASE WHEN len(grams) > 0
-            THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+            THEN ((2 * (len(grams) - len(list_distinct(grams)))::HUGEINT
+                   * 1000000 + len(grams))
+                  // (2 * len(grams)::HUGEINT))::DOUBLE / 1000000.0
             ELSE 0.0 END AS rep_ratio
 FROM g
 """
@@ -2883,7 +2909,8 @@ per AS (SELECT len(toks) AS n FROM d),
 base AS (
   SELECT count(*)::BIGINT AS n_docs,
          sum(n)::BIGINT AS total_tokens,
-         round(avg(n::DOUBLE), 6) AS avg_doc_tokens
+         ((2 * sum(n)::HUGEINT * 1000000 + count(*))
+          // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS avg_doc_tokens
   FROM per
 ),
 dist AS (
@@ -2961,8 +2988,7 @@ cand AS (
 )
 SELECT c.new_doc_id::BIGINT AS new_doc_id,
        c.corpus_doc_id::BIGINT AS corpus_doc_id,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-             len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+       ((2 * len(list_intersect(sa.shingles, sb.shingles))::HUGEINT * 1000000 + len(list_distinct(sa.shingles || sb.shingles))) // (2 * len(list_distinct(sa.shingles || sb.shingles))::HUGEINT))::DOUBLE / 1000000.0 AS jaccard
 FROM cand c
 JOIN shn sa ON sa.doc_id = c.new_doc_id
 JOIN shn sb ON sb.doc_id = c.corpus_doc_id
@@ -2982,10 +3008,13 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_MOVING_AVG = """
 SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, ts,
        value::DOUBLE AS value,
-       round(avg(value::DOUBLE) OVER (
-         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+       ((2 * (sum((value::DECIMAL(18,2) * 100)::BIGINT) OVER win)::HUGEINT
+         * 1000000 + (count(value) OVER win) * 100)
+        // (2 * ((count(value) OVER win) * 100)::HUGEINT))::DOUBLE
+         / 1000000.0 AS moving_avg
 FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -3020,12 +3049,16 @@ j AS (SELECT d.source, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_
 per AS (
   SELECT source, count(*)::BIGINT AS n_docs,
          sum(n_tokens)::BIGINT AS total_tokens,
-         round(avg(quality), 6) AS mean_quality
+         ((2 * sum(round(quality * 1000000, 0)::BIGINT)::HUGEINT * 1000000
+           + count(*)::HUGEINT * 1000000)
+          // (2 * count(*)::HUGEINT * 1000000))::DOUBLE / 1000000.0
+          AS mean_quality
   FROM j GROUP BY source
 ),
 t AS (SELECT count(*) AS _total FROM j)
 SELECT source, n_docs,
-       round(n_docs / _total, 6) AS doc_share,
+       ((2 * n_docs::HUGEINT * 1000000 + _total)
+        // (2 * _total::HUGEINT))::DOUBLE / 1000000.0 AS doc_share,
        total_tokens, mean_quality
 FROM per CROSS JOIN t
 """
@@ -3108,7 +3141,8 @@ per AS (SELECT len(toks) AS n FROM d),
 base AS (
   SELECT count(*)::BIGINT AS n_docs,
          sum(n)::BIGINT AS total_tokens,
-         round(avg(n::DOUBLE), 6) AS avg_doc_tokens
+         ((2 * sum(n)::HUGEINT * 1000000 + count(*))
+          // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS avg_doc_tokens
   FROM per
 ),
 hs AS (SELECT DISTINCT {h} AS h FROM (SELECT unnest(toks) AS t FROM d)),
@@ -3413,7 +3447,11 @@ per AS (
 )
 SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
-       round(per.lp_sum / (per.n_tokens * {corpus.LP_SCALE}.0), 6) AS avg_logprob
+       (CASE WHEN per.lp_sum < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(per.lp_sum)::HUGEINT * 1000000
+          + per.n_tokens * {corpus.LP_SCALE})
+         // (2 * (per.n_tokens * {corpus.LP_SCALE})::HUGEINT))::DOUBLE
+         / 1000000.0) AS avg_logprob
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
@@ -3633,7 +3671,10 @@ WITH t AS (
 SELECT doc_id::BIGINT AS doc_id,
        n_bpe::BIGINT AS n_bpe_tokens,
        n_ws::BIGINT AS n_ws_tokens,
-       CASE WHEN n_ws > 0 THEN round(n_bpe / n_ws, 6) ELSE 0.0 END AS tokens_per_word
+       CASE WHEN n_ws > 0
+            THEN ((2 * n_bpe::HUGEINT * 1000000 + n_ws)
+                  // (2 * n_ws::HUGEINT))::DOUBLE / 1000000.0
+            ELSE 0.0 END AS tokens_per_word
 FROM t
 """
 
@@ -3658,7 +3699,8 @@ WITH stats AS (
 ),
 scored AS (
   SELECT e.event_id, e.user_id, e.value,
-         round(s::DOUBLE / n, 6) AS user_mean,
+         ((2 * (s * 100)::HUGEINT * 1000000 + n * 100)
+          // (2 * (n * 100)::HUGEINT))::DOUBLE / 1000000.0 AS user_mean,
          CASE WHEN n > 1 AND sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)) > 0
               THEN round((e.value - s::DOUBLE / n)
                          / sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1)), 6)
@@ -3728,7 +3770,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_queries").cast("long").alias("n_queries"),
             F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
             F.col("n_matched").cast("long").alias("n_matched"),
-            F.round(F.col("n_matched") / F.col("n_exact_pairs"), 6).alias("recall"),
+            iround_ratio(F.col("n_matched"), F.col("n_exact_pairs"), 6).alias("recall"),
         )
     )
 
@@ -3746,7 +3788,7 @@ nb AS (SELECT count(*) AS n_exact_pairs FROM brute)
 SELECT n_queries::BIGINT AS n_queries,
        n_exact_pairs::BIGINT AS n_exact_pairs,
        n_matched::BIGINT AS n_matched,
-       round(n_matched / n_exact_pairs, 6) AS recall
+       ((2 * n_matched::HUGEINT * 1000000 + n_exact_pairs) // (2 * n_exact_pairs::HUGEINT))::DOUBLE / 1000000.0 AS recall
 FROM nq CROSS JOIN nb CROSS JOIN m
 """
 
@@ -3860,7 +3902,8 @@ def _pagerank_oracle(iters: int = graph.PR_ITERS) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT doc_id::BIGINT AS doc_id, rq::BIGINT AS rank_q,
-       round(rq / {s}.0, 9) AS rank
+       ((2 * rq::HUGEINT * 1000000000 + {s})
+        // (2 * {s}::HUGEINT))::DOUBLE / 1000000000.0 AS rank
 FROM r{iters}"""
     )
 
@@ -3909,7 +3952,8 @@ codes AS (
 )
 SELECT doc_id::BIGINT AS doc_id, frame_idx,
        len(cs)::BIGINT AS frame_len,
-       round(list_sum(cs) / len(cs), 6) AS mean_byte,
+       ((2 * list_sum(cs)::HUGEINT * 1000000 + len(cs))
+        // (2 * len(cs)::HUGEINT))::DOUBLE / 1000000.0 AS mean_byte,
        list_max(cs)::BIGINT AS max_byte
 FROM codes
 """
@@ -3954,9 +3998,16 @@ terms AS (
 SELECT min(n_vocab_a)::BIGINT AS n_vocab_a,
        min(n_vocab_b)::BIGINT AS n_vocab_b,
        min(v)::BIGINT AS n_vocab_union,
-       round(sum(t_ab) / 1000000000000.0, 6) AS kl_ab,
-       round(sum(t_ba) / 1000000000000.0, 6) AS kl_ba,
-       round((sum(t_ab) + sum(t_ba)) / 1000000000000.0, 6) AS kl_sym
+       (CASE WHEN sum(t_ab) < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(sum(t_ab))::HUGEINT * 1000000 + 1000000000000)
+         // (2 * 1000000000000::HUGEINT))::DOUBLE / 1000000.0) AS kl_ab,
+       (CASE WHEN sum(t_ba) < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(sum(t_ba))::HUGEINT * 1000000 + 1000000000000)
+         // (2 * 1000000000000::HUGEINT))::DOUBLE / 1000000.0) AS kl_ba,
+       (CASE WHEN sum(t_ab) + sum(t_ba) < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(sum(t_ab) + sum(t_ba))::HUGEINT * 1000000
+          + 1000000000000)
+         // (2 * 1000000000000::HUGEINT))::DOUBLE / 1000000.0) AS kl_sym
 FROM terms
 """
 
@@ -4190,7 +4241,11 @@ per AS (
 )
 SELECT d2.doc_id::BIGINT AS doc_id,
        coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
-       round(per.lp_sum / (per.n_tokens * {corpus.LP_SCALE}.0), 6) AS avg_logprob
+       (CASE WHEN per.lp_sum < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(per.lp_sum)::HUGEINT * 1000000
+          + per.n_tokens * {corpus.LP_SCALE})
+         // (2 * (per.n_tokens * {corpus.LP_SCALE})::HUGEINT))::DOUBLE
+         / 1000000.0) AS avg_logprob
 FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
 """
 
@@ -4608,7 +4663,9 @@ SELECT li.pred_lang, count(*)::BIGINT AS n_docs,
        sum(bp.n_bpe_tokens)::BIGINT AS sum_bpe_tokens,
        sum(bp.n_ws_tokens)::BIGINT AS sum_ws_tokens,
        CASE WHEN sum(bp.n_ws_tokens) > 0
-            THEN round(sum(bp.n_bpe_tokens)::DOUBLE / sum(bp.n_ws_tokens)::DOUBLE, 6)
+            THEN ((2 * sum(bp.n_bpe_tokens)::HUGEINT * 1000000
+                   + sum(bp.n_ws_tokens))
+                  // (2 * sum(bp.n_ws_tokens)::HUGEINT))::DOUBLE / 1000000.0
        END AS fertility
 FROM li JOIN bp USING (doc_id)
 GROUP BY 1
@@ -4697,9 +4754,11 @@ WITH base AS (
   WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
 )
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = '{_Q8["nation"]}' THEN vol
-                      ELSE 0::DECIMAL(18,2) END)::DOUBLE
-             / sum(vol)::DOUBLE, 6) AS mkt_share,
+       ((2 * (sum(CASE WHEN supp_nation = '{_Q8["nation"]}' THEN vol
+                       ELSE 0::DECIMAL(18,2) END) * 10000)::HUGEINT * 1000000
+         + (sum(vol) * 10000)::HUGEINT)
+        // (2 * (sum(vol) * 10000)::HUGEINT))::DOUBLE / 1000000.0
+         AS mkt_share,
        sum(vol)::DOUBLE AS total_vol
 FROM base GROUP BY 1
 """
@@ -4765,9 +4824,11 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q14_PROMO_REVENUE = f"""
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_VOL}
-                              ELSE 0::DECIMAL(18,2) END)::DOUBLE
-             / sum({_VOL})::DOUBLE, 6) AS promo_revenue_pct,
+SELECT ((2 * (sum(CASE WHEN p.p_type = 'PROMO' THEN {_VOL}
+                       ELSE 0::DECIMAL(18,2) END) * 1000000)::HUGEINT * 1000000
+         + (sum({_VOL}) * 10000)::HUGEINT)
+        // (2 * (sum({_VOL}) * 10000)::HUGEINT))::DOUBLE / 1000000.0
+         AS promo_revenue_pct,
        sum({_VOL})::DOUBLE AS total_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-02-01'
@@ -4912,8 +4973,10 @@ common AS (
 SELECT s1.source AS source_a, s2.source AS source_b,
        s1.n_grams AS n_a, s2.n_grams AS n_b,
        coalesce(c.c, 0)::BIGINT AS n_common,
-       round(coalesce(c.c, 0)::DOUBLE
-             / (s1.n_grams + s2.n_grams - coalesce(c.c, 0))::DOUBLE, 6) AS jaccard
+       ((2 * coalesce(c.c, 0)::HUGEINT * 1000000
+         + (s1.n_grams + s2.n_grams - coalesce(c.c, 0)))
+        // (2 * (s1.n_grams + s2.n_grams - coalesce(c.c, 0))::HUGEINT))
+         ::DOUBLE / 1000000.0 AS jaccard
 FROM sizes s1
 JOIN sizes s2 ON s1.source < s2.source
 LEFT JOIN common c ON c.sa = s1.source AND c.sb = s2.source
@@ -5838,8 +5901,8 @@ nv AS (SELECT count(*)::BIGINT AS n_verified FROM ver),
 no_ AS (SELECT count(*)::BIGINT AS n_overlap
         FROM exact_p e JOIN ver v ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b)
 SELECT n_exact, n_candidates, n_verified, n_overlap,
-       round(n_overlap / n_exact, 6) AS recall,
-       round(n_verified / n_candidates, 6) AS candidate_precision
+       ((2 * n_overlap::HUGEINT * 1000000 + n_exact) // (2 * n_exact::HUGEINT))::DOUBLE / 1000000.0 AS recall,
+       ((2 * n_verified::HUGEINT * 1000000 + n_candidates) // (2 * n_candidates::HUGEINT))::DOUBLE / 1000000.0 AS candidate_precision
 FROM ne CROSS JOIN nc CROSS JOIN nv CROSS JOIN no_
 """
 
@@ -5915,8 +5978,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b, c.min_band,
-         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-               len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard
+         ((2 * len(list_intersect(sa.shingles, sb.shingles))::HUGEINT * 1000000 + len(list_distinct(sa.shingles || sb.shingles))) // (2 * len(list_distinct(sa.shingles || sb.shingles))::HUGEINT))::DOUBLE / 1000000.0 AS jaccard
   FROM cand c
   JOIN shn sa ON sa.doc_id = c.doc_a
   JOIN shn sb ON sb.doc_id = c.doc_b
@@ -5925,8 +5987,8 @@ exact_p AS (
 {SQL_DEDUP_NGRAM_JACCARD}
 )
 SELECT bands, rows_per_band, sig_len, n_exact, n_candidates, n_verified, n_overlap,
-       round(n_overlap / n_exact, 6) AS recall,
-       round(n_verified / n_candidates, 6) AS candidate_precision
+       ((2 * n_overlap::HUGEINT * 1000000 + n_exact) // (2 * n_exact::HUGEINT))::DOUBLE / 1000000.0 AS recall,
+       ((2 * n_verified::HUGEINT * 1000000 + n_candidates) // (2 * n_candidates::HUGEINT))::DOUBLE / 1000000.0 AS candidate_precision
 FROM (
 {points}
 )
@@ -5949,9 +6011,11 @@ SQL_EVENTS_KEY_SKEW = """
 WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
 SELECT sum(n)::BIGINT AS n_rows,
        count(*)::BIGINT AS n_keys,
-       round(sum(n) / count(*), 6) AS mean_rows_per_key,
+       ((2 * sum(n)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS mean_rows_per_key,
        max(n)::BIGINT AS max_key_rows,
-       round(max(n) * count(*) / sum(n), 6) AS skew_factor,
+       ((2 * max(n)::HUGEINT * count(*) * 1000000 + sum(n))
+        // (2 * sum(n)::HUGEINT))::DOUBLE / 1000000.0 AS skew_factor,
        round(quantile_cont(n, 0.5), 4) AS p50,
        round(quantile_cont(n, 0.9), 4) AS p90,
        round(quantile_cont(n, 0.99), 4) AS p99
@@ -6000,9 +6064,11 @@ SQL_EVENTS_KEY_SKEW_SCALED = """
 WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
 SELECT sum(n)::BIGINT AS n_rows,
        count(*)::BIGINT AS n_keys,
-       round(sum(n) / count(*), 6) AS mean_rows_per_key,
+       ((2 * sum(n)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS mean_rows_per_key,
        max(n)::BIGINT AS max_key_rows,
-       round(max(n) * count(*) / sum(n), 6) AS skew_factor,
+       ((2 * max(n)::HUGEINT * count(*) * 1000000 + sum(n))
+        // (2 * sum(n)::HUGEINT))::DOUBLE / 1000000.0 AS skew_factor,
        round(quantile_disc(n, 0.5)::DOUBLE, 4) AS p50,
        round(quantile_disc(n, 0.9)::DOUBLE, 4) AS p90,
        round(quantile_disc(n, 0.99)::DOUBLE, 4) AS p99
@@ -6090,8 +6156,10 @@ common AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
            FROM sg a JOIN sg b USING (h)
            WHERE a.source < b.source GROUP BY 1, 2)"""
         exact_cols = """,
-       round(coalesce(c, 0)::DOUBLE
-             / (s1.n + s2.n - coalesce(c, 0))::DOUBLE, 6) AS jaccard_exact"""
+       ((2 * coalesce(c, 0)::HUGEINT * 1000000
+         + (s1.n + s2.n - coalesce(c, 0)))
+        // (2 * (s1.n + s2.n - coalesce(c, 0))::HUGEINT))::DOUBLE
+         / 1000000.0 AS jaccard_exact"""
         exact_joins = """
 JOIN sizes s1 ON s1.source = agg.sa
 JOIN sizes s2 ON s2.source = agg.sb
@@ -6128,7 +6196,8 @@ SELECT agg.sa AS source_a, agg.sb AS source_b,
        CASE WHEN cnt < {KMV_K} THEN cnt::DOUBLE
             ELSE round({float(KMV_K - 1)} * {HASH_SPACE} / kth, 4)
        END AS union_est,
-       round(nboth::DOUBLE / cnt::DOUBLE, 6) AS jaccard_est{exact_cols}
+       ((2 * nboth::HUGEINT * 1000000 + cnt)
+        // (2 * cnt::HUGEINT))::DOUBLE / 1000000.0 AS jaccard_est{exact_cols}
 FROM agg{exact_joins}
 """
 
@@ -6162,8 +6231,9 @@ SELECT d.event_type,
        min(m.mad) AS mad_value,
        sum(CASE WHEN d.ad > {analytics.MAD_K} * m.mad THEN 1 ELSE 0 END)::BIGINT
          AS n_outliers,
-       round(sum(CASE WHEN d.ad > {analytics.MAD_K} * m.mad THEN 1 ELSE 0 END)::DOUBLE
-             / count(*)::DOUBLE, 6) AS outlier_frac
+       ((2 * sum(CASE WHEN d.ad > {analytics.MAD_K} * m.mad
+                      THEN 1 ELSE 0 END)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS outlier_frac
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY 1
 """
@@ -6206,7 +6276,10 @@ cl AS (
 SELECT abc_class,
        count(*)::BIGINT AS n_parts,
        sum(revenue)::DOUBLE AS class_revenue,
-       round(sum(revenue)::DOUBLE / min(total)::DOUBLE, 6) AS revenue_share
+       ((2 * (sum(revenue) * 100)::HUGEINT * 1000000
+         + (min(total) * 100)::HUGEINT)
+        // (2 * (min(total) * 100)::HUGEINT))::DOUBLE / 1000000.0
+         AS revenue_share
 FROM cl GROUP BY 1
 """
 
@@ -6255,7 +6328,8 @@ seg AS (
 )
 SELECT segment, count(*)::BIGINT AS n_customers,
        round(sum(mon)::DOUBLE, 4) AS sum_monetary,
-       round(sum(rec)::DOUBLE / count(*)::DOUBLE, 4) AS mean_recency_days
+       ((2 * sum(rec)::HUGEINT * 10000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 10000.0 AS mean_recency_days
 FROM seg GROUP BY 1
 """
 
@@ -6287,18 +6361,19 @@ j AS (
   JOIN nation ON n_nationkey = s_nationkey
 ),
 a AS (
+  -- integer 10^-4-dollar units (matches the Spark side): share ratios
+  -- are scale-invariant and integer operands round via exact // math
   SELECT n_name, count(*)::BIGINT AS n_suppliers,
-         sum(rev) AS tot,
-         -- width-19 casts force DuckDB's int128 decimal path (the
-         -- int64 width-18 multiply overflows on revenue squares);
-         -- values and scale are unchanged, so the sum stays exact
-         sum((rev::DECIMAL(19,4)) * (rev::DECIMAL(19,4))) AS sum_sq,
-         max(rev) AS top
+         sum((rev * 10000)::HUGEINT) AS tot,
+         sum((rev * 10000)::HUGEINT * (rev * 10000)::HUGEINT) AS sum_sq,
+         max((rev * 10000)::HUGEINT) AS top
   FROM j GROUP BY 1
 )
 SELECT n_name, n_suppliers,
-       round(sum_sq::DOUBLE / (tot::DOUBLE * tot::DOUBLE), 6) AS hhi,
-       round(top::DOUBLE / tot::DOUBLE, 6) AS top_share
+       ((2 * sum_sq * 1000000 + tot * tot)
+        // (2 * tot * tot))::DOUBLE / 1000000.0 AS hhi,
+       ((2 * top * 1000000 + tot) // (2 * tot))::DOUBLE / 1000000.0
+         AS top_share
 FROM a
 """
 
@@ -6346,10 +6421,8 @@ cand AS (
 SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
        len(sa.shingles)::BIGINT AS n_a,
        len(sb.shingles)::BIGINT AS n_b,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-             len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 6) AS jaccard,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-             least(len(sa.shingles), len(sb.shingles))::DOUBLE, 6) AS containment
+       ((2 * len(list_intersect(sa.shingles, sb.shingles))::HUGEINT * 1000000 + len(list_distinct(sa.shingles || sb.shingles))) // (2 * len(list_distinct(sa.shingles || sb.shingles))::HUGEINT))::DOUBLE / 1000000.0 AS jaccard,
+       ((2 * len(list_intersect(sa.shingles, sb.shingles))::HUGEINT * 1000000 + least(len(sa.shingles), len(sb.shingles))) // (2 * least(len(sa.shingles), len(sb.shingles))::HUGEINT))::DOUBLE / 1000000.0 AS containment
 FROM cand c
 JOIN shn sa ON sa.doc_id = c.doc_a
 JOIN shn sb ON sb.doc_id = c.doc_b
@@ -6381,8 +6454,10 @@ s AS (
   FROM per_user
 )
 SELECT n AS n_users,
-       round(sx::DOUBLE / n::DOUBLE, 6) AS mean_events,
-       round(sy::DOUBLE / n::DOUBLE, 6) AS mean_value,
+       ((2 * sx::HUGEINT * 1000000 + n)
+        // (2 * n::HUGEINT))::DOUBLE / 1000000.0 AS mean_events,
+       ((2 * (sy * 100)::HUGEINT * 10000 + n)
+        // (2 * n::HUGEINT))::DOUBLE / 1000000.0 AS mean_value,
        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
              / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                     * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
@@ -6415,7 +6490,8 @@ WITH g AS (
 r AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
 SELECT count(*)::BIGINT AS n_gaps,
        count(DISTINCT o_custkey)::BIGINT AS n_repeat_customers,
-       round(sum(gap)::DOUBLE / count(*)::DOUBLE, 6) AS mean_gap_days,
+       ((2 * sum(gap)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS mean_gap_days,
        quantile_disc(gap::DOUBLE, 0.5)::DOUBLE AS p50_gap_days,
        quantile_disc(gap::DOUBLE, 0.9)::DOUBLE AS p90_gap_days
 FROM r
@@ -6463,8 +6539,14 @@ banded AS (
 )
 SELECT band, count(*)::BIGINT AS n_customers,
        sum(rev)::DOUBLE AS band_revenue,
-       round(sum(rev)::DOUBLE / min(rev_total)::DOUBLE, 6) AS revenue_share,
-       round(max(cum_rev)::DOUBLE / min(rev_total)::DOUBLE, 6) AS cum_share
+       ((2 * (sum(rev) * 100)::HUGEINT * 1000000
+         + (min(rev_total) * 100)::HUGEINT)
+        // (2 * (min(rev_total) * 100)::HUGEINT))::DOUBLE / 1000000.0
+         AS revenue_share,
+       ((2 * (max(cum_rev) * 100)::HUGEINT * 1000000
+         + (min(rev_total) * 100)::HUGEINT)
+        // (2 * (min(rev_total) * 100)::HUGEINT))::DOUBLE / 1000000.0
+         AS cum_share
 FROM banded GROUP BY band ORDER BY band
 """
 
@@ -6497,8 +6579,8 @@ top AS (
 )
 SELECT part_a, part_b, support,
        ca.c AS n_orders_a, cb.c AS n_orders_b,
-       round(support::DOUBLE * n.n_orders::DOUBLE
-             / (ca.c * cb.c)::DOUBLE, 6) AS lift
+       ((2 * (support * n.n_orders)::HUGEINT * 1000000 + ca.c * cb.c)
+        // (2 * (ca.c * cb.c)::HUGEINT))::DOUBLE / 1000000.0 AS lift
 FROM top
 JOIN counts ca ON ca.pk = top.part_a
 JOIN counts cb ON cb.pk = top.part_b
@@ -6528,7 +6610,11 @@ WITH m AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT m.o_year, m.o_month, m.n_orders, m.rev::DOUBLE AS revenue,
-       round((m.rev - p.rev)::DOUBLE / p.rev::DOUBLE, 6) AS yoy_growth
+       (CASE WHEN m.rev < p.rev THEN -1.0 ELSE 1.0 END *
+        ((2 * (abs(m.rev - p.rev) * 100)::HUGEINT * 1000000
+          + (p.rev * 100)::HUGEINT)
+         // (2 * (p.rev * 100)::HUGEINT))::DOUBLE / 1000000.0)
+         AS yoy_growth
 FROM m LEFT JOIN m p ON p.o_year = m.o_year - 1 AND p.o_month = m.o_month
 ORDER BY m.o_year, m.o_month
 """
@@ -6563,9 +6649,11 @@ sess AS (
 )
 SELECT count(*)::BIGINT AS n_sessions,
        sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
-       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
-             / count(*)::DOUBLE, 6) AS bounce_frac,
-       round(sum(n_events)::DOUBLE / count(*)::DOUBLE, 6) AS mean_events,
+       ((2 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::HUGEINT
+         * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS bounce_frac,
+       ((2 * sum(n_events)::HUGEINT * 1000000 + count(*))
+        // (2 * count(*)::HUGEINT))::DOUBLE / 1000000.0 AS mean_events,
        quantile_disc(dur_s, 0.5)::DOUBLE AS p50_duration_s,
        quantile_disc(dur_s, 0.9)::DOUBLE AS p90_duration_s
 FROM sess
@@ -6602,7 +6690,9 @@ ranked AS (
 )
 SELECT p_type, n_brands, type_rev::DOUBLE AS type_revenue,
        p_brand AS top_brand,
-       round(brand_rev::DOUBLE / type_rev::DOUBLE, 6) AS top_brand_share
+       ((2 * (brand_rev * 100)::HUGEINT * 1000000 + (type_rev * 100)::HUGEINT)
+        // (2 * (type_rev * 100)::HUGEINT))::DOUBLE / 1000000.0
+         AS top_brand_share
 FROM ranked WHERE rk = 1
 ORDER BY p_type
 """
@@ -6721,9 +6811,10 @@ c AS (
   FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n_transitions,
-       round(n_transitions::DOUBLE
-             / (sum(n_transitions) OVER (PARTITION BY prev_type))::DOUBLE,
-             6) AS prob
+       ((2 * n_transitions::HUGEINT * 1000000
+         + sum(n_transitions) OVER (PARTITION BY prev_type))
+        // (2 * (sum(n_transitions) OVER (PARTITION BY prev_type))::HUGEINT))
+         ::DOUBLE / 1000000.0 AS prob
 FROM c
 ORDER BY prev_type, next_type
 """
@@ -6760,15 +6851,23 @@ s AS (
          sum(x * rev) AS sxy
   FROM g GROUP BY 1
 )
+, s2 AS (
+  SELECT c_mktsegment, n_months, sx, sy,
+         (n_months * sxy - sx * sy) AS num0,
+         (n_months * sxx - sx * sx)::HUGEINT AS den0
+  FROM s
+)
 SELECT c_mktsegment, n_months,
        sy::DOUBLE AS total_revenue,
-       round((n_months * sxy - sx * sy)::DOUBLE
-             / (n_months * sxx - sx * sx)::DOUBLE, 6) AS slope_per_month,
-       round(sy::DOUBLE / n_months::DOUBLE
-             - ((n_months * sxy - sx * sy)::DOUBLE
-                / (n_months * sxx - sx * sx)::DOUBLE)
-               * (sx::DOUBLE / n_months::DOUBLE), 6) AS fit_at_first_month
-FROM s
+       (CASE WHEN num0 < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * (abs(num0) * 100)::HUGEINT * 1000000 + den0 * 100)
+         // (2 * den0 * 100))::DOUBLE / 1000000.0) AS slope_per_month,
+       (CASE WHEN (sy * den0 - num0 * sx) < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * (abs(sy * den0 - num0 * sx) * 100)::HUGEINT * 1000000
+          + n_months * den0 * 100)
+         // (2 * n_months * den0 * 100))::DOUBLE / 1000000.0)
+         AS fit_at_first_month
+FROM s2
 ORDER BY c_mktsegment
 """
 
@@ -6921,14 +7020,19 @@ s AS (SELECT count(*)::BIGINT AS n,
       FROM m)
 SELECT tot.n_distinct_tokens, tot.n_tokens_total,
        s.n AS top_n_used,
-       round((s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE
-             / (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE,
-             6) AS zipf_slope,
-       round(((s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE
-              * (s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE)
-             / ((s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE
-                * (s.n::HUGEINT * s.syy - s.sy::HUGEINT * s.sy)::DOUBLE),
-             6) AS zipf_r2
+       (CASE WHEN (s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy) < 0
+             THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy) * 1000000
+          + (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx))
+         // (2 * (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)))::DOUBLE
+         / 1000000.0) AS zipf_slope,
+       ((2 * (s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy)
+           * (s.n::HUGEINT * s.sxy - s.sx::HUGEINT * s.sy) * 1000000
+         + (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)
+           * (s.n::HUGEINT * s.syy - s.sy::HUGEINT * s.sy))
+        // (2 * (s.n::HUGEINT * s.sxx - s.sx::HUGEINT * s.sx)
+              * (s.n::HUGEINT * s.syy - s.sy::HUGEINT * s.sy)))::DOUBLE
+         / 1000000.0 AS zipf_r2
 FROM s, tot
 """
 
@@ -7205,9 +7309,10 @@ p AS (
   FROM c GROUP BY 1
 )
 SELECT user_id, n_events, n_types,
-       round((n_events * floor(ln(n_events::DOUBLE) * 1000000 + 0.5)::BIGINT
-              - s_clnc)::DOUBLE
-             / (n_events::DOUBLE * 1000000.0), 6) AS entropy_nats
+       ((2 * greatest(n_events
+                      * floor(ln(n_events::DOUBLE) * 1000000 + 0.5)::BIGINT
+                      - s_clnc, 0)::HUGEINT + n_events)
+        // (2 * n_events::HUGEINT))::DOUBLE / 1000000.0 AS entropy_nats
 FROM p
 ORDER BY user_id
 """
@@ -7300,7 +7405,9 @@ SELECT bin_id,
        count(*)::BIGINT AS n_rows,
        min(v)::DOUBLE AS min_value,
        max(v)::DOUBLE AS max_value,
-       round(sum(v::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 6)
+       ((2 * (sum(v::DECIMAL(18,2)) * 100)::HUGEINT * 1000000
+         + count(*) * 100)
+        // (2 * (count(*) * 100)::HUGEINT))::DOUBLE / 1000000.0
          AS mean_value
 FROM b GROUP BY 1 ORDER BY 1
 """
@@ -7350,7 +7457,8 @@ SELECT n_left, n_right,
        exact_pairs::DOUBLE AS exact_pairs,
        cms_estimate::DOUBLE AS cms_estimate,
        CASE WHEN exact_pairs > 0
-            THEN round(cms_estimate::DOUBLE / exact_pairs::DOUBLE, 6)
+            THEN ((2 * cms_estimate::HUGEINT * 1000000 + exact_pairs)
+                  // (2 * exact_pairs::HUGEINT))::DOUBLE / 1000000.0
        END AS overestimate
 FROM nl, nr, ex, est
 """
@@ -7394,7 +7502,8 @@ j2 AS (
 )
 SELECT 1::BIGINT AS step, 'view' AS from_type, 'click' AS to_type,
        count(*)::BIGINT AS n_converted,
-       round((sum(lat)::DOUBLE / count(*)::DOUBLE) / 1000000.0, 6)
+       ((2 * sum(lat)::HUGEINT * 1000000 + count(*)::HUGEINT * 1000000)
+        // (2 * count(*)::HUGEINT * 1000000))::DOUBLE / 1000000.0
          AS mean_seconds,
        quantile_disc(lat::DOUBLE, 0.5) / 1000000.0 AS p50_seconds,
        quantile_disc(lat::DOUBLE, 0.9) / 1000000.0 AS p90_seconds
@@ -7402,7 +7511,8 @@ FROM j1
 UNION ALL
 SELECT 2::BIGINT, 'click', 'purchase',
        count(*)::BIGINT,
-       round((sum(lat)::DOUBLE / count(*)::DOUBLE) / 1000000.0, 6),
+       ((2 * sum(lat)::HUGEINT * 1000000 + count(*)::HUGEINT * 1000000)
+        // (2 * count(*)::HUGEINT * 1000000))::DOUBLE / 1000000.0,
        quantile_disc(lat::DOUBLE, 0.5) / 1000000.0,
        quantile_disc(lat::DOUBLE, 0.9) / 1000000.0
 FROM j2
@@ -7621,7 +7731,9 @@ s AS (
   FROM x
 )
 SELECT n,
-       round((sx::DOUBLE / n::DOUBLE) / 1000000.0, 6) AS mu_nats,
+       (CASE WHEN sx < 0 THEN -1.0 ELSE 1.0 END *
+        ((2 * abs(sx)::HUGEINT * 1000000 + n::HUGEINT * 1000000)
+         // (2 * n::HUGEINT * 1000000))::DOUBLE / 1000000.0) AS mu_nats,
        round(sqrt(sxx::DOUBLE / n::DOUBLE
                   - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE))
              / 1000000.0, 6) AS sigma_nats
@@ -7784,7 +7896,8 @@ trail AS (
   GROUP BY 1
 )
 SELECT dau.day, dau.dau, trail.mau,
-       round(dau.dau::DOUBLE / trail.mau::DOUBLE, 6) AS stickiness
+       ((2 * dau.dau::HUGEINT * 1000000 + trail.mau)
+        // (2 * trail.mau::HUGEINT))::DOUBLE / 1000000.0 AS stickiness
 FROM dau JOIN trail ON dau.day = trail.day
 ORDER BY dau.day
 """
@@ -7959,7 +8072,8 @@ long_form AS (
 )
 SELECT check_type, subject, detail, n_rows, n_violations,
        CASE WHEN n_rows > 0
-            THEN round(n_violations::DOUBLE / n_rows::DOUBLE, 6)
+            THEN ((2 * n_violations::HUGEINT * 1000000 + n_rows)
+                  // (2 * n_rows::HUGEINT))::DOUBLE / 1000000.0
        END AS violation_rate
 FROM long_form
 ORDER BY check_type, subject, detail

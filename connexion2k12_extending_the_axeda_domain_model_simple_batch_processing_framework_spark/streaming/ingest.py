@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import iround_ratio
 from ..functions.hashing import hex_hash64
 from ..functions.textfns import punct_count, tokens, word_shingles
 from ..operators.text import EMAIL_RE, LANG_PROFILES, PHONE_RE
@@ -50,15 +51,22 @@ def redact_and_score_stream(docs: DataFrame, text_col: str = "text") -> DataFram
     stop_hits = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*en_words)))
     # same degenerate-doc guards as operators.text.quality_score (ANSI mode
     # raises on x/0; empty docs are a fact of life at ingest)
-    punct_ratio = F.when(
-        F.length(txt) > 0, punct_count(txt) / F.length(txt)
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
-    quality = (
-        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1.0 - punct_ratio)
-        + 0.3 * stop_ratio
+    # exact-integer quality twin of operators.text.quality_score (r12):
+    # identical integer div-round composite so drained stream rows stay
+    # bit-equal to the batch column
+    c = F.length(txt).cast("long")
+    t = n_tokens.cast("long")
+    C = F.greatest(c, F.lit(1))
+    T = F.greatest(t, F.lit(1))
+    P = F.when(c > 0, punct_count(txt)).otherwise(F.lit(0))
+    S = F.when(t > 0, stop_hits.cast("long")).otherwise(F.lit(0))
+    M = F.least(t, F.lit(100))
+    q_num = (
+        F.lit(4) * M * C * T
+        + F.lit(300) * (C - P) * T
+        + F.lit(300) * S * C
     )
+    q_den = F.lit(1000) * C * T
     # word_shingles is distinct by contract → rep uses the raw gram stream:
     raw_gram = F.when(
         n_tokens >= 3,
@@ -71,9 +79,13 @@ def redact_and_score_stream(docs: DataFrame, text_col: str = "text") -> DataFram
     ).otherwise(F.array().cast("array<string>"))
     rep = F.when(
         F.size(raw_gram) > 0,
-        F.round(1.0 - F.size(F.array_distinct(raw_gram)) / F.size(raw_gram), 6),
+        iround_ratio(
+            F.size(raw_gram) - F.size(F.array_distinct(raw_gram)),
+            F.size(raw_gram),
+            6,
+        ),
     ).otherwise(F.lit(0.0))
-    return d.withColumn("quality", F.round(quality, 6)).withColumn(
+    return d.withColumn("quality", iround_ratio(q_num, q_den, 6)).withColumn(
         "rep_ratio", rep
     ).drop("__toks")
 

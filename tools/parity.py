@@ -36,6 +36,55 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Machine-checkable sketch-accuracy contracts (r12, VERDICT r11 item 4).
+#
+# Some queries are EXACT only inside a sketch's fidelity regime and
+# legitimately diverge from the exact-SQL oracle beyond it. Each entry
+# states the regime and supplies a bound checker; when the exact compare
+# fails for a contracted query, the checker runs and a within-bound
+# divergence is reported as [bounded-ok] instead of [FAIL].
+#
+# price_bins: decile edges come from a Greenwald-Khanna sketch with
+# accuracy A = operators.analytics.PCTL_ACCURACY (150k). GK is
+# bit-exact below ~A/2 rows (the sf0.01 gate regime); beyond, each
+# edge's RANK error is <= n/A, so each decile-bin population may shift
+# by at most 2·n/A + 1 rows vs the exact quantile_disc oracle.
+# ---------------------------------------------------------------------------
+
+
+def _bounded_price_bins(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
+    from connexion2k12_extending_the_axeda_domain_model_simple_batch_processing_framework_spark.operators.analytics import (  # noqa: E501
+        PCTL_ACCURACY,
+    )
+
+    a = spark_df.sort_values("bin_id").reset_index(drop=True)
+    b = oracle_df.sort_values("bin_id").reset_index(drop=True)
+    if list(a["bin_id"]) != list(b["bin_id"]):
+        return f"bin ids differ: {list(a['bin_id'])} vs {list(b['bin_id'])}"
+    n = int(b["n_rows"].sum())
+    if int(a["n_rows"].sum()) != n:
+        return f"total rows differ: {int(a['n_rows'].sum())} vs {n}"
+    tol = 2 * (n // PCTL_ACCURACY) + 1
+    worst = int((a["n_rows"] - b["n_rows"]).abs().max())
+    if worst > tol:
+        return f"bin population off by {worst} > rank-error bound {tol} (n={n}, A={PCTL_ACCURACY})"
+    return (
+        f"OK within GK bound: max bin delta {worst} <= {tol} "
+        f"(n={n}, A={PCTL_ACCURACY})"
+    )
+
+
+#: query name -> (exactness regime note, bound checker)
+SKETCH_CONTRACTS = {
+    "price_bins": (
+        "GK edges exact below ~PCTL_ACCURACY/2 input rows (gate SFs); "
+        "rank error <= n/A beyond",
+        _bounded_price_bins,
+    ),
+}
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     if len(spark_df) != len(oracle_df):
         return f"ROWCOUNT spark={len(spark_df)} oracle={len(oracle_df)}"
@@ -97,6 +146,15 @@ def main() -> None:
             failures += 1
             continue
         verdict = compare(name, sdf, odf)
+        if verdict != "OK" and name in SKETCH_CONTRACTS:
+            note, checker = SKETCH_CONTRACTS[name]
+            bverdict = checker(sdf, odf)
+            if bverdict.startswith("OK"):
+                print(f"[bounded-ok] {name}: {bverdict} ({len(sdf)} rows)")
+                continue
+            print(f"[FAIL] {name}: exact: {verdict} | bound: {bverdict}")
+            failures += 1
+            continue
         tag = "ok" if verdict == "OK" else "FAIL"
         print(f"[{tag}] {name}: {verdict} ({len(sdf)} rows)")
         if verdict != "OK":
