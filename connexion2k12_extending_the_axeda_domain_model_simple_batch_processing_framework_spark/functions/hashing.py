@@ -30,6 +30,21 @@ def hex_hash64(col: Column, seed: int | Column | None = None) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hex_hash64_sql(expr_sql: str, seed: int | None = None) -> str:
+    """Spark-SQL text twin of :func:`hex_hash64` for ``F.expr`` call sites.
+
+    Building one seeded hash via the Column API costs ~8 py4j round trips;
+    loops of them (k-min signatures, per-bit SimHash sums, CMS rows)
+    measured seconds of driver-side time PER QUERY on a slow py4j link.
+    Emitting the expression as ONE SQL string is a single parse on the JVM
+    — the parsed tree (and therefore every value produced) is identical to
+    the Column-API form; the optimizer constant-folds the literal seed
+    concat the same way.
+    """
+    inner = expr_sql if seed is None else f"concat({expr_sql}, '#', '{seed}')"
+    return f"CAST(conv(substring(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def md5_fingerprint(col: Column) -> Column:
     """Full md5 hex digest — the exact-dedup content fingerprint."""
     return F.md5(col)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.checkpoint import cut_lineage
-from ..functions.hashing import hex_hash64
+from ..functions.hashing import hex_hash64, hex_hash64_sql
 from ..functions.partitioning import spread
 from ..functions.rounding import iround_ratio
 from ..functions.textfns import tokens, word_shingles
@@ -147,7 +147,11 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = NUM_MINHASHES)
     shuffle (not k passes)."""
     sh = shared_shingle_table(documents, n)
     ex = sh.select("doc_id", "shingles", F.explode("shingles").alias("s"))
-    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    # one F.expr parse per min (not ~8 Column calls each): same tree,
+    # ~10x fewer py4j round trips — measured seconds/query on this link
+    mins = [
+        F.expr(f"min({hex_hash64_sql('s', i)}) AS h{i}") for i in range(k)
+    ]
     return ex.groupBy("doc_id").agg(F.first("shingles").alias("shingles"), *mins)
 
 
@@ -164,23 +168,30 @@ def minhash_band_table(
     """
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     k = bands * rows
-    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    # one F.expr parse per min/band (not ~8 Column calls each): same
+    # trees, ~10x fewer py4j round trips on the driver
+    mins = [
+        F.expr(f"min({hex_hash64_sql('s', i)}) AS h{i}") for i in range(k)
+    ]
     sig = ex.groupBy("doc_id").agg(*mins)
     # ONE projection with posexplode, not a union of per-band selects:
     # Catalyst does not share subplans across union legs, so the union
     # form re-ran the whole signature aggregation (explode + k seeded
     # md5 mins) once PER BAND — 4x the dominant cost of every minhash
     # consumer (measured ~1.7x query speedup at sf0.1).
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                "-", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+    band_hashes = ", ".join(
+        "md5(concat_ws('-', {}))".format(
+            ", ".join(
+                f"CAST(h{b * rows + r} AS STRING)" for r in range(rows)
             )
         )
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_hashes})")).alias(
+            "band", "band_hash"
+        ),
     )
 
 
@@ -357,19 +368,23 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     toks = spread(documents).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
     )
-    h = hex_hash64(F.col("t"))
+    # one F.expr parse per bit sum / one for the pack (not ~10 Column
+    # calls each): same trees, ~10x fewer py4j round trips on the driver
+    h = hex_hash64_sql("t")
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {j}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{j}"
+        )
         for j in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.alias("simhash"))
+    pack = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({2**j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(f"({pack}) AS simhash"))
 
 
 #: (shift, width) splits of the 16-bit signature into 3 bands (6/5/5).
@@ -393,12 +408,17 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     # one signature computation shared by all bands and both join sides;
     # a single posexplode emits every band row in one pass over it
     sig = cut_lineage(simhash_signatures(documents))
-    band_vals = [
-        F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
+    # single-parse expr strings for the band projection and the
+    # first-matching-band predicate (same trees as the former Column-API
+    # loops, ~10x fewer py4j round trips on the driver)
+    band_vals = ", ".join(
+        f"(shiftright(simhash, {off}) & {(1 << width) - 1})"
         for off, width in SIMHASH_BANDS
-    ]
+    )
     banded = sig.select(
-        "doc_id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "band_val")
+        "doc_id",
+        "simhash",
+        F.posexplode(F.expr(f"array({band_vals})")).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -408,20 +428,18 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     # bands must differ) — cheap bit predicates on the signatures already
     # in the row, replacing a distinct() that shuffled every candidate
     # pair (~corpus²/bucket_count rows) a second time.
-    def band_val(col: F.Column, j: int) -> F.Column:
+    def band_val_sql(side: str, j: int) -> str:
         off, width = SIMHASH_BANDS[j]
-        return F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1))
+        return f"(shiftright({side}.simhash, {off}) & {(1 << width) - 1})"
 
-    first_match = F.lit(False)
+    fm = "false"
     for idx in range(len(SIMHASH_BANDS)):
-        earlier_differ = F.lit(True)
-        for j in range(idx):
-            earlier_differ = earlier_differ & (
-                band_val(F.col("a.simhash"), j) != band_val(F.col("b.simhash"), j)
-            )
-        first_match = F.when(F.col("a.band") == idx, earlier_differ).otherwise(
-            first_match
-        )
+        earlier_differ = " AND ".join(
+            f"{band_val_sql('a', j)} != {band_val_sql('b', j)}"
+            for j in range(idx)
+        ) or "true"
+        fm = f"CASE WHEN a.band = {idx} THEN ({earlier_differ}) ELSE {fm} END"
+    first_match = F.expr(fm)
 
     return (
         a.join(
@@ -945,21 +963,25 @@ def minhash_recall_sweep(
     k = bmax * rows
     sh = shared_shingle_table(documents, n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    mins = [F.min(hex_hash64(F.col("s"), i)).alias(f"h{i}") for i in range(k)]
+    # one F.expr parse per min/band: same trees as the Column-API loops,
+    # ~10x fewer py4j round trips (this builder measured ~2.7 s of pure
+    # driver-side Column construction for k=32 before the change)
+    mins = [
+        F.expr(f"min({hex_hash64_sql('s', i)}) AS h{i}") for i in range(k)
+    ]
     sig = ex.groupBy("doc_id").agg(*mins)
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                "-",
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
+    band_hashes = ", ".join(
+        "md5(concat_ws('-', {}))".format(
+            ", ".join(f"CAST(h{b * rows + r} AS STRING)" for r in range(rows))
         )
         for b in range(bmax)
-    ]
+    )
     bt = persist_df(
         sig.select(
             "doc_id",
-            F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
+            F.posexplode(F.expr(f"array({band_hashes})")).alias(
+                "band", "band_hash"
+            ),
         )
     )
     a = bt.alias("a")

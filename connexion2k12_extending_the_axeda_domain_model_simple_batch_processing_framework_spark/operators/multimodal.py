@@ -2254,34 +2254,33 @@ def image_phash_pairs(
         .select("doc_id", "hi", "lo")
     )
 
-    def band_val(hi: F.Column, lo: F.Column, j: int) -> F.Column:
+    # single-parse expr strings for the band projection and the
+    # first-matching-band predicate: same trees as the former Column-API
+    # loops (8 bands -> ~28 inequality terms), ~10x fewer py4j round trips
+    def band_val_sql(side: str, j: int) -> str:
         col, off = AHASH_BANDS[j]
-        src = hi if col == "hi" else lo
-        return F.shiftright(src, off).bitwiseAND(F.lit(0xFF))
+        return f"(shiftright({side}{col}, {off}) & 255)"
 
-    band_vals = [
-        band_val(F.col("hi"), F.col("lo"), j) for j in range(len(AHASH_BANDS))
-    ]
+    band_vals = ", ".join(
+        band_val_sql("", j) for j in range(len(AHASH_BANDS))
+    )
     banded = sig.select(
         "doc_id", "hi", "lo",
-        F.posexplode(F.array(*band_vals)).alias("band", "band_val"),
+        F.posexplode(F.expr(f"array({band_vals})")).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = (
         F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
         + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     )
-    first_match = F.lit(False)
+    fm = "false"
     for idx in range(len(AHASH_BANDS)):
-        earlier_differ = F.lit(True)
-        for j in range(idx):
-            earlier_differ = earlier_differ & (
-                band_val(F.col("a.hi"), F.col("a.lo"), j)
-                != band_val(F.col("b.hi"), F.col("b.lo"), j)
-            )
-        first_match = F.when(F.col("a.band") == idx, earlier_differ).otherwise(
-            first_match
-        )
+        earlier_differ = " AND ".join(
+            f"{band_val_sql('a.', j)} != {band_val_sql('b.', j)}"
+            for j in range(idx)
+        ) or "true"
+        fm = f"CASE WHEN a.band = {idx} THEN ({earlier_differ}) ELSE {fm} END"
+    first_match = F.expr(fm)
     return (
         a.join(
             b,
