@@ -258,6 +258,8 @@ def kmv_source_overlap(
 
     if n is None:
         n = OVERLAP_NGRAM
+    from ..functions.checkpoint import cut_lineage
+
     src = spread(documents).select("doc_id", "source")
     sg = (
         shingle_table(documents, n)
@@ -266,6 +268,14 @@ def kmv_source_overlap(
         .select("source", hex_hash64(F.col("gram")).alias("h"))
         .distinct()
     )
+    if exact:
+        # the exact legs read sg three more times (sizes + both sides of
+        # the gram self-join); Catalyst does not share subplans, so the
+        # un-cut plan replayed tokenize+shingle+md5+distinct 4x (the r12
+        # plan dump shows four copies of the Generate subtree).
+        # Materialize once — at scale this is "persist the gram table",
+        # which the exact reference would need anyway.
+        sg = cut_lineage(sg)
     # per-source k smallest hashes, two-phase salted top-k (no source
     # funnels through one task)
     order = [F.col("h").asc()]
@@ -279,6 +289,11 @@ def kmv_source_overlap(
         .filter(F.col("_rk") <= k)
         .select("source", "h")
     )
+    # sk feeds the pair frame AND the pair-extension join: cutting the
+    # (tiny, n_sources x k) sketch table stops the second replay of the
+    # whole gram -> two-phase-top-k chain in both the exact and scaled
+    # variants.
+    sk = cut_lineage(sk)
     srcs = sk.select("source").distinct()
     pr = (
         srcs.alias("x")

@@ -38,6 +38,24 @@ def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # Janino compiled-class cache (static conf, default 100 entries).
+        # This engine runs ~200 distinct queries per suite at ~5-10 codegen
+        # units each, so at the default size every pass after the first
+        # recompiles nearly every WholeStageCodegen unit from scratch.
+        # Measured on r12's box (80-query subset, 3 passes): steady-state
+        # pass 71-101 s at the default vs 54-58 s at 4096 — ~25% of
+        # steady-state wall was Janino recompilation. Left at the Spark
+        # default unless $SPARK_GRAFT_CODEGEN_CACHE is set: the one full
+        # 196-query suite run at 4096 on the r12 box showed episodic
+        # 10-20x stalls that could not be separated from that VM's own
+        # noise windows inside the round budget (OPTIMIZATION_r12.md,
+        # "codegen cache"), and thousands of live generated classes
+        # pressure the JVM code cache unless -XX:ReservedCodeCacheSize is
+        # raised alongside. Revisit with both knobs together.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "100"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate derives `size(arr) > 0` from every
         # explode(); predicate pushdown then inlines the full array-building
