@@ -891,33 +891,42 @@ def minhash_recall_report(
     Both legs ride the session-shared indexes (shingle table + band
     index), so the report adds no corpus scans beyond the two pair
     listings it grades.
+
+    All four counts come from ONE full-outer join of the two pair
+    listings and ONE aggregation — both listings are unique on
+    (doc_a, doc_b), so every former leg (count of exact, of candidates,
+    of verified candidates, of the exact∩verified semi-join) is a
+    conditional count over the joined rows. The r12 shape re-ran the
+    candidate pipeline three times and the exact pipeline twice
+    (Catalyst shares no subplans across aggregation legs — 110
+    Exchanges in the r12 plan dump).
     """
-    exact = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df)
-    cand = minhash_lsh_pairs(documents, n, bands, rows)
-    verified = cand.filter(F.col("jaccard") >= threshold)
-    overlap = exact.select("doc_a", "doc_b").join(
-        verified.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    exact = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_exact")
     )
-    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    nv = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
-    no = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-    return (
-        ne.crossJoin(nc)
-        .crossJoin(nv)
-        .crossJoin(no)
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_verified",
-            "n_overlap",
-            iround_ratio(F.col("n_overlap"), F.col("n_exact"), 6).alias(
-                "recall"
-            ),
-            iround_ratio(
-                F.col("n_verified"), F.col("n_candidates"), 6
-            ).alias("candidate_precision"),
-        )
+    cand = minhash_lsh_pairs(documents, n, bands, rows).withColumn(
+        "is_cand", F.lit(True)
+    )
+    joined = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
+    ver = F.col("is_cand") & (F.col("jaccard") >= threshold)
+    return joined.agg(
+        F.count(F.when(F.col("is_exact"), 1)).cast("long").alias("n_exact"),
+        F.count(F.when(F.col("is_cand"), 1))
+        .cast("long")
+        .alias("n_candidates"),
+        F.count(F.when(ver, 1)).cast("long").alias("n_verified"),
+        F.count(F.when(F.col("is_exact") & ver, 1))
+        .cast("long")
+        .alias("n_overlap"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "n_verified",
+        "n_overlap",
+        iround_ratio(F.col("n_overlap"), F.col("n_exact"), 6).alias("recall"),
+        iround_ratio(F.col("n_verified"), F.col("n_candidates"), 6).alias(
+            "candidate_precision"
+        ),
     )
 
 
@@ -949,9 +958,18 @@ def minhash_recall_sweep(
     membership is all that ``bands`` changes (the verified Jaccard of a
     pair is band-independent). The ``bands=LSH_BANDS`` row therefore
     grades the PRODUCTION index bit-identically to
-    ``minhash_recall_report``. Rides the session-shared shingle table;
-    the scored candidate set and the exact-pair reference are each
-    persisted once and shared by every sweep point.
+    ``minhash_recall_report``. Rides the session-shared shingle table.
+
+    Every sweep point's counts come from ONE full-outer join of the
+    scored candidate set (min_band carried) with the exact-pair
+    reference and ONE aggregation — both are unique on (doc_a, doc_b),
+    so each point's candidate / verified / overlap legs are conditional
+    counts (``min_band < bands``) over the same joined rows, and the
+    len(bands_sweep) output rows inline from the single 1-row result.
+    Only the band table stays persisted (BOTH sides of the collision
+    self-join read it); the scored set and the exact reference are now
+    single-consumer and flow through unpersisted (the r12 shape
+    persisted both and re-aggregated them 13 times).
 
     Output (len(bands_sweep) rows): bands, rows_per_band, sig_len,
     n_exact, n_candidates, n_verified, n_overlap, recall,
@@ -1002,7 +1020,7 @@ def minhash_recall_sweep(
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    scored = persist_df(
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -1012,47 +1030,41 @@ def minhash_recall_sweep(
             iround_ratio(inter, union, 6).alias("jaccard"),
         )
     )
-    exact = persist_df(
-        ngram_jaccard_pairs(documents, n, threshold, max_shingle_df).select(
-            "doc_a", "doc_b"
-        )
+    exact = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_exact")
     )
-    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    out = None
-    for bands in sorted(bands_sweep):
-        pts = scored.filter(F.col("min_band") < bands)
-        ver = pts.filter(F.col("jaccard") >= threshold)
-        ov = exact.join(
-            ver.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    joined = exact.join(scored, ["doc_a", "doc_b"], "full_outer")
+    aggs = [F.count(F.when(F.col("is_exact"), 1)).cast("long").alias("ne")]
+    for bands in bands_sweep:
+        in_b = F.col("min_band") < bands
+        ver_b = in_b & (F.col("jaccard") >= threshold)
+        aggs += [
+            F.count(F.when(in_b, 1)).cast("long").alias(f"nc{bands}"),
+            F.count(F.when(ver_b, 1)).cast("long").alias(f"nv{bands}"),
+            F.count(F.when(F.col("is_exact") & ver_b, 1))
+            .cast("long")
+            .alias(f"no{bands}"),
+        ]
+    tot = joined.agg(*aggs)
+    rows_ = [
+        F.struct(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(rows).cast("long").alias("rows_per_band"),
+            F.lit(bands * rows).cast("long").alias("sig_len"),
+            F.col("ne").alias("n_exact"),
+            F.col(f"nc{bands}").alias("n_candidates"),
+            F.col(f"nv{bands}").alias("n_verified"),
+            F.col(f"no{bands}").alias("n_overlap"),
+            iround_ratio(F.col(f"no{bands}"), F.col("ne"), 6).alias(
+                "recall"
+            ),
+            iround_ratio(F.col(f"nv{bands}"), F.col(f"nc{bands}"), 6).alias(
+                "candidate_precision"
+            ),
         )
-        row = (
-            ne.crossJoin(
-                pts.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-            )
-            .crossJoin(
-                ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
-            )
-            .crossJoin(
-                ov.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-            )
-            .select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(rows).cast("long").alias("rows_per_band"),
-                F.lit(bands * rows).cast("long").alias("sig_len"),
-                "n_exact",
-                "n_candidates",
-                "n_verified",
-                "n_overlap",
-                iround_ratio(F.col("n_overlap"), F.col("n_exact"), 6).alias(
-                    "recall"
-                ),
-                iround_ratio(
-                    F.col("n_verified"), F.col("n_candidates"), 6
-                ).alias("candidate_precision"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        for bands in sorted(bands_sweep)
+    ]
+    return tot.select(F.inline(F.array(*rows_)))
 
 
 def containment_pairs(

@@ -1743,34 +1743,6 @@ def float_topf_cached(
     return memo(embeddings.sparkSession, key, build)[0]
 
 
-def _score_float_candidates(
-    probes: DataFrame, assignments: DataFrame, carry: tuple = ()
-) -> DataFrame:
-    """The float-side candidate scoring of ``ivf_probe``, factored so the
-    sweep can keep extra probe columns (``carry`` — e.g. the bucket
-    rank) through the join: (query_id, neighbor_id, cosine, *carry),
-    UNRANKED. Cosine is the identical JVM fold-chain expression."""
-    inv = assignments.withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
-    # round-ok: cosine — the norm product passes through correctly-rounded
-    # sqrt of non-square rationals, so no exact decimal midpoint exists
-    cos = F.round(
-        dot_expr("q_vec", "cv", EMBEDDING_DIM)
-        / (F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    return (
-        F.broadcast(probes)
-        .join(inv, "centroid_id")
-        .filter(F.col("query_id") != F.col("vid"))
-        .select(
-            "query_id",
-            F.col("vid").alias("neighbor_id"),
-            cos.alias("cosine"),
-            *carry,
-        )
-    )
-
-
 def _residual_adc_scored(
     probes: DataFrame,
     centroids: DataFrame,
@@ -1784,6 +1756,33 @@ def _residual_adc_scored(
     docstring for the arithmetic), UNRANKED, carrying any extra probe
     columns (``carry``) through to the output. ``probes`` must provide
     (query_id, q_vec, centroid_id, *carry)."""
+    cand = (
+        F.broadcast(probes.select("query_id", "q_vec", "centroid_id", *carry))
+        .join(
+            codes.select(
+                F.col("vec_id").alias("vid"), "centroid_id", "codes"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("vid"))
+        .select("query_id", "q_vec", "vid", "centroid_id", "codes", *carry)
+    )
+    return _adc_score_cand(cand, centroids, codebooks, carry)
+
+
+def _adc_score_cand(
+    cand: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    carry: tuple = (),
+) -> DataFrame:
+    """The Arrow scoring pass of ``_residual_adc_scored`` over a
+    PRE-JOINED candidate table (query_id, q_vec, vid, centroid_id,
+    codes, *carry) — factored out so a sweep that fuses the float and
+    ADC candidate enumerations into ONE table (the sets are identical:
+    ``pq_encode_residual`` maps every assignments row 1:1) can score it
+    in a single pass. ``carry`` columns pass through with their input
+    types."""
     books = _collect_codebooks(codebooks)
     m = len(books)
     dsub = books[0][1].shape[1]
@@ -1807,13 +1806,6 @@ def _residual_adc_scored(
     cmap = np.zeros(cmax, dtype=np.int64)
     for cid, i in cidx.items():
         cmap[cid] = i
-
-    cand = (
-        F.broadcast(probes.select("query_id", "q_vec", "centroid_id", *carry))
-        .join(codes.select(F.col("vec_id").alias("vid"), "centroid_id", "codes"), "centroid_id")
-        .filter(F.col("query_id") != F.col("vid"))
-        .select("query_id", "q_vec", "vid", "centroid_id", "codes", *carry)
-    )
 
     def score_batches(batches):
         for pdf in batches:
@@ -1857,7 +1849,7 @@ def _residual_adc_scored(
             yield pd.DataFrame(data)
 
     schema = "query_id long, neighbor_id long, cosine double" + "".join(
-        f", {c} long" for c in carry
+        f", {c} {cand.schema[c].dataType.simpleString()}" for c in carry
     )
     return cand.mapInPandas(score_batches, schema)
 
@@ -2099,20 +2091,25 @@ def ann_recall_sweep(
     scans differ, exactly like re-running a deployed index with a
     different runtime knob.
 
-    The whole sweep costs ONE probe pair, not len(nprobes): candidates
-    are scored once at max(nprobes) with their bucket rank (``pr``)
-    attached, and each sweep point derives its top-k by filtering
-    ``pr <= nprobe`` before ranking — exact, because a (query,
-    candidate) cosine is independent of how many buckets were probed;
-    bucket selection only decides membership, and membership at nprobe
-    is precisely pr ≤ nprobe. (The naive 3× re-probe measured 10.4s at
-    sf0.1; this shape is ~2×-the-single-report instead.)
+    The whole sweep costs ONE candidate pass, not len(nprobes) probe
+    pairs: the float and ADC candidate sets are IDENTICAL by
+    construction (``pq_encode_residual`` maps every inverted-file row
+    1:1, and both sides join the same ``pr``-ranked probe buckets), so
+    ONE fused candidate table carries both scores — float cosine
+    attached in the JVM, ADC cosine by the single Arrow pass. Each
+    sweep point's top-k on either side is then a conditional running
+    count over ONE window pass (rank among rows with pr ≤ nprobe, in
+    (cosine desc, neighbor asc) order, equals the running count of
+    qualifying rows — membership is prefix-monotone in pr), and the
+    float∩ADC overlap is a boolean AND on the same row instead of a
+    join: the whole sweep is one linear pipeline with two Exchanges
+    (query_id, then the 1-row reduce). Nothing is persisted — no
+    subtree is read twice. (The naive 3× re-probe measured 10.4 s at
+    sf0.1; the two-persist r12 shape 5.6-5.9 s.)
 
     Output (len(nprobes) rows): nprobe, scan_frac, n_queries, k,
     n_float, n_overlap, recall.
     """
-    from ..functions.dfcache import persist_df
-
     np_max = max(nprobes)
     nlist = _resolve_nlist(embeddings, nlist, "vec_id", "embedding")
     centroids, assignments = ivf_build_cached(embeddings, nlist)
@@ -2120,53 +2117,98 @@ def ann_recall_sweep(
     books, codes = pq_residual_codes_cached(
         embeddings, centroids, assignments, m, ksub
     )
-    # both probe sides at max nprobe, UNRANKED, with the bucket rank
-    # carried so each sweep point can replay its own membership
+    # probe buckets ONCE at max nprobe with the bucket rank carried so
+    # each sweep point can replay its own membership (pr <= nprobe)
     probes = _probe_buckets(
         centroids, queries, np_max, "vec_id", "embedding", keep_rank=True
     )
-    scored_f = persist_df(
-        _score_float_candidates(probes, assignments, carry=("pr",))
+    # ONE candidate table, both scores: inverted file ⋈ codes is 1:1 on
+    # vid, so the fused join enumerates the identical candidate set the
+    # two former persisted tables each enumerated separately
+    inv = assignments.join(
+        codes.select(F.col("vec_id").alias("vid"), "codes"), "vid"
+    ).withColumn("c_norm", l2_norm_expr("cv", EMBEDDING_DIM))
+    # round-ok: cosine — the norm product passes through correctly-rounded
+    # sqrt of non-square rationals, so no exact decimal midpoint exists
+    cos_f = F.round(
+        dot_expr("q_vec", "cv", EMBEDDING_DIM)
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
     )
-    scored_a = persist_df(
-        _residual_adc_scored(probes, centroids, codes, books, carry=("pr",))
+    cand = (
+        F.broadcast(probes)
+        .join(inv, "centroid_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id", "q_vec", "vid", "centroid_id", "codes",
+            "pr", cos_f.alias("cos_f"),
+        )
     )
-    out = None
-    for np_ in sorted(nprobes):
-        rank = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
-        )
-        top_f = (
-            scored_f.filter(F.col("pr") <= np_)
-            .withColumn("rk", F.row_number().over(rank))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        top_a = (
-            scored_a.filter(F.col("pr") <= np_)
-            .withColumn("rk", F.row_number().over(rank))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        overlap = top_f.join(top_a, ["query_id", "neighbor_id"], "left_semi")
-        base = top_f.agg(
-            F.count_distinct("query_id").cast("long").alias("n_queries"),
-            F.count(F.lit(1)).cast("long").alias("n_float"),
-        )
-        hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        row = base.crossJoin(hits).select(
+    scored = _adc_score_cand(cand, centroids, books, carry=("pr", "cos_f"))
+    run = Window.partitionBy("query_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = run.orderBy(F.col("cos_f").desc(), F.col("neighbor_id").asc())
+    wa = run.orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+
+    def member(np_: int, w) -> F.Column:
+        # rank among rows with pr <= np_ (in w's total order) == running
+        # count of qualifying rows; the row itself must qualify
+        q = F.col("pr") <= np_
+        return q & (F.sum(q.cast("int")).over(w) <= k)
+
+    flags = scored.select(
+        "query_id",
+        *[member(np_, wf).alias(f"f{np_}") for np_ in nprobes],
+        *[member(np_, wa).alias(f"a{np_}") for np_ in nprobes],
+    )
+    # two-level aggregate: per-query partials ride the window's existing
+    # query_id partitioning (no new Exchange), then one 1-row reduce
+    per_q = flags.groupBy("query_id").agg(
+        *[
+            F.sum(F.col(f"f{np_}").cast("int")).alias(f"nf{np_}")
+            for np_ in nprobes
+        ],
+        *[
+            F.sum((F.col(f"f{np_}") & F.col(f"a{np_}")).cast("int")).alias(
+                f"no{np_}"
+            )
+            for np_ in nprobes
+        ],
+    )
+    tot = per_q.agg(
+        *[
+            F.count(F.when(F.col(f"nf{np_}") > 0, 1))
+            .cast("long")
+            .alias(f"nq{np_}")
+            for np_ in nprobes
+        ],
+        *[
+            F.sum(f"nf{np_}").cast("long").alias(f"tf{np_}")
+            for np_ in nprobes
+        ],
+        *[
+            F.sum(f"no{np_}").cast("long").alias(f"to{np_}")
+            for np_ in nprobes
+        ],
+    )
+    rows_ = [
+        F.struct(
             F.lit(np_).cast("long").alias("nprobe"),
-            # round-ok: Python-constant ratio folded at build time — identical
-            # literal in both engines
+            # round-ok: Python-constant ratio folded at build time —
+            # identical literal in both engines
             F.round(F.lit(np_ / nlist), 6).alias("scan_frac"),
-            "n_queries",
+            F.col(f"nq{np_}").alias("n_queries"),
             F.lit(k).cast("long").alias("k"),
-            "n_float",
-            "n_overlap",
-            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
+            F.col(f"tf{np_}").alias("n_float"),
+            F.col(f"to{np_}").alias("n_overlap"),
+            iround_ratio(F.col(f"to{np_}"), F.col(f"tf{np_}"), 6).alias(
+                "recall"
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        for np_ in sorted(nprobes)
+    ]
+    return tot.select(F.inline(F.array(*rows_)))
 
 
 def ann_refine_sweep(
@@ -2196,13 +2238,16 @@ def ann_refine_sweep(
     exact, because the ADC ranking is what defines every shorter
     shortlist (prefix-monotone membership, the ``ann_recall_sweep`` /
     ``minhash_recall_sweep`` argument), and a row's exact cosine is
-    refine-independent.
+    refine-independent. Every sweep point's re-rank is a conditional
+    running count over ONE window pass (rank among rows with
+    ``adc_rk ≤ k·refine`` equals the running count of qualifying rows
+    in (cosine desc, neighbor asc) order), and the float-reference
+    overlap is a flag attached by ONE left join instead of a semi-join
+    per point — one linear pipeline, nothing persisted.
 
     Output (len(refines) rows): refine, ksub, shortlist, n_queries, k,
     n_float, n_overlap, recall.
     """
-    from ..functions.dfcache import persist_df
-
     centroids, assignments = ivf_build_cached(embeddings, nlist)
     queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     top_f = float_topf_cached(
@@ -2222,7 +2267,7 @@ def ann_refine_sweep(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_vec"),
     ).withColumn("n_norm", l2_norm_expr("n_vec", EMBEDDING_DIM))
-    scored = persist_df(
+    scored = (
         shortlist.select("query_id", "neighbor_id", F.col("rk").alias("adc_rk"))
         .join(nv, "neighbor_id")
         .join(qn, "query_id")
@@ -2239,37 +2284,54 @@ def ann_refine_sweep(
             ).alias("cosine"),
         )
     )
+    # the float-reference membership, attached ONCE: (query, neighbor)
+    # is unique on both sides, so each former per-point semi-join count
+    # equals counting rows where the flag AND that point's membership hold
+    fref = top_f.select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_float")
+    )
+    joined = scored.join(fref, ["query_id", "neighbor_id"], "left")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def member(r: int) -> F.Column:
+        q = F.col("adc_rk") <= k * r
+        return q & (F.sum(q.cast("int")).over(w) <= k)
+
+    flags = joined.select(
+        "in_float", *[member(r).alias(f"m{r}") for r in refines]
+    )
+    tot = flags.agg(
+        *[
+            F.count(F.when(F.col(f"m{r}") & F.col("in_float"), 1))
+            .cast("long")
+            .alias(f"ov{r}")
+            for r in refines
+        ]
+    )
     base = top_f.agg(
         F.count_distinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_float"),
     )
-    out = None
-    for r in sorted(refines):
-        rank = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
-        )
-        top_r = (
-            scored.filter(F.col("adc_rk") <= k * r)
-            .withColumn("rk", F.row_number().over(rank))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        overlap = top_f.select("query_id", "neighbor_id").join(
-            top_r, ["query_id", "neighbor_id"], "left_semi"
-        )
-        hits = overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        row = base.crossJoin(hits).select(
+    rows_ = [
+        F.struct(
             F.lit(r).cast("long").alias("refine"),
             F.lit(ksub).cast("long").alias("ksub"),
             F.lit(k * r).cast("long").alias("shortlist"),
-            "n_queries",
+            F.col("n_queries"),
             F.lit(k).cast("long").alias("k"),
-            "n_float",
-            "n_overlap",
-            iround_ratio(F.col("n_overlap"), F.col("n_float"), 6).alias("recall"),
+            F.col("n_float"),
+            F.col(f"ov{r}").alias("n_overlap"),
+            iround_ratio(F.col(f"ov{r}"), F.col("n_float"), 6).alias(
+                "recall"
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        for r in sorted(refines)
+    ]
+    return base.crossJoin(tot).select(F.inline(F.array(*rows_)))
 
 
 def rag_retrieve(
