@@ -56,6 +56,18 @@ def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None)
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "100"),
         )
+        # JVM code cache for the compiled classes the Janino cache keeps
+        # alive: thousands of live generated classes at a 4096-entry
+        # codegen cache pressure the JIT's code cache (default 240 MB on
+        # JDK17), which was the confound in the r12 A/B. Only effective
+        # before JVM launch (first get_spark in the process); paired with
+        # the codegen-cache knob for the r13 experiment.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE_MB", "240")
+            + "m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate derives `size(arr) > 0` from every
         # explode(); predicate pushdown then inlines the full array-building

@@ -44,10 +44,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
 
 
+#: session-scoped memo of loaded table DataFrames. ``spark.read.parquet``
+#: costs ~100 ms of driver work PER CALL (py4j round trips + relation
+#: resolution + footer/schema read) and the suite issues ~600 of them
+#: (194 queries x 2-4 tables, twice under min-of-two) — ~60 s/pass of
+#: pure plan-construction overhead at sf0.1. The cached object is a LAZY
+#: DataFrame (an analyzed plan handle): every action still scans parquet,
+#: so nothing about query execution or results changes — this is the
+#: in-session analogue of a catalog's resolved-relation cache. Keyed by
+#: the owning SparkSession so a new session (whose JVM state is gone)
+#: never sees another session's plan.
+_TABLE_CACHE: dict = {}
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # self-heal confs on EVERY call (the foreign-session contract): a
+    # caller may have unset them since the cached plan was built
     ensure_session_confs(spark)
+    key = (spark, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _TABLE_CACHE if not _session_alive(k[0])]:
+        del _TABLE_CACHE[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). What Spark hands us is
@@ -60,6 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -60,6 +60,13 @@ def main() -> None:
     similarity.pq_residual_codes_cached(emb, _c, _a)
     similarity.pq_residual_codes_cached(emb, _c, _a, ksub=PQ_KSUB_WIDE)
 
+    # release per-query checkpoint blocks between queries exactly like
+    # bench.py, keeping only the session-shared indexes: without this the
+    # suite accumulates every cut_lineage/persist block of 194 queries x 2
+    # runs and storage pressure inflates later builds 3-10x (r13 found
+    # create_batch_ingest "build 2.7 s" here vs 0.26 s total in bench)
+    import bench as bench_mod
+
     out: dict[str, dict] = {}
     for name in names:
         rec: dict[str, float] = {}
@@ -75,6 +82,7 @@ def main() -> None:
             rec[f"{run}_plan"] = round(t2 - t1, 3)
             rec[f"{run}_exec"] = round(t3 - t2, 3)
             rec[f"{run}_total"] = round(t3 - t0, 3)
+            bench_mod.release_checkpoints(spark)
         out[name] = rec
         print(
             f"{name}: total {rec['run2_total']:.2f} "
