@@ -38,34 +38,35 @@ def get_spark(app_name: str = "connexion-batch-engine", cpus: str | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        # Janino compiled-class cache (static conf, default 100 entries).
-        # This engine runs ~200 distinct queries per suite at ~5-10 codegen
-        # units each, so at the default size every pass after the first
-        # recompiles nearly every WholeStageCodegen unit from scratch.
-        # Measured on r12's box (80-query subset, 3 passes): steady-state
-        # pass 71-101 s at the default vs 54-58 s at 4096 — ~25% of
-        # steady-state wall was Janino recompilation. Left at the Spark
-        # default unless $SPARK_GRAFT_CODEGEN_CACHE is set: the one full
-        # 196-query suite run at 4096 on the r12 box showed episodic
-        # 10-20x stalls that could not be separated from that VM's own
-        # noise windows inside the round budget (OPTIMIZATION_r12.md,
-        # "codegen cache"), and thousands of live generated classes
-        # pressure the JVM code cache unless -XX:ReservedCodeCacheSize is
-        # raised alongside. Revisit with both knobs together.
+        # Janino compiled-class cache (static conf, Spark default 100
+        # entries). This engine runs ~200 distinct queries per suite at
+        # ~5-10 codegen units each, so at the default size every pass
+        # after the first recompiles nearly every WholeStageCodegen unit
+        # from scratch. r12 measured the recompile tax (~25% of
+        # steady-state wall on an 80-query x 3-pass A/B) but reverted
+        # because one full-suite run at 4096 stalled episodically and the
+        # JVM code-cache confound (-XX:ReservedCodeCacheSize) could not
+        # be separated in budget. r13 ran the paired experiment the r12
+        # verdict asked for — full 196-query suite, 4096 entries WITH
+        # ReservedCodeCacheSize=512m, twice: 204.7 s / 206.7 s vs 250.0 s
+        # at the defaults, no stall in either run. Defaults flipped; a
+        # compile cache, not a result cache — every run still computes
+        # from parquet, and the value is core-count-independent (per-JVM
+        # compile time), so the driver's multi-CPU bench stays comparable.
         .config(
             "spark.sql.codegen.cache.maxEntries",
-            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "100"),
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
         )
         # JVM code cache for the compiled classes the Janino cache keeps
         # alive: thousands of live generated classes at a 4096-entry
         # codegen cache pressure the JIT's code cache (default 240 MB on
-        # JDK17), which was the confound in the r12 A/B. Only effective
-        # before JVM launch (first get_spark in the process); paired with
-        # the codegen-cache knob for the r13 experiment.
+        # JDK17) — the r12 confound. 512m costs virtual reservation only
+        # (committed lazily). Only effective before JVM launch (first
+        # get_spark in the process).
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize="
-            + os.environ.get("SPARK_GRAFT_CODE_CACHE_MB", "240")
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE_MB", "512")
             + "m",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
